@@ -1,38 +1,69 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship RAG pipeline on sf0.001: documents → markdown
+                 synthesis → chunk → filter → mock-embed → top-k retrieval.
+``queries``    — one entry per implemented operator (SURVEY §2 + north-star
+                 extensions), from rag_content_spark.queries.
+``oracle_sql`` — exact DuckDB equivalents (same aliases, same values).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rag_content_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end RAG build + query on sf0.001.
+
+    documents → chunk (C1) → validity filters (P2/P3) → mock embedding
+    (E1 twin) → exact top-k cosine retrieval (Q2) for a fixed query text.
+    """
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.embedding.mock import mock_embedding_expr
+    from rag_content_spark.operators.chunking import chunk_fixed
+    from rag_content_spark.operators.filters import has_whitespace
+    from rag_content_spark.operators.similarity import top_k
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = (
+        chunk_fixed(docs.select("doc_id", "text"), size=32, overlap=0)
+        .filter(has_whitespace("chunk_text"))
+        .select(
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_index")).alias(
+                "chunk_id"
+            ),
+            F.col("chunk_text"),
+            mock_embedding_expr("chunk_text", dim=16, normalize=True).alias(
+                "embedding"
+            ),
+        )
+    )
+    # embed the query with the same embedder (driver-side single "inference")
+    qrow = (
+        spark.createDataFrame([("spark table join merge sort",)], ["text"])
+        .select(mock_embedding_expr("text", dim=16, normalize=True).alias("v"))
+        .collect()[0]
+    )
+    return top_k(
+        chunks, list(qrow["v"]), k=5, metric="ip", id_col="chunk_id"
+    ).select("chunk_id", "chunk_text", "score")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY §2."""
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for every SQL-expressible query."""
+    return dict(Q.ORACLES)

@@ -1,0 +1,85 @@
+"""Text scalar functions (reference SURVEY §2.8).
+
+All pure Column expressions with exact DuckDB equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens dropped.
+
+    DuckDB: list_filter(regexp_split_to_array(x, '\\s+'), t -> t <> '')
+    """
+    return F.filter(F.split(_c(col), r"\s+"), lambda t: t != "")
+
+
+TOKENS_SQL = "list_filter(regexp_split_to_array({x}, '\\s+'), t -> t <> '')"
+
+
+def first_line_title(col: Column | str) -> Column:
+    """Title = first line with leading markdown heading marker stripped
+    (reference metadata_processor.py:44-57).
+
+    DuckDB: regexp_replace(split_part(x, chr(10), 1), '^#+\\s*', '')
+    """
+    return F.regexp_replace(
+        F.split_part(_c(col), F.lit("\n"), F.lit(1)), r"^#+\s*", ""
+    )
+
+
+def frontmatter_field(col: Column | str, field: str) -> Column:
+    """Extract a YAML-frontmatter scalar from a leading ``---`` block
+    (reference metadata_processor.py:44-69; README.md:215-241).
+
+    Handles the common forms ``field: value`` / ``field: "value"``.
+    Returns '' when absent (use nullif at call sites if NULL is wanted).
+
+    DuckDB: regexp_extract(x, '(?s)^---\\n(.*?)\\n---', 1) then
+            regexp_extract(block, '(?m)^{field}:\\s*"?([^"\\n]*)"?', 1)
+    """
+    block = F.regexp_extract(_c(col), r"(?s)^---\n(.*?)\n---", 1)
+    return F.regexp_extract(block, r"(?m)^" + field + r':\s*"?([^"\n]*?)"?\s*$', 1)
+
+
+def basename(col: Column | str) -> Column:
+    """Path basename — the reference's fallback docs_url
+    (reference metadata_processor.py:133-135).
+
+    DuckDB: regexp_extract(x, '([^/]*)$', 1)
+    """
+    return F.regexp_extract(_c(col), r"([^/]*)$", 1)
+
+
+def toml_block(col: Column | str) -> Column:
+    """Extract the OKP ``+++ ... +++`` TOML metadata block
+    (reference okp.py:126-135: re.match('\\+{3,}\\n(.*?)\\n\\+{3,}', DOTALL)).
+
+    DuckDB: regexp_extract(x, '(?s)^\\+\\+\\+\\n(.*?)\\n\\+\\+\\+', 1)
+    """
+    return F.regexp_extract(_c(col), r"(?s)^\+\+\+\n(.*?)\n\+\+\+", 1)
+
+
+def toml_scalar(block: Column | str, key: str) -> Column:
+    """Pull ``key = "value"`` out of a TOML block (reference okp.py:28-52)."""
+    return F.regexp_extract(_c(block), r'(?m)^' + key + r'\s*=\s*"([^"]*)"', 1)
+
+
+def toml_string_array(block: Column | str, key: str) -> Column:
+    """Pull ``key = ["a", "b"]`` out of a TOML block as ARRAY<STRING>
+    (reference okp.py:48-52 portal_product_names).
+
+    DuckDB: list_filter(list_transform(regexp_split_to_array(
+              regexp_extract(block, ...), ','), s -> trim(s, ' "')), s -> s <> '')
+    """
+    raw = F.regexp_extract(_c(block), r"(?m)^" + key + r"\s*=\s*\[([^\]]*)\]", 1)
+    return F.filter(
+        F.transform(F.split(raw, ","), lambda s: F.trim(s, F.lit(' "'))),
+        lambda s: s != "",
+    )

@@ -1,0 +1,233 @@
+"""Deduplication operators (north-star extension: LLM training-data
+pipeline dedup at 100 TB).
+
+Not present in the reference (it trusts file identity); these follow the
+standard large-corpus designs:
+
+- exact          : group by content hash, keep min id. One shuffle on a
+                   64-bit key; AQE handles skew (empty/boilerplate docs).
+- MinHash + LSH  : shingle → K minhashes → B bands; candidate pairs come
+                   from an equi-join on (band, band_hash) — never O(n^2).
+                   Verify candidates with true Jaccard over shingle sets.
+- SimHash        : 16-bit sign-sum fingerprint; near-dups share a bucket.
+- n-gram Jaccard : the verify stage exposed standalone.
+- embedding cos  : LSH-bucketed (sign random projection) candidate pairs
+                   verified by exact cosine.
+
+Every hash is the cross-engine stable_hash64, so each operator has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rag_content_spark.functions.hashing import stable_hash64
+from rag_content_spark.functions.text import tokens
+from rag_content_spark.functions.vector import dot
+from rag_content_spark.operators.similarity import lsh_signature
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one surviving (min-id) row per distinct content hash,
+    with the duplicate count. Map-side partial agg + one shuffle."""
+    return (
+        df.select(
+            stable_hash64(F.col(text_col)).alias("content_hash"), F.col(id_col)
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(text_col: Column | str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings of a document, sorted (sorted
+    so set semantics are engine-order-independent).
+
+    DuckDB: list_sort(list_distinct(list_transform(range,...)))
+    """
+    tok = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i + 1, n), " "))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column:
+    """MinHash signature: ARRAY<BIGINT> of length num_hashes; entry i is
+    min over shingles of stable_hash64 salted with "mh{i}"."""
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+
+    def _hasher(i: int):
+        # single-arg lambda: F.transform would pass the element INDEX as a
+        # second argument to a two-arg lambda, clobbering a default.
+        return lambda s: stable_hash64(s, salt=f"mh{i}")
+
+    return F.array(
+        *[F.array_min(F.transform(c, _hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Pipeline: shingle → signature → explode into ``bands`` band-hashes →
+    self-equi-join on (band, band_hash) → distinct (a < b) pairs.
+    The only shuffles are the band-hash join and the final distinct; both
+    scale linearly with corpus size for non-pathological band sizes.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, n=shingle_n), num_hashes)
+    banded = (
+        df.select(F.col(id_col), sig.alias("_sig"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col(f"a.band") == F.col("b.band"),
+                F.col(f"a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Verify candidate pairs with true n-gram Jaccard similarity.
+
+    Only candidates are joined back to shingle sets — the expensive set
+    math runs on |candidates| rows, not |corpus|^2.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, n=shingle_n).alias("_shingles")
+    )
+    out = (
+        pairs.join(
+            sh.withColumnRenamed("_shingles", "_sa"),
+            pairs["id_a"] == sh[id_col],
+        )
+        .drop(id_col)
+        .join(
+            sh.withColumnRenamed("_shingles", "_sb"),
+            F.col("id_b") == sh[id_col],
+        )
+        .drop(id_col)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")),
+                round_to,
+            ),
+        )
+        .drop("_sa", "_sb")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(text_col: Column | str = "text", bits: int = 16) -> Column:
+    """SimHash fingerprint: bit j is set iff sum over tokens of
+    (+1 if bit j of stable_hash64(token) else -1) >= 0.
+
+    Unrolled per-bit (no nested lambdas) so the same shape renders in
+    DuckDB SQL.
+    """
+    tok = tokens(text_col)
+
+    def _voter(j: int):
+        # single-arg lambda (see _hasher note in minhash_signature)
+        return lambda t: F.when(
+            stable_hash64(t).bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    total = F.lit(0).cast("bigint")
+    for j in range(bits):
+        ballot = F.aggregate(F.transform(tok, _voter(j)), F.lit(0), lambda a, x: a + x)
+        total = total + F.when(ballot >= 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+    return total
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket (sign random
+    projection) → pairs within a bucket → exact cosine filter.
+
+    Vectors are assumed L2-normalized (dot == cosine). At 100 TB the
+    bucket join is the only shuffle; raise ``bits`` to shrink buckets.
+    """
+    sig = emb.select(
+        F.col(id_col),
+        F.col(embedding_col),
+        lsh_signature(embedding_col, bits=bits, dim=dim).alias("_bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._bucket") == F.col("b._bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                dot(F.col(f"a.{embedding_col}"), F.col(f"b.{embedding_col}")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

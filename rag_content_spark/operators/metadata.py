@@ -1,0 +1,94 @@
+"""Document metadata population (P1, reference metadata_processor.py:85-117).
+
+Per document derive:
+- ``docs_url``      : frontmatter url ▸ url_function(file_path) (default =
+                      basename, reference metadata_processor.py:125-135)
+- ``title``         : frontmatter title ▸ first line stripped of '# '
+                      (reference metadata_processor.py:44-57)
+- ``url_reachable`` : HTTP GET with retries — or constant True under
+                      hermetic builds (reference metadata_processor.py:104-117)
+
+Scale notes (improving on the reference, which pings every file's URL
+sequentially with 3×30 s budgets): reachability runs over DISTINCT urls
+only (dropDuplicates → mapPartitions with one shared Session per
+partition → broadcast join back). The reference pings once per file even
+when thousands of files share a URL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from rag_content_spark.functions.text import (
+    basename,
+    first_line_title,
+    frontmatter_field,
+)
+
+
+def populate_metadata(
+    df: DataFrame,
+    path_col: str = "file_path",
+    text_col: str = "text",
+    hermetic: bool = True,
+) -> DataFrame:
+    """Add docs_url / title / url_reachable columns (P1)."""
+    fm_url = F.nullif(frontmatter_field(F.col(text_col), "url"), F.lit(""))
+    fm_title = F.nullif(frontmatter_field(F.col(text_col), "title"), F.lit(""))
+    out = df.withColumn(
+        "docs_url", F.coalesce(fm_url, basename(F.col(path_col)))
+    ).withColumn(
+        "title", F.coalesce(fm_title, first_line_title(F.col(text_col)))
+    )
+    if hermetic:
+        return out.withColumn("url_reachable", F.lit(True))
+    return check_urls(out)
+
+
+def check_urls(df: DataFrame, url_col: str = "docs_url") -> DataFrame:
+    """Non-hermetic reachability: ping each DISTINCT url once, join back.
+
+    The ping itself is a Pandas-batched mapInPandas with one
+    requests.Session per partition (reference pings per-file with a fresh
+    session each time, metadata_processor.py:71-83).
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(url_col, T.StringType()),
+            T.StructField("url_reachable", T.BooleanType()),
+        ]
+    )
+
+    def _ping(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import requests
+
+            session = requests.Session()
+        except Exception:  # offline container: everything unreachable
+            session = None
+        for pdf in batches:
+            results = []
+            for url in pdf[url_col]:
+                ok = False
+                if session is not None and isinstance(url, str) and url.startswith(
+                    "http"
+                ):
+                    for _ in range(3):  # reference retry budget
+                        try:
+                            ok = session.get(url, timeout=30).status_code < 400
+                            break
+                        except Exception:
+                            continue
+                results.append(ok)
+            yield pd.DataFrame({url_col: pdf[url_col], "url_reachable": results})
+
+    distinct = df.select(url_col).dropDuplicates([url_col])
+    pinged = distinct.mapInPandas(_ping, schema=schema)
+    # distinct-urls side is small — broadcast so the join is shuffle-free
+    return df.join(F.broadcast(pinged), on=url_col, how="left")

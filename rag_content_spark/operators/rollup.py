@@ -1,0 +1,51 @@
+"""Grouping / counter operators (SURVEY §2.4).
+
+A1: group chunks by source document (reference document_processor.py:529-541
+    builds dict[doc_id, list[chunk]] to stamp a per-document file_id on all
+    its chunks) — here a groupBy + broadcast join back.
+A2: corpus counters (reference document_processor.py:800-803,893-896).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def group_chunks_by_document(
+    chunks: DataFrame,
+    doc_col: str = "document_id",
+    chunk_id_col: str = "chunk_id",
+) -> DataFrame:
+    """A1: per-document chunk rollup: count + sorted chunk-id list."""
+    return chunks.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.array_sort(F.collect_list(chunk_id_col)).alias("chunk_ids"),
+    )
+
+
+def stamp_document_file_id(
+    chunks: DataFrame, doc_col: str = "document_id"
+) -> DataFrame:
+    """A1 stamping step: derive one file_id per document and put it on every
+    chunk (reference upload_file + per-chunk stamp,
+    document_processor.py:497-526). Deterministic id = md5 of doc id; a
+    narrow map, no shuffle (the reference's round-trip through an upload
+    API becomes a pure column)."""
+    return chunks.withColumn("file_id", F.md5(F.col(doc_col).cast("string")))
+
+
+def corpus_counts(
+    docs: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """A2: document counts (+ reachable/unreachable split when present)."""
+    group_cols = group_cols or []
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if "url_reachable" in docs.columns:
+        aggs.append(
+            F.sum(F.when(F.col("url_reachable"), 1).otherwise(0)).alias(
+                "n_reachable"
+            )
+        )
+    if group_cols:
+        return docs.groupBy(*group_cols).agg(*aggs)
+    return docs.agg(*aggs)

@@ -1,0 +1,131 @@
+"""Text analysis operators (north-star extension: training-data pipeline).
+
+Language-ID (stopword-ratio heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Column expressions over the
+``documents`` table, each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from rag_content_spark.functions.hashing import stable_hash64
+from rag_content_spark.functions.text import tokens
+
+# Tiny deterministic stopword lists — heuristic language IDs, not real
+# linguistics; the point is the operator shape (per-token set membership
+# ratios, argmax across languages) which is what a real fastText-style
+# scorer would replace via pandas_udf.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+# BPE-ish word/number/symbol tokenization (reference has none; this is the
+# token-counting extension).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def stopword_ratio(text_col: Column | str, lang: str) -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    tok = tokens(text_col)
+    hits = F.size(F.filter(tok, lambda t: F.lower(t).isin(*STOPWORDS[lang])))
+    return hits / F.greatest(F.size(tok), F.lit(1))
+
+
+def lang_scores(text_col: Column | str = "text") -> Column:
+    """ARRAY<STRUCT<lang, score>> of stopword ratios, one per language."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.round(stopword_ratio(text_col, lang), 6).alias("score"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+
+
+def detected_lang(text_col: Column | str = "text") -> Column:
+    """Argmax language by stopword ratio; ties break alphabetically
+    (array_max over struct(score, lang) — struct ordering is
+    lexicographic in both Spark and DuckDB)."""
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(stopword_ratio(text_col, lang), 6).alias("score"),
+                    # invert lang for alphabetical ties on max
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in sorted(STOPWORDS, reverse=True)
+            ]
+        )
+    )
+    return best["lang"]
+
+
+def whitespace_token_count(text_col: Column | str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def regex_token_count(text_col: Column | str = "text") -> Column:
+    """Count of BPE-ish regex tokens.
+
+    DuckDB: len(regexp_extract_all(x, pattern))
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def quality_score(text_col: Column | str = "text") -> Column:
+    """Composite quality heuristic in [0, 1]:
+
+    0.4 * mean-token-length score (ideal 3-10 chars)
+    + 0.4 * english stopword-ratio score (ideal >= 0.05)
+    + 0.2 * non-alnum-ratio penalty
+
+    A real pipeline swaps the formula; the operator shape (pure column
+    math, no shuffle) is the point.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tok = tokens(c)
+    n_tok = F.greatest(F.size(tok), F.lit(1))
+    mean_len = F.aggregate(
+        tok, F.lit(0.0), lambda a, t: a + F.length(t).cast("double")
+    ) / n_tok
+    len_score = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    sw_score = F.when(stopword_ratio(c, "en") >= 0.05, F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    non_alnum = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    punct_score = F.lit(1.0) - F.least(
+        non_alnum.cast("double") / n_chars * 5, F.lit(1.0)
+    )
+    return F.round(
+        len_score * 0.4 + sw_score * 0.4 + punct_score * 0.2, 6
+    )
+
+
+def fingerprint(
+    text_col: Column | str = "text", shingle_n: int = 3, k: int = 8
+) -> Column:
+    """Bottom-k document fingerprint: the k smallest stable hashes of the
+    document's word n-gram shingles, as a sorted ARRAY<BIGINT>.
+
+    Two documents' fingerprint overlap estimates their Jaccard similarity
+    (bottom-k sketch); unlike MinHash it needs one hash pass.
+    """
+    tok = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - shingle_n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tok, i + 1, shingle_n), " "))
+    )
+    hashes = F.array_sort(F.transform(grams, lambda g: stable_hash64(g)))
+    return F.slice(hashes, 1, k)

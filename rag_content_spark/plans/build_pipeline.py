@@ -1,0 +1,101 @@
+"""The build pipeline: documents → metadata → chunks → filter → embed →
+index (the reference's DocumentProcessor.process + save,
+document_processor.py:828-901, re-expressed as one lazy Spark plan).
+
+Stage order is deliberate (SURVEY §4): cheap declarative filters run
+BEFORE the embedding UDF — Catalyst will not reorder across an opaque
+Python UDF, so placement is on us. Everything before the embedder is pure
+Column expressions; the single UDF boundary is the embedder itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rag_content_spark.operators.chunking import (
+    DEFAULT_CHUNK_OVERLAP,
+    DEFAULT_CHUNK_SIZE,
+    chunk_fixed,
+    split_markdown,
+)
+from rag_content_spark.operators.filters import (
+    apply_unreachable_policy,
+    valid_chunk,
+)
+from rag_content_spark.operators.metadata import populate_metadata
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    """Immutable job config — replaces the reference's process-global
+    llama-index Settings mutation (document_processor.py:107-129)."""
+
+    chunk_size: int = DEFAULT_CHUNK_SIZE
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP
+    embedding_model: str = "sentence-transformers/all-mpnet-base-v2"
+    embedding_dimension: int = 768
+    unreachable_action: str = "warn"
+    ignore_list: list[str] = field(default_factory=list)
+    hermetic: bool = True
+    markdown_aware: bool = True
+
+
+def build_chunks(
+    documents: DataFrame, cfg: BuildConfig, embedder=None
+) -> DataFrame:
+    """documents(file_path, doc_type, doc_id, text, ...) → embedded chunks
+    with the SURVEY §1.4 ``chunks`` schema."""
+    docs = populate_metadata(documents, hermetic=cfg.hermetic)
+    docs = apply_unreachable_policy(
+        docs, cfg.unreachable_action, cfg.ignore_list
+    )
+
+    if cfg.markdown_aware:
+        # C2 then C1: split on headings, then token-window each section
+        # (the reference applies MarkdownNodeParser + SentenceSplitter for
+        # markdown-like types, document_processor.py:115-129).
+        md = split_markdown(docs).withColumnRenamed("section_text", "unit_text")
+        units = md.withColumn("unit_index", F.col("section_index")).drop(
+            "section_index"
+        )
+    else:
+        units = documents.withColumn("unit_text", F.col("text")).withColumn(
+            "unit_index", F.lit(0)
+        )
+
+    chunked = chunk_fixed(
+        units.withColumn("_orig_text", F.col("text")).withColumn(
+            "text", F.col("unit_text")
+        ),
+        text_col="text",
+        size=cfg.chunk_size,
+        overlap=cfg.chunk_overlap,
+    )
+
+    chunks = (
+        chunked.filter(valid_chunk("chunk_text", "doc_type"))
+        .select(
+            F.concat_ws(
+                "#",
+                F.col("doc_id"),
+                F.col("unit_index").cast("string"),
+                F.col("chunk_index").cast("string"),
+            ).alias("chunk_id"),
+            F.col("doc_id").alias("document_id"),
+            # source = docs_url else title (reference document_processor.py:448)
+            F.coalesce(F.col("docs_url"), F.col("title")).alias("source"),
+            F.col("title"),
+            F.col("docs_url"),
+            F.col("url_reachable"),
+            F.col("chunk_text").alias("text"),
+        )
+    )
+
+    if embedder is not None:
+        chunks = chunks.withColumn("embedding", embedder(F.col("text")))
+        chunks = chunks.withColumn(
+            "embedding_model", F.lit(cfg.embedding_model)
+        ).withColumn("embedding_dimension", F.lit(cfg.embedding_dimension))
+    return chunks

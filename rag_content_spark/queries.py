@@ -1,0 +1,1158 @@
+"""Query registry: every implemented operator from SURVEY §2 as a
+(spark_fn, oracle_sql) pair.
+
+Each entry is a callable ``(spark, sf_dir) -> DataFrame`` plus an exact
+DuckDB SQL oracle over the same parquet tables. Operators whose inputs
+need structure the synthetic tables lack (frontmatter, TOML blocks,
+markdown headings, duplicates) SYNTHESIZE that structure with identical
+deterministic expressions on both engines — the operator under test is
+the parse/split/filter/join, not the synthesis.
+
+Column-name discipline: every computed column is aliased identically in
+Spark and SQL (the driver's compare hashes values under sorted column
+names).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from rag_content_spark.embedding.mock import mock_embedding_expr
+from rag_content_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from rag_content_spark.functions.text import (
+    basename,
+    first_line_title,
+    frontmatter_field,
+    tokens,
+    toml_block,
+    toml_scalar,
+    toml_string_array,
+)
+from rag_content_spark.functions.vector import (
+    cosine,
+    cosine_sql,
+    dot,
+    dot_sql,
+    euclidean,
+    euclidean_sql,
+)
+from rag_content_spark.operators import dedup, text_analysis
+from rag_content_spark.operators.chunking import (
+    chunk_fixed,
+    section_title,
+    split_markdown,
+)
+from rag_content_spark.operators.filters import (
+    has_whitespace,
+    markdown_has_content,
+    score_threshold_gate,
+)
+from rag_content_spark.operators.rollup import corpus_counts, group_chunks_by_document
+from rag_content_spark.operators.similarity import top_k, top_k_batch
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# Synthesized markdown document (deterministic, same in both engines):
+# tokens grouped into sections of 40, each prefixed by '## Section j',
+# with a '# Doc <id>' H1 on top.
+_SEC = 40
+
+
+def _md_doc_expr():
+    tok = tokens(F.col("text"))
+    nsec = F.ceil(F.greatest(F.size(tok), F.lit(1)) / F.lit(_SEC)).cast("int")
+    sections = F.transform(
+        F.sequence(F.lit(0), nsec - 1),
+        lambda j: F.concat(
+            F.lit("## Section "),
+            j.cast("string"),
+            F.lit("\n"),
+            F.array_join(F.slice(tok, j * _SEC + 1, _SEC), " "),
+        ),
+    )
+    return F.concat(
+        F.lit("# Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n"),
+        F.array_join(sections, "\n"),
+    )
+
+
+_MD_DOC_SQL = """
+'# Doc ' || doc_id || chr(10) || array_to_string(
+  list_transform(
+    generate_series(0, CAST(ceil(greatest(len({tok}), 1) / 40.0) AS INT) - 1),
+    j -> '## Section ' || j || chr(10) ||
+         array_to_string(list_slice({tok}, j * 40 + 1, j * 40 + 40), ' ')
+  ), chr(10))
+""".strip()
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+
+def _md_doc_sql() -> str:
+    return _MD_DOC_SQL.format(tok=_TOKENS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ======================== scalar functions / metadata ======================
+
+
+@register(
+    "doc_titles",
+    # F1: first line stripped of '# ' — exercised on synthesized markdown
+    f"""
+    SELECT doc_id,
+           regexp_replace(split_part({_md_doc_sql()}, chr(10), 1), '^#+\\s*', '')
+             AS title
+    FROM documents
+    """,
+)
+def q_doc_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", first_line_title(_md_doc_expr()).alias("title")
+    )
+
+
+_FM_DOC_SQL = (
+    "'---' || chr(10) || 'title: Doc ' || doc_id || chr(10) || "
+    "'url: https://docs.example.com/' || doc_id || chr(10) || '---' || chr(10) || text"
+)
+
+
+def _fm_doc_expr():
+    i = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("---\ntitle: Doc "),
+        i,
+        F.lit("\nurl: https://docs.example.com/"),
+        i,
+        F.lit("\n---\n"),
+        F.col("text"),
+    )
+
+
+@register(
+    "frontmatter_parse",
+    # S8: YAML frontmatter title/url extraction
+    f"""
+    WITH d AS (SELECT doc_id, {_FM_DOC_SQL} AS md FROM documents),
+    b AS (SELECT doc_id, regexp_extract(md, '(?s)^---\\n(.*?)\\n---', 1) AS blk FROM d)
+    SELECT doc_id,
+           regexp_extract(blk, '(?m)^title:\\s*"?([^"\\n]*?)"?\\s*$', 1) AS fm_title,
+           regexp_extract(blk, '(?m)^url:\\s*"?([^"\\n]*?)"?\\s*$', 1) AS fm_url
+    FROM b
+    """,
+)
+def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md = _fm_doc_expr()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        frontmatter_field(md, "title").alias("fm_title"),
+        frontmatter_field(md, "url").alias("fm_url"),
+    )
+
+
+@register(
+    "metadata_populate",
+    # P1 hermetic: docs_url = frontmatter url ▸ basename(source); title
+    # fallback chain; url_reachable = true (hermetic).
+    # Docs with doc_id % 3 == 0 get frontmatter; others fall back.
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN {_FM_DOC_SQL}
+                  ELSE '# Doc ' || doc_id || chr(10) || text END AS md
+      FROM documents
+    ),
+    b AS (SELECT doc_id, source, md,
+                 regexp_extract(md, '(?s)^---\\n(.*?)\\n---', 1) AS blk FROM d)
+    SELECT doc_id,
+           coalesce(nullif(regexp_extract(blk, '(?m)^url:\\s*"?([^"\\n]*?)"?\\s*$', 1), ''),
+                    regexp_extract('path/to/' || source || '/file_' || doc_id || '.md', '([^/]*)$', 1))
+             AS docs_url,
+           coalesce(nullif(regexp_extract(blk, '(?m)^title:\\s*"?([^"\\n]*?)"?\\s*$', 1), ''),
+                    regexp_replace(split_part(md, chr(10), 1), '^#+\\s*', ''))
+             AS title,
+           true AS url_reachable
+    FROM b
+    """,
+)
+def q_metadata_populate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    i = F.col("doc_id").cast("string")
+    md = F.when(F.col("doc_id") % 3 == 0, _fm_doc_expr()).otherwise(
+        F.concat(F.lit("# Doc "), i, F.lit("\n"), F.col("text"))
+    )
+    file_path = F.concat(
+        F.lit("path/to/"), F.col("source"), F.lit("/file_"), i, F.lit(".md")
+    )
+    fm_url = F.nullif(frontmatter_field(md, "url"), F.lit(""))
+    fm_title = F.nullif(frontmatter_field(md, "title"), F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(fm_url, basename(file_path)).alias("docs_url"),
+        F.coalesce(fm_title, first_line_title(md)).alias("title"),
+        F.lit(True).alias("url_reachable"),
+    )
+
+
+_OKP_DOC_SQL = """
+'+++' || chr(10) || 'title = "Doc ' || doc_id || '"' || chr(10) ||
+CASE WHEN doc_id % 4 <> 1 THEN 'reference_url = "https://portal.example.com/' || doc_id || '"' || chr(10) ELSE '' END ||
+'portal_product_names = [' ||
+CASE WHEN doc_id % 2 = 0 THEN '"Red Hat OpenStack Platform", "Other Product"'
+     ELSE '"Some Unrelated Thing"' END
+|| ']' || chr(10) || '+++' || chr(10) || text
+""".strip()
+
+
+@register(
+    "okp_filter",
+    # S7: TOML block parse + project filter (case-insensitive substring)
+    # + url+title required (reference okp.py:28-64). Expect doc_id % 4 == 0
+    # or 2 (product match) minus % 4 == 1 (no url) → doc_id even.
+    f"""
+    WITH d AS (SELECT doc_id, {_OKP_DOC_SQL} AS okp FROM documents),
+    b AS (SELECT doc_id,
+                 regexp_extract(okp, '(?s)^\\+\\+\\+\\n(.*?)\\n\\+\\+\\+', 1) AS blk
+          FROM d),
+    m AS (SELECT doc_id,
+                 nullif(regexp_extract(blk, '(?m)^title\\s*=\\s*"([^"]*)"', 1), '') AS okp_title,
+                 nullif(regexp_extract(blk, '(?m)^reference_url\\s*=\\s*"([^"]*)"', 1), '') AS okp_url,
+                 list_filter(list_transform(
+                     regexp_split_to_array(regexp_extract(blk, '(?m)^portal_product_names\\s*=\\s*\\[([^\\]]*)\\]', 1), ','),
+                     s -> trim(s, ' "')), s -> s <> '') AS portal_product_names
+          FROM b)
+    SELECT doc_id, okp_title, okp_url, portal_product_names
+    FROM m
+    WHERE okp_url IS NOT NULL AND okp_title IS NOT NULL
+      AND len(list_filter(portal_product_names,
+              pn -> contains(lower(pn), 'openstack'))) > 0
+    """,
+)
+def q_okp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    i = F.col("doc_id").cast("string")
+    okp = F.concat(
+        F.lit('+++\ntitle = "Doc '),
+        i,
+        F.lit('"\n'),
+        F.when(
+            F.col("doc_id") % 4 != 1,
+            F.concat(
+                F.lit('reference_url = "https://portal.example.com/'), i, F.lit('"\n')
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("portal_product_names = ["),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('"Red Hat OpenStack Platform", "Other Product"'),
+        ).otherwise(F.lit('"Some Unrelated Thing"')),
+        F.lit("]\n+++\n"),
+        F.col("text"),
+    )
+    blk = toml_block(okp)
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.nullif(toml_scalar(blk, "title"), F.lit("")).alias("okp_title"),
+        F.nullif(toml_scalar(blk, "reference_url"), F.lit("")).alias("okp_url"),
+        toml_string_array(blk, "portal_product_names").alias(
+            "portal_product_names"
+        ),
+    )
+    match = F.exists(
+        F.col("portal_product_names"),
+        lambda pn: F.lower(pn).contains("openstack"),
+    )
+    return df.filter(
+        F.col("okp_url").isNotNull() & F.col("okp_title").isNotNull() & match
+    )
+
+
+# ============================== chunking ===================================
+
+
+_CHUNK_SQL = """
+    WITH t AS (
+      SELECT doc_id, {tokens} AS tk FROM documents
+    ),
+    n AS (
+      SELECT doc_id, tk,
+             CAST(ceil(greatest(len(tk) - {overlap}, 1) / {stride}.0) AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(r.range AS INT) AS chunk_index,
+           array_to_string(list_slice(tk, r.range * {stride} + 1,
+                                      r.range * {stride} + {size}), ' ') AS chunk_text,
+           CAST(len(list_slice(tk, r.range * {stride} + 1,
+                          r.range * {stride} + {size})) AS INT) AS chunk_tokens
+    FROM n CROSS JOIN range(0, 10000) r
+    WHERE r.range < n.n_chunks
+"""
+
+
+@register(
+    "chunk_fixed",
+    _CHUNK_SQL.format(tokens=_TOKENS_SQL, size=16, overlap=0, stride=16),
+)
+def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_fixed(
+        _docs(spark, sf_dir).select("doc_id", "text"), size=16, overlap=0
+    ).select("doc_id", "chunk_index", "chunk_text", "chunk_tokens")
+
+
+@register(
+    "chunk_overlap",
+    _CHUNK_SQL.format(tokens=_TOKENS_SQL, size=16, overlap=4, stride=12),
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_fixed(
+        _docs(spark, sf_dir).select("doc_id", "text"), size=16, overlap=4
+    ).select("doc_id", "chunk_index", "chunk_text", "chunk_tokens")
+
+
+@register(
+    "markdown_split",
+    # C2 on synthesized markdown: one row per heading section, with title.
+    f"""
+    WITH d AS (SELECT doc_id, {_md_doc_sql()} AS md FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(regexp_replace(md, '(?m)^(#{{1,6}} )', chr(1) || '\\1', 'g'), chr(1)),
+               x -> trim(x)), x -> x <> '') AS secs
+      FROM d
+    )
+    SELECT doc_id, CAST(r.range AS INT) AS section_index,
+           secs[CAST(r.range AS INT) + 1] AS section_text,
+           regexp_replace(regexp_extract(secs[CAST(r.range AS INT) + 1], '^(#{{1,6}} [^\\n]*)', 1), '^#{{1,6}} ', '')
+             AS section_title
+    FROM s CROSS JOIN range(0, 10000) r WHERE r.range < len(secs)
+    """,
+)
+def q_markdown_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("text"))
+    return split_markdown(d).select(
+        "doc_id",
+        "section_index",
+        "section_text",
+        section_title("section_text").alias("section_title"),
+    )
+
+
+# ============================== filters ====================================
+
+
+_DEGENERATE_SQL = """
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN '# Only Header'
+  WHEN 1 THEN '# H1' || chr(10) || '## H2'
+  WHEN 2 THEN '```' || chr(10) || '```'
+  WHEN 3 THEN '   ' || chr(10) || chr(9)
+  WHEN 4 THEN '# H' || chr(10) || '====' || chr(10) || '---'
+  ELSE '# Doc ' || doc_id || chr(10) || text
+END
+""".strip()
+
+
+def _degenerate_expr():
+    i = F.col("doc_id").cast("string")
+    return (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("# Only Header"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("# H1\n## H2"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("```\n```"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("   \n\t"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("# H\n====\n---"))
+        .otherwise(F.concat(F.lit("# Doc "), i, F.lit("\n"), F.col("text")))
+    )
+
+
+_HAS_CONTENT_SQL = """
+len(list_filter(regexp_split_to_array({x}, chr(10)), l ->
+    NOT (trim(l) = ''
+         OR regexp_matches(l, '^\\s{{0,3}}#{{1,6}}(\\s.*)?$')
+         OR regexp_matches(l, '^\\s{{0,3}}(=+|-+|\\*{{3,}}|_{{3,}})\\s*$')
+         OR regexp_matches(l, '^\\s{{0,3}}(```+|~~~+).*$')))) > 0
+""".strip()
+
+
+@register(
+    "filter_valid_chunks",
+    # P2+P3 over synthesized degenerate markdown docs: emit validity flags.
+    f"""
+    WITH d AS (SELECT doc_id, {_DEGENERATE_SQL} AS t FROM documents)
+    SELECT doc_id,
+           regexp_matches(t, '\\s') AS got_whitespace,
+           {_HAS_CONTENT_SQL.format(x='t')} AS got_content,
+           (regexp_matches(t, '\\s') AND {_HAS_CONTENT_SQL.format(x='t')}) AS valid
+    FROM d
+    """,
+)
+def q_filter_valid_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _degenerate_expr()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        has_whitespace(t).alias("got_whitespace"),
+        markdown_has_content(t).alias("got_content"),
+        (has_whitespace(t) & markdown_has_content(t)).alias("valid"),
+    )
+
+
+@register(
+    "unreachable_drop",
+    # P5 'drop' policy with ignore list: synthetic reachability
+    # (doc_id % 7 != 0) and titles 'Doc <id>'; ignore Doc 0 and Doc 7.
+    """
+    SELECT doc_id, 'Doc ' || doc_id AS title, (doc_id % 7 <> 0) AS url_reachable
+    FROM documents
+    WHERE (doc_id % 7 <> 0) OR ('Doc ' || doc_id) IN ('Doc 0', 'Doc 7')
+    """,
+)
+def q_unreachable_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.filters import apply_unreachable_policy
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        (F.col("doc_id") % 7 != 0).alias("url_reachable"),
+    )
+    return apply_unreachable_policy(df, "drop", ignore_list=["Doc 0", "Doc 7"])
+
+
+# ========================== rollups / counters =============================
+
+
+@register(
+    "chunk_rollup",
+    # A1: chunks grouped back to their document.
+    f"""
+    WITH c AS ({_CHUNK_SQL.format(tokens=_TOKENS_SQL, size=16, overlap=0, stride=16)})
+    SELECT doc_id, count(*) AS n_chunks,
+           list_sort(list(doc_id || '#' || chunk_index)) AS chunk_ids
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_chunk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_fixed(
+        _docs(spark, sf_dir).select("doc_id", "text"), size=16, overlap=0
+    ).select(
+        F.col("doc_id"),
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_index")).alias(
+            "chunk_id"
+        ),
+    )
+    return group_chunks_by_document(chunks, doc_col="doc_id")
+
+
+@register(
+    "corpus_counts",
+    # A2: per-(lang, source) doc counts + reachable split.
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reachable
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "url_reachable", F.col("doc_id") % 7 != 0
+    )
+    return corpus_counts(df, ["lang", "source"])
+
+
+# ======================= vector search / query surface =====================
+
+
+_QVEC_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+
+
+@register(
+    "topk_cosine",
+    # Q2 (FAISS IndexFlatIP path): exact top-10 by inner product against
+    # the vec_id=0 query vector; deterministic tie-break on vec_id.
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round({dot_sql('embedding', 'qv')}, 6) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return top_k(emb.select("vec_id", "embedding"), list(qvec), k=10).select(
+        "vec_id", "score"
+    )
+
+
+@register(
+    "topk_l2",
+    # Q2 (llama-stack IndexFlatL2 path): 10 nearest by euclidean distance.
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round({euclidean_sql('embedding', 'qv')}, 6) AS score
+    FROM embeddings, q
+    ORDER BY score ASC, vec_id ASC LIMIT 10
+    """,
+)
+def q_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return top_k(
+        emb.select("vec_id", "embedding"), list(qvec), k=10, metric="l2"
+    ).select("vec_id", "score")
+
+
+@register(
+    "topk_batch",
+    # Q2 batch-of-queries: top-5 per query for query vectors vec_id < 4.
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.query_id, e.vec_id, round({dot_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return top_k_batch(
+        emb.select("vec_id", "embedding"), queries, k=5
+    ).select("query_id", "vec_id", "score", "rank")
+
+
+@register(
+    "score_threshold",
+    # P6 all-or-nothing gate (reference query_rag.py:81-94): keep the
+    # top-10 result set only if its best score clears the threshold; the
+    # 0.99 threshold empties every query except vec_id=0's self-match.
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.query_id, e.vec_id, round({dot_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ),
+    topk AS (SELECT query_id, vec_id, score FROM ranked WHERE rank <= 10)
+    SELECT query_id, vec_id, score FROM topk
+    QUALIFY max(score) OVER (PARTITION BY query_id) >= 0.99
+    """,
+)
+def q_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = top_k_batch(emb.select("vec_id", "embedding"), queries, k=10).select(
+        "query_id", "vec_id", "score"
+    )
+    return score_threshold_gate(hits, 0.99, partition_cols=["query_id"])
+
+
+@register(
+    "node_lookup",
+    # Q3: point lookup by id (reference query_rag.py:37-64).
+    "SELECT vec_id, label, embedding FROM embeddings WHERE vec_id = 42",
+)
+def q_node_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.similarity import node_lookup
+
+    return node_lookup(_emb(spark, sf_dir), 42, id_col="vec_id").select(
+        "vec_id", "label", "embedding"
+    )
+
+
+@register(
+    "pairwise_distance",
+    # Q4 (reference scripts/distance.py:17-38): cosine + euclidean between
+    # consecutive vector pairs.
+    f"""
+    WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine,
+           round({euclidean_sql('a.embedding', 'b.embedding')}, 6) AS euclidean
+    FROM a JOIN b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine("_ea", "_eb"), 6).alias("cosine"),
+            F.round(euclidean("_ea", "_eb"), 6).alias("euclidean"),
+        )
+    )
+
+
+@register(
+    "mock_embed",
+    # E1 twin: deterministic mock embedding, dim 8 (unnormalized so every
+    # value is exactly representable: integers / 1e6).
+    f"""
+    SELECT doc_id,
+           list_transform(generate_series(0, 7),
+             i -> ({stable_hash64_sql("(text || ':' || i)")} % 1000000) / 1000000.0 * 2.0 - 1.0)
+             AS embedding
+    FROM documents
+    """,
+)
+def q_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", mock_embedding_expr("text", dim=8).alias("embedding")
+    )
+
+
+# ================================ dedup ====================================
+
+
+# Duplicate-corpus synthesis: every doc with doc_id % 25 == 0 gets a
+# near-duplicate twin (id + 1000000) with the last 2 tokens dropped.
+_DUP_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice({_TOKENS_SQL}, 1, greatest(len({_TOKENS_SQL}) - 2, 1)), ' ') AS text
+    FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = tokens(F.col("text"))
+    twins = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(
+                F.slice(tok, 1, F.greatest(F.size(tok) - 2, F.lit(1))), " "
+            ).alias("text"),
+        )
+    )
+    return docs.unionAll(twins)
+
+
+@register(
+    "dedup_exact",
+    # Exact dedup over corpus + exact copies (doc_id % 10 == 0 duplicated).
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT {stable_hash64_sql('text')} AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM corpus GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_dedup(corpus)
+
+
+def _shingles_sql(n: int = 3) -> str:
+    return f"""list_sort(list_distinct(list_transform(
+        generate_series(0, greatest(len(tk) - {n}, 0)),
+        i -> array_to_string(list_slice(tk, i + 1, i + {n}), ' '))))"""
+
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    parts = ", ".join(
+        f"list_min(list_transform(sh, s -> {stable_hash64_sql('s', salt=f'mh{i}')}))"
+        for i in range(num_hashes)
+    )
+    return f"[{parts}]"
+
+
+def _band_hashes_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    parts = ", ".join(
+        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"[{parts}]"
+
+
+@register(
+    "minhash_pairs",
+    # MinHash-LSH near-dup candidates verified by true Jaccard >= 0.5 over
+    # the duplicate-synthesized corpus.
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM toks),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+    """,
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    return dedup.jaccard_pairs(corpus, cand, threshold=0.5)
+
+
+@register(
+    "simhash",
+    # 16-bit SimHash fingerprint per document.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 15), j ->
+             CASE WHEN list_sum(list_transform(tk, t ->
+                 CASE WHEN ({stable_hash64_sql('t')} & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) >= 0
+               THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM toks
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", dedup.simhash("text", bits=16).alias("simhash")
+    )
+
+
+@register(
+    "ngram_jaccard",
+    # Direct n-gram Jaccard between each doc and its doc_id+1 neighbor.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")),
+            F.col("id_b") == F.col("id_a") + 1,
+        )
+    )
+    return dedup.jaccard_pairs(docs, pairs)
+
+
+@register(
+    "embedding_neardup",
+    # Embedding near-dup pairs within label buckets (cheap blocking), with
+    # exact cosine >= 0.3 verification.
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({dot_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({dot_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("_la"),
+        F.col("embedding").alias("_ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_eb"),
+    )
+    return (
+        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("_ea", "_eb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+# ============================ text analysis ================================
+
+
+@register(
+    "token_counts",
+    # Whitespace + BPE-ish regex token counts.
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        text_analysis.whitespace_token_count("text").alias("ws_tokens"),
+        text_analysis.regex_token_count("text").alias("re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKENS_SQL} AS tk FROM documents),
+    m AS (
+      SELECT doc_id, text, tk,
+             list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE))) / greatest(len(tk), 1) AS mean_len,
+             len(list_filter(tk, t -> lower(t) IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+               / greatest(len(tk), 1) AS sw_ratio,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS non_alnum_ratio
+      FROM toks
+    )
+    SELECT doc_id,
+           round(CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END * 0.4
+                 + CASE WHEN sw_ratio >= 0.05 THEN 1.0 ELSE 0.0 END * 0.4
+                 + (1.0 - least(non_alnum_ratio * 5, 1.0)) * 0.2, 6) AS quality
+    FROM m
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", text_analysis.quality_score("text").alias("quality")
+    )
+
+
+def _lang_ratio_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in text_analysis.STOPWORDS[lang])
+    return (
+        f"round(len(list_filter(tk, t -> lower(t) IN ({words})))::DOUBLE"
+        f" / greatest(len(tk), 1), 6)"
+    )
+
+
+@register(
+    "lang_id",
+    # Stopword-ratio language ID; ties break to lexicographically-last
+    # lang (struct max over (score, lang) — same semantics both engines).
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    s AS (
+      SELECT doc_id,
+             {" , ".join(f"{_lang_ratio_sql(lang)} AS score_{lang}" for lang in sorted(text_analysis.STOPWORDS))}
+      FROM toks
+    )
+    SELECT doc_id, score_en,
+           list_max([
+             {{'score': score_de, 'lang': 'de'}},
+             {{'score': score_en, 'lang': 'en'}},
+             {{'score': score_es, 'lang': 'es'}},
+             {{'score': score_fr, 'lang': 'fr'}},
+             {{'score': score_zh, 'lang': 'zh'}}
+           ]).lang AS detected
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(text_analysis.stopword_ratio("text", "en"), 6).alias("score_en"),
+        text_analysis.detected_lang("text").alias("detected"),
+    )
+
+
+@register(
+    "fingerprint",
+    # Bottom-k (k=8) shingle-hash document fingerprint.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+          generate_series(0, greatest(len(tk) - 3, 0)),
+          i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           list_slice(list_sort(list_transform(g, s -> {stable_hash64_sql('s')})), 1, 8)
+             AS fingerprint
+    FROM grams
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", text_analysis.fingerprint("text", shingle_n=3, k=8).alias("fingerprint")
+    )
+
+
+# =================== relational extensions (joins/windows) =================
+# The reference has no relational surface (SURVEY §2.5); these prove the
+# engine's "for free" capabilities on the TPC-H-ish tables. Money sums go
+# through DECIMAL so Spark and DuckDB aggregate bit-identically regardless
+# of partial-aggregation order.
+
+
+@register(
+    "pricing_summary",
+    # TPC-H Q1 shape over lineitem.
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top_customers",
+    # 3-way broadcast join + agg + deterministic top-20.
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY total_spent DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "events_windowed",
+    # Tumbling 1-hour windows per event_type. All time math on integer
+    # epoch seconds so results are timezone- and precision-proof (the
+    # parquet stores nanosecond timestamps).
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = (F.expr("ts DIV 1000000000") - F.expr("ts DIV 1000000000") % 3600).alias(
+        "hour_start"
+    )
+    return ev.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "sessionize",
+    # Gap-based sessionization (30-min inactivity) via window functions —
+    # the batch shape of streaming session windows. Second-resolution
+    # (integer epoch) semantics on both engines.
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts_sec,
+             CASE WHEN lag(ts_sec) OVER w IS NULL
+                       OR ts_sec - lag(ts_sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts_sec,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           min(ts_sec) AS session_start
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.expr("ts DIV 1000000000").alias("ts_sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.when(
+            F.lag("ts_sec").over(w).isNull()
+            | (F.col("ts_sec") - F.lag("ts_sec").over(w) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_sec").alias("session_start"),
+    )
+
+
+# =========================== ANN scale paths ===============================
+
+
+@register(
+    "ann_ivf",
+    # IVF: centroids = vectors with vec_id % 50 == 0; assign every vector
+    # to its nearest centroid (build step), then search only the query
+    # centroid's cell (probe step) for the vec_id=7 query.
+    f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
+                                           c.centroid_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    qcell AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               row_number() OVER (ORDER BY round({euclidean_sql('q.qv', 'c.cv')}, 6) ASC,
+                                  c.centroid_id ASC) AS rk
+        FROM cent c, q
+      ) WHERE rk = 1
+    )
+    SELECT a.vec_id, round({dot_sql('a.embedding', 'q.qv')}, 6) AS score
+    FROM assigned a, q, qcell
+    WHERE a.centroid_id = qcell.centroid_id
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.similarity import assign_ivf_cells
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = assign_ivf_cells(emb, cent)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    qv = list(qvec)
+    cent_rows = cent.collect()
+    import math
+
+    def _l2(a, b):
+        return round(math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))), 6)
+
+    qcell = min(cent_rows, key=lambda r: (_l2(qv, r["centroid_vec"]), r["centroid_id"]))[
+        "centroid_id"
+    ]
+    cell = assigned.filter(F.col("centroid_id") == qcell)
+    return top_k(cell.select("vec_id", "embedding"), qv, k=10).select(
+        "vec_id", "score"
+    )

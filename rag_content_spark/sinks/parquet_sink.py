@@ -1,0 +1,35 @@
+"""Canonical vector-index sink: partitioned Parquet (SURVEY §7.1).
+
+The reference persists FAISS binaries / PGVector tables; our canonical
+store is Parquet with the ``chunks`` schema (SURVEY §1.4) because it:
+- scales to 100 TB (partitioned, splittable, zstd),
+- supports metadata-only reads (column pruning skips the embedding
+  column — the dominant bytes — for non-vector queries),
+- feeds every export writer (FAISS/pgvector) from one artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_index(
+    chunks: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    sort_by: str | None = "chunk_id",
+    mode: str = "overwrite",
+) -> None:
+    """Write the chunk index. ``sortWithinPartitions(chunk_id)`` gives
+    point lookups (Q3) row-group min/max pruning for free."""
+    out = chunks
+    if sort_by and sort_by in chunks.columns:
+        out = out.sortWithinPartitions(sort_by)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

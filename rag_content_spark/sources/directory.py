@@ -1,0 +1,101 @@
+"""Recursive directory document reader (S1/S2/S3).
+
+The reference walks a folder with llama-index ``SimpleDirectoryReader``
+(recursive, per-extension readers, optional multiprocessing —
+reference document_processor.py:856-865, utils.py:106-114). Spark-first:
+``spark.read.text(wholetext)`` / ``binaryFile`` with
+``recursiveFileLookup`` + ``pathGlobFilter`` — file listing and parsing
+parallelize across executors, replacing ``num_workers``.
+
+Output schema = the ``documents`` DataFrame of SURVEY §1.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# extension -> doc_type routing (reference utils.py:134-141 + README.md:195-205)
+TEXT_EXTENSIONS = {
+    "txt": "text",
+    "md": "markdown",
+    "adoc": "text",  # after asciidoctor conversion (S6)
+}
+BINARY_EXTENSIONS = {"html": "html", "htm": "html", "pdf": "pdf"}
+
+
+def _ext(path_col):
+    return F.lower(F.regexp_extract(path_col, r"\.([A-Za-z0-9]+)$", 1))
+
+
+def read_text_documents(
+    spark: SparkSession,
+    folder: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Read text-like files (one row per file) with path metadata.
+
+    ``wholetext`` keeps file == row (the reference's Document granularity);
+    at 100 TB the unit of parallelism is the file, which matches the
+    reference's per-file semantics — huge single files should be split
+    upstream, same as the reference.
+    """
+    reader = (
+        spark.read.option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.text(folder)
+    path = F.input_file_name()
+    return df.select(
+        path.alias("file_path"),
+        F.element_at(F.split(path, "/"), -1).alias("file_name"),
+        F.coalesce(
+            *[
+                F.when(_ext(path) == ext, F.lit(t))
+                for ext, t in TEXT_EXTENSIONS.items()
+            ],
+            F.lit("text"),
+        ).alias("doc_type"),
+        F.md5(path).alias("doc_id"),
+        F.col("value").alias("text"),
+    )
+
+
+def read_binary_documents(
+    spark: SparkSession, folder: str, glob: str = "*.{pdf,html,htm}"
+) -> DataFrame:
+    """Read binary docs (pdf/html) as bytes for converter UDFs (S4/S5).
+
+    Follow with a byte-size-aware repartition: docling conversion cost is
+    wildly skewed by file size (SURVEY §4 note), so balance partitions by
+    ``length`` before the converter UDF.
+    """
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", glob)
+        .load(folder)
+    )
+    return df.select(
+        F.col("path").alias("file_path"),
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.coalesce(
+            *[
+                F.when(_ext(F.col("path")) == ext, F.lit(t))
+                for ext, t in BINARY_EXTENSIONS.items()
+            ],
+            F.lit("binary"),
+        ).alias("doc_type"),
+        F.md5("path").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )
+
+
+def rebalance_by_bytes(df: DataFrame, target_partition_bytes: int = 64 << 20) -> DataFrame:
+    """Spread heavy files across partitions before an expensive per-file
+    UDF (docling): repartition by a salt derived from cumulative size."""
+    total = df.agg(F.sum("n_bytes")).collect()[0][0] or 1
+    n_parts = max(int(total // target_partition_bytes) + 1, 1)
+    return df.repartition(n_parts, F.md5("file_path"))

@@ -1,0 +1,61 @@
+"""Streaming document ingest (north-star extension; SURVEY §7.2 M5).
+
+The reference rebuilds its index from scratch every run. Spark-first
+incremental alternative: a file-source stream over the docs folder, the
+same build_chunks plan (it is lazy and stream-safe: narrow ops + one
+embedding UDF), exactly-once append into the canonical Parquet index.
+
+``availableNow`` gives catch-up-then-stop batch semantics — the natural
+"re-run the nightly build" mode; leave trigger unset for continuous tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rag_content_spark.plans.build_pipeline import BuildConfig, build_chunks
+
+
+def stream_text_documents(
+    spark: SparkSession, folder: str, glob: str = "*.md"
+) -> DataFrame:
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", glob)
+    )
+    df = reader.load(folder)
+    path = F.input_file_name()
+    return df.select(
+        path.alias("file_path"),
+        F.element_at(F.split(path, "/"), -1).alias("file_name"),
+        F.lit("markdown").alias("doc_type"),
+        F.md5(path).alias("doc_id"),
+        F.col("value").alias("text"),
+    )
+
+
+def start_index_stream(
+    spark: SparkSession,
+    folder: str,
+    output_path: str,
+    checkpoint_path: str,
+    cfg: BuildConfig | None = None,
+    embedder=None,
+    available_now: bool = True,
+):
+    """Stream folder → embedded chunks → Parquet append, exactly-once via
+    the checkpoint. Returns the StreamingQuery."""
+    cfg = cfg or BuildConfig()
+    docs = stream_text_documents(spark, folder)
+    chunks = build_chunks(docs, cfg, embedder=embedder)
+    writer = (
+        chunks.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
