@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with .count() (materializes the whole plan without
+driver-side transfer overhead). First query pays JVM/session warmup; a
+throwaway warmup action runs first so per-query numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "chunk_fixed",        # C1 explode throughput
+    "markdown_split",     # C2
+    "filter_valid_chunks",# P2/P3
+    "mock_embed",         # E1 twin (column-expr embedding)
+    "topk_cosine",        # Q2 single-query exact scan
+    "topk_batch",         # Q2 batched
+    "ann_ivf",            # ANN scale path
+    "dedup_exact",
+    "minhash_pairs",      # MinHash-LSH + Jaccard verify
+    "simhash",
+    "embedding_neardup",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "pricing_summary",
+    "top_customers",
+    "events_windowed",
+    "sessionize",
+]
+
+
+def main() -> None:
+    from rag_content_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench")
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

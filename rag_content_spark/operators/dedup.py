@@ -57,18 +57,90 @@ def shingles(text_col: Column | str = "text", n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
+# Universal-hash MinHash family over a prime field: each shingle is
+# md5-hashed ONCE (the expensive step), then the K family members are
+# (a_i * h + b_i) mod P — integer-only, so 16 hashes cost ~1 md5 instead
+# of 16. P = 2^31 - 1 keeps a_i * h < 2^62 (no int64 overflow), and the
+# same arithmetic renders exactly in DuckDB.
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((i * 1000003 + 12345) % MINHASH_P, (i * 999331 + 67891) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def shingle_hashes(shingle_col: Column | str) -> Column:
+    """Base 31-bit hash per shingle (one md5 each)."""
+    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.transform(c, lambda s: stable_hash64(s) % MINHASH_P)
+
+
 def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column:
     """MinHash signature: ARRAY<BIGINT> of length num_hashes; entry i is
-    min over shingles of stable_hash64 salted with "mh{i}"."""
-    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    min over shingles of the i-th universal hash of the base hash.
 
-    def _hasher(i: int):
-        # single-arg lambda: F.transform would pass the element INDEX as a
-        # second argument to a two-arg lambda, clobbering a default.
-        return lambda s: stable_hash64(s, salt=f"mh{i}")
+    ONE fold over the hash array with an array accumulator — building
+    ``array(min_0, ..., min_15)`` from 16 separate ``array_min`` exprs
+    duplicates the (expensive) shingle subtree 16× per row because
+    Catalyst neither CSEs across lambda trees nor keeps the projection
+    boundary (measured 60+ s vs <1 s at sf0.1).
 
-    return F.array(
-        *[F.array_min(F.transform(c, _hasher(i))) for i in range(num_hashes)]
+    Coefficients MUST match :func:`minhash_coeffs` (the oracle renders
+    the same family as 16 independent list_min expressions).
+    """
+    hashes = shingle_hashes(shingle_col)
+    init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), num_hashes)
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda m, i: F.least(
+                m,
+                (
+                    h * ((i.cast("bigint") * 1000003 + 12345) % MINHASH_P)
+                    + (i.cast("bigint") * 999331 + 67891) % MINHASH_P
+                )
+                % MINHASH_P,
+            ),
+        ),
+    )
+
+
+def let(bound: Column, body) -> Column:
+    """Evaluate ``bound`` once and pass it to ``body`` — a let-binding via
+    a single-element-array transform. Use whenever an expensive expression
+    would otherwise be textually duplicated (Catalyst re-evaluates each
+    copy; there is no cross-expression CSE for lambda subtrees)."""
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
+def minhash_band_hashes(
+    shingle_col: Column | str, num_hashes: int = 16, bands: int = 4
+) -> Column:
+    """ARRAY<STRING> of ``bands`` LSH band hashes: md5 over the
+    comma-joined signature rows of each band. The signature is computed
+    once (let-bound), not once per band."""
+    rows = num_hashes // bands
+    return let(
+        minhash_signature(shingle_col, num_hashes),
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ),
+        ),
     )
 
 
@@ -87,29 +159,11 @@ def minhash_lsh_candidates(
     The only shuffles are the band-hash join and the final distinct; both
     scale linearly with corpus size for non-pathological band sizes.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, n=shingle_n), num_hashes)
-    banded = (
-        df.select(F.col(id_col), sig.alias("_sig"))
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "band_hash"),
-        )
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            minhash_band_hashes(shingles(text_col, n=shingle_n), num_hashes, bands)
+        ).alias("band", "band_hash"),
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -141,10 +195,18 @@ def jaccard_pairs(
     """Verify candidate pairs with true n-gram Jaccard similarity.
 
     Only candidates are joined back to shingle sets — the expensive set
-    math runs on |candidates| rows, not |corpus|^2.
+    math runs on |candidates| rows, not |corpus|^2 — and shingles are
+    only computed for documents that appear in a candidate pair
+    (leftsemi prune before the shingle expression).
     """
-    sh = df.select(
-        F.col(id_col), shingles(text_col, n=shingle_n).alias("_shingles")
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, on=id_col, how="leftsemi")
+        .select(F.col(id_col), shingles(text_col, n=shingle_n).alias("_shingles"))
     )
     out = (
         pairs.join(

@@ -712,9 +712,12 @@ def _shingles_sql(n: int = 3) -> str:
 
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    # universal-hash family over base hashes hs (see dedup.minhash_coeffs)
+    from rag_content_spark.operators.dedup import minhash_coeffs, MINHASH_P
+
     parts = ", ".join(
-        f"list_min(list_transform(sh, s -> {stable_hash64_sql('s', salt=f'mh{i}')}))"
-        for i in range(num_hashes)
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_coeffs(num_hashes)
     )
     return f"[{parts}]"
 
@@ -736,7 +739,9 @@ def _band_hashes_sql(num_hashes: int = 16, bands: int = 4) -> str:
     WITH corpus AS ({_DUP_CORPUS_SQL}),
     toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
     sh AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM toks),
-    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    hashed AS (SELECT doc_id, sh,
+               list_transform(sh, s -> {stable_hash64_sql('s')} % 2147483647) AS hs FROM sh),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM hashed),
     bands AS (
       SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
       FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
