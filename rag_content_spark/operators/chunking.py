@@ -88,8 +88,10 @@ def split_markdown(df: DataFrame, text_col: str = "text") -> DataFrame:
     it — pure narrow ops, no shuffle, no lookahead regex (DuckDB RE2-safe).
     """
     tagged = F.regexp_replace(F.col(text_col), r"(?m)^(#{1,6} )", _SENTINEL + "$1")
+    # trim(col) strips only spaces in both Spark and DuckDB; pass the full
+    # whitespace set explicitly so sections don't keep trailing newlines.
     sections = F.filter(
-        F.transform(F.split(tagged, _SENTINEL), lambda s: F.trim(s)),
+        F.transform(F.split(tagged, _SENTINEL), lambda s: F.trim(s, F.lit(" \t\r\n"))),
         lambda s: s != "",
     )
     return (

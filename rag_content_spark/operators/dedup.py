@@ -262,34 +262,53 @@ def embedding_neardup_pairs(
     embedding_col: str = "embedding",
     threshold: float = 0.9,
     bits: int = 8,
+    bands: int = 2,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH bucket (sign random
-    projection) → pairs within a bucket → exact cosine filter.
+    """Embedding-cosine near-duplicate pairs: sign-random-projection LSH
+    with OR-amplification (a pair is a candidate if ANY of ``bands``
+    independent ``bits``-bit signatures matches), then exact-cosine verify
+    on the candidates only.
 
     Vectors are assumed L2-normalized (dot == cosine). At 100 TB the
-    bucket join is the only shuffle; raise ``bits`` to shrink buckets.
+    band-bucket join is the only shuffle; raise ``bits`` to shrink
+    buckets, raise ``bands`` to raise recall.
     """
-    sig = emb.select(
+    banded = emb.select(
         F.col(id_col),
-        F.col(embedding_col),
-        lsh_signature(embedding_col, bits=bits, dim=dim).alias("_bucket"),
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_signature(embedding_col, bits=bits, dim=dim, seed=f"srp{b}")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
             on=[
-                F.col("a._bucket") == F.col("b._bucket"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                dot(F.col(f"a.{embedding_col}"), F.col(f"b.{embedding_col}")), 6
-            ).alias("cosine"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(embedding_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(embedding_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("_va", "_vb"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

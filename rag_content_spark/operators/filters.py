@@ -43,7 +43,7 @@ def _is_content_line(line: Column) -> Column:
     reference's invalid 'empty code block' cases,
     tests/test_document_processor_llama_index.py:136-155).
     """
-    blank = F.trim(line) == ""
+    blank = ~line.rlike(r"\S")  # trim() strips only spaces, not tabs
     return ~(
         blank
         | line.rlike(_ATX_HEADER)

@@ -22,6 +22,7 @@ from rag_content_spark.operators.chunking import (
 )
 from rag_content_spark.operators.filters import (
     apply_unreachable_policy,
+    has_whitespace,
     valid_chunk,
 )
 from rag_content_spark.operators.metadata import populate_metadata
@@ -65,6 +66,11 @@ def build_chunks(
             "unit_index", F.lit(0)
         )
 
+    # P2+P3 validity runs on the UNIT text (line structure intact); the
+    # token chunker collapses whitespace, so a post-chunk markdown filter
+    # would see every section as one '# ...' line and drop it.
+    units = units.filter(valid_chunk("unit_text", "doc_type"))
+
     chunked = chunk_fixed(
         units.withColumn("_orig_text", F.col("text")).withColumn(
             "text", F.col("unit_text")
@@ -75,7 +81,7 @@ def build_chunks(
     )
 
     chunks = (
-        chunked.filter(valid_chunk("chunk_text", "doc_type"))
+        chunked.filter(has_whitespace("chunk_text"))
         .select(
             F.concat_ws(
                 "#",

@@ -345,7 +345,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_filter(list_transform(
                regexp_split_to_array(regexp_replace(md, '(?m)^(#{{1,6}} )', chr(1) || '\\1', 'g'), chr(1)),
-               x -> trim(x)), x -> x <> '') AS secs
+               x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))), x -> x <> '') AS secs
       FROM d
     )
     SELECT doc_id, CAST(r.range AS INT) AS section_index,
@@ -394,7 +394,7 @@ def _degenerate_expr():
 
 _HAS_CONTENT_SQL = """
 len(list_filter(regexp_split_to_array({x}, chr(10)), l ->
-    NOT (trim(l) = ''
+    NOT (NOT regexp_matches(l, '\\S')
          OR regexp_matches(l, '^\\s{{0,3}}#{{1,6}}(\\s.*)?$')
          OR regexp_matches(l, '^\\s{{0,3}}(=+|-+|\\*{{3,}}|_{{3,}})\\s*$')
          OR regexp_matches(l, '^\\s{{0,3}}(```+|~~~+).*$')))) > 0

@@ -39,13 +39,12 @@ def read_text_documents(
     reference's per-file semantics — huge single files should be split
     upstream, same as the reference.
     """
-    reader = (
-        spark.read.option("wholetext", "true")
-        .option("recursiveFileLookup", "true")
-    )
+    reader = spark.read.option("recursiveFileLookup", "true")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    df = reader.text(folder)
+    # NB: pass wholetext as the .text() kwarg — the Python API's default
+    # (wholetext=False) overrides a reader .option() of the same name.
+    df = reader.text(folder, wholetext=True)
     path = F.input_file_name()
     return df.select(
         path.alias("file_path"),

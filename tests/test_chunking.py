@@ -1,0 +1,60 @@
+from pyspark.sql import functions as F
+
+from rag_content_spark.operators.chunking import chunk_fixed, section_title, split_markdown
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], ["text"])
+
+
+def test_chunk_fixed_exact_windows(spark):
+    df = _one(spark, " ".join(f"t{i}" for i in range(10)))
+    rows = chunk_fixed(df, size=4, overlap=0).orderBy("chunk_index").collect()
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t4 t5 t6 t7",
+        "t8 t9",
+    ]
+    assert [r["chunk_tokens"] for r in rows] == [4, 4, 2]
+
+
+def test_chunk_overlap_stride(spark):
+    df = _one(spark, " ".join(f"t{i}" for i in range(10)))
+    rows = chunk_fixed(df, size=4, overlap=2).orderBy("chunk_index").collect()
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t2 t3 t4 t5",
+        "t4 t5 t6 t7",
+        "t6 t7 t8 t9",
+    ]
+
+
+def test_short_doc_single_chunk(spark):
+    rows = chunk_fixed(_one(spark, "only three tokens"), size=380, overlap=0).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "only three tokens"
+
+
+def test_whitespace_runs_collapse(spark):
+    rows = chunk_fixed(_one(spark, "a\t b\n\nc   d"), size=10, overlap=0).collect()
+    assert rows[0]["chunk_text"] == "a b c d"
+
+
+def test_markdown_split_sections(spark):
+    md = "intro text\n# One\nbody one\n## Two\nbody two"
+    rows = (
+        split_markdown(_one(spark, md))
+        .select("section_index", "section_text", section_title().alias("t"))
+        .orderBy("section_index")
+        .collect()
+    )
+    assert [r["section_text"] for r in rows] == [
+        "intro text",
+        "# One\nbody one",
+        "## Two\nbody two",
+    ]
+    assert [r["t"] for r in rows] == ["", "One", "Two"]
+
+
+def test_markdown_split_no_headings(spark):
+    rows = split_markdown(_one(spark, "no headings at all")).collect()
+    assert len(rows) == 1 and rows[0]["section_index"] == 0

@@ -1,0 +1,104 @@
+import math
+
+from pyspark.sql import functions as F
+
+from rag_content_spark.operators import dedup
+from rag_content_spark.operators.similarity import top_k, top_k_batch
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " today"),  # near dup of 1
+        (4, "completely different words about spark dataframes and shuffles"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_corpus(spark)).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[1] == 2 and by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    cand = dedup.minhash_lsh_candidates(_corpus(spark), num_hashes=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup in >=1 band
+    assert not any(4 in p for p in pairs)
+
+
+def test_jaccard_values(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(_corpus(spark), pairs).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in _corpus(spark)
+        .select("doc_id", dedup.simhash("text", bits=16).alias("sh"))
+        .collect()
+    }
+    assert out[1] == out[2]
+    hamming_near = bin(out[1] ^ out[3]).count("1")
+    hamming_far = bin(out[1] ^ out[4]).count("1")
+    assert hamming_near < hamming_far
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_top_k_ip_ordering(spark):
+    got = top_k(_vectors(spark), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [0, 1]
+    assert got[0]["score"] == 1.0
+
+
+def test_top_k_l2_ordering(spark):
+    got = top_k(_vectors(spark), [0.0, 1.0, 0.0], k=2, metric="l2").collect()
+    assert [r["vec_id"] for r in got] == [2, 1]
+
+
+def test_top_k_batch_per_query(spark):
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 0.0, 1.0])],
+        ["query_id", "query_vec"],
+    )
+    got = top_k_batch(_vectors(spark), qs, k=1).collect()
+    best = {r["query_id"]: r["vec_id"] for r in got}
+    assert best == {100: 0, 200: 3}
+
+
+def test_embedding_neardup_pairs(spark):
+    # operator contract: vectors are L2-normalized (dot == cosine)
+    n = math.sqrt(0.9**2 + 0.1**2)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9 / n, 0.1 / n, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.embedding_neardup_pairs(
+        df, threshold=0.9, bits=4, bands=2, dim=3
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    # 0 and 1 are near-identical; a band must collide and cosine ~0.994
+    assert (0, 1) in pairs and math.isclose(pairs[(0, 1)], 0.9939, abs_tol=1e-3)
+    assert all(p == (0, 1) for p in pairs)

@@ -1,0 +1,83 @@
+"""End-to-end build + query pipeline — the marker-string corpus test
+(the reference's E2E asserts corpus-unique terms are retrievable,
+tests/integration-konflux/pipeline-konflux.sh:181)."""
+
+from pyspark.sql import functions as F
+
+from rag_content_spark.embedding.mock import mock_embedding_expr
+from rag_content_spark.plans.build_pipeline import BuildConfig, build_chunks
+from rag_content_spark.plans.query import lookup_node, query_index
+
+
+def _embedder(col):
+    return mock_embedding_expr(col, dim=32, normalize=True)
+
+
+def _build(docs_df):
+    cfg = BuildConfig(chunk_size=16, chunk_overlap=0, embedding_dimension=32)
+    return build_chunks(docs_df, cfg, embedder=_embedder)
+
+
+def test_chunks_schema_and_metadata(docs_df):
+    chunks = _build(docs_df)
+    cols = set(chunks.columns)
+    assert {
+        "chunk_id",
+        "document_id",
+        "source",
+        "title",
+        "docs_url",
+        "url_reachable",
+        "text",
+        "embedding",
+        "embedding_model",
+        "embedding_dimension",
+    } <= cols
+    rows = chunks.collect()
+    assert rows
+    manual = [r for r in rows if "zyranex" in (r["docs_url"] or "")]
+    assert manual and all(
+        r["title"] == "Zyranex T7 Manual" and r["url_reachable"] for r in manual
+    )
+    # frontmatter url wins; fallback doc gets basename url + first-line title
+    notes = [r for r in rows if r["docs_url"] == "notes.md"]
+    assert notes and notes[0]["title"] == "Operational Notes"
+
+
+def test_marker_terms_survive_to_chunks(docs_df):
+    texts = " ".join(r["text"] for r in _build(docs_df).select("text").collect())
+    for marker in ("Zyranex", "ZRX-4401", "quorbitex"):
+        assert marker in texts
+
+
+def test_marker_query_retrieves_manual_chunk(spark, docs_df):
+    chunks = _build(docs_df).cache()
+    qvec = (
+        spark.createDataFrame([("Zyranex T7 error ZRX-4401 quorbitex",)], ["text"])
+        .select(_embedder(F.col("text")).alias("v"))
+        .first()["v"]
+    )
+    res = query_index(chunks, "marker query", list(qvec), k=3, threshold=0.0)
+    assert res["top_k"] == 3 and len(res["nodes"]) == 3
+    scores = [n["score"] for n in res["nodes"]]
+    assert scores == sorted(scores, reverse=True)
+    assert any("Zyranex" in n["text"] for n in res["nodes"])
+
+
+def test_high_threshold_returns_empty(spark, docs_df):
+    chunks = _build(docs_df)
+    qvec = (
+        spark.createDataFrame([("totally unrelated query",)], ["text"])
+        .select(_embedder(F.col("text")).alias("v"))
+        .first()["v"]
+    )
+    res = query_index(chunks, "q", list(qvec), k=3, threshold=0.999)
+    assert res["nodes"] == []
+
+
+def test_node_lookup_roundtrip(docs_df):
+    chunks = _build(docs_df)
+    some_id = chunks.select("chunk_id").first()["chunk_id"]
+    res = lookup_node(chunks, some_id)
+    assert res["found"] and res["node"]["chunk_id"] == some_id
+    assert not lookup_node(chunks, "missing#0#0")["found"]

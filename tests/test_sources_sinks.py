@@ -1,0 +1,121 @@
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rag_content_spark.sinks.exports import (
+    build_metadata_json,
+    pgvector_insert_sql,
+    render_lightspeed_stack_yaml,
+    render_llama_stack_yaml,
+    write_metadata_json,
+)
+from rag_content_spark.sources.directory import read_text_documents
+from rag_content_spark.sources.okp import filter_okp_documents, parse_okp_metadata
+
+
+def test_read_text_documents_recursive(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.md").write_text("# Title A\n\nbody a")
+    (tmp_path / "sub" / "b.md").write_text("# Title B\n\nbody b")
+    (tmp_path / "sub" / "c.txt").write_text("plain text c")
+    df = read_text_documents(spark, str(tmp_path))
+    rows = {r["file_name"]: r for r in df.collect()}
+    assert set(rows) == {"a.md", "b.md", "c.txt"}
+    assert rows["b.md"]["doc_type"] == "markdown"
+    assert rows["c.txt"]["doc_type"] == "text"
+    assert rows["a.md"]["text"].startswith("# Title A")
+    assert rows["a.md"]["doc_id"]  # stable id present
+
+
+def test_read_text_documents_glob(spark, tmp_path):
+    (tmp_path / "a.md").write_text("x y")
+    (tmp_path / "b.txt").write_text("x y")
+    df = read_text_documents(spark, str(tmp_path), glob="*.md")
+    assert [r["file_name"] for r in df.collect()] == ["a.md"]
+
+
+OKP_DOC = (
+    '+++\ntitle = "Install Guide"\n'
+    'reference_url = "https://portal.example.com/install"\n'
+    'portal_product_names = ["Red Hat OpenStack Platform", "Other"]\n+++\n'
+    "body text here"
+)
+OKP_NO_URL = '+++\ntitle = "No URL"\nportal_product_names = ["Red Hat OpenStack Platform"]\n+++\nbody'
+OKP_OTHER = '+++\ntitle = "Other"\nreference_url = "https://x"\nportal_product_names = ["Unrelated"]\n+++\nbody'
+
+
+def test_okp_parse_and_filter(spark):
+    df = spark.createDataFrame(
+        [(1, OKP_DOC), (2, OKP_NO_URL), (3, OKP_OTHER)], ["doc_id", "text"]
+    )
+    parsed = parse_okp_metadata(df).collect()
+    by_id = {r["doc_id"]: r for r in parsed}
+    assert by_id[1]["okp_title"] == "Install Guide"
+    assert by_id[1]["portal_product_names"] == [
+        "Red Hat OpenStack Platform",
+        "Other",
+    ]
+    assert by_id[2]["okp_url"] is None
+    kept = filter_okp_documents(df, ["openstack"]).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_metadata_json_exact_keys(tmp_path):
+    meta = build_metadata_json(
+        execution_time_s=12,
+        embedding_model="sentence-transformers/all-mpnet-base-v2",
+        index_id="idx",
+        vector_db="faiss.IndexFlatIP",
+        embedding_dimension=768,
+        chunk=380,
+        overlap=0,
+        total_embedded_files=3,
+    )
+    # the reference's exact key set (document_processor.py:281-300)
+    assert list(meta) == [
+        "execution-time",
+        "llm",
+        "embedding-model",
+        "index-id",
+        "vector-db",
+        "embedding-dimension",
+        "chunk",
+        "overlap",
+        "total-embedded-files",
+    ]
+    assert meta["llm"] == "None"
+    path = str(tmp_path / "metadata.json")
+    write_metadata_json(path, meta)
+    assert json.load(open(path)) == meta
+
+
+def test_pgvector_sql_builder():
+    sql, params = pgvector_insert_sql(
+        "chunks", {"chunk_id": "c1", "text": "t", "embedding": [0.25, -1.0]}
+    )
+    assert sql == (
+        "INSERT INTO chunks (chunk_id, text, embedding) VALUES (%s, %s, %s::vector)"
+    )
+    assert params == ["c1", "t", "[0.25,-1.0]"]
+
+
+def test_yaml_templates_render():
+    ls = render_llama_stack_yaml("/db/faiss.db", "model-x", 768, "vs_123")
+    assert "db_path: /db/faiss.db" in ls and "vector_store_id: vs_123" in ls
+    lcs = render_lightspeed_stack_yaml("/cfg/llama-stack.yaml")
+    assert "library_client_config_path: /cfg/llama-stack.yaml" in lcs
+
+
+def test_parquet_index_roundtrip(spark, tmp_path):
+    from rag_content_spark.sinks.parquet_sink import read_index, write_index
+
+    df = spark.createDataFrame(
+        [("c1", "hello", [0.1, 0.2]), ("c2", "world", [0.3, 0.4])],
+        ["chunk_id", "text", "embedding"],
+    )
+    path = str(tmp_path / "index")
+    write_index(df, path)
+    back = read_index(spark, path)
+    assert back.count() == 2
+    assert {r["chunk_id"] for r in back.collect()} == {"c1", "c2"}
