@@ -1161,3 +1161,263 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(cell.select("vec_id", "embedding"), qv, k=10).select(
         "vec_id", "score"
     )
+
+
+# ===================== keyword / hybrid retrieval (M4) =====================
+
+
+_KW_TERMS = ["spark", "join", "merge"]
+_KW_TERMS_SQL = "('spark', 'join', 'merge')"
+
+
+@register(
+    "keyword_search",
+    # Keyword mode (reference query_rag.py:190): inverted-index TF-IDF.
+    f"""
+    WITH post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      WHERE u.token IN {_KW_TERMS_SQL}
+      GROUP BY doc_id, u.token
+    ),
+    idf AS (
+      SELECT token, ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+      FROM post GROUP BY token
+    )
+    SELECT p.doc_id, round(sum(p.tf * i.idf), 6) AS kw_score
+    FROM post p JOIN idf i USING (token)
+    GROUP BY p.doc_id
+    """,
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import keyword_scores
+
+    return keyword_scores(_docs(spark, sf_dir), _KW_TERMS)
+
+
+def _mock_embed_sql(expr: str, dim: int = 8) -> str:
+    return (
+        f"list_transform(generate_series(0, {dim - 1}), "
+        f"i -> ({stable_hash64_sql(f'({expr} || :: || i)').replace('::', chr(39) + ':' + chr(39))} % 1000000) / 1000000.0 * 2.0 - 1.0)"
+    )
+
+
+@register(
+    "hybrid_search",
+    # Hybrid mode: 0.5 * max-normalized keyword + 0.5 * mock-embedding dot.
+    f"""
+    WITH post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      WHERE u.token IN {_KW_TERMS_SQL}
+      GROUP BY doc_id, u.token
+    ),
+    idf AS (
+      SELECT token, ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+      FROM post GROUP BY token
+    ),
+    kw AS (
+      SELECT p.doc_id, round(sum(p.tf * i.idf), 9) AS kw_score
+      FROM post p JOIN idf i USING (token) GROUP BY p.doc_id
+    ),
+    kmax AS (SELECT max(kw_score) AS m FROM kw),
+    qv AS (SELECT {_mock_embed_sql("'spark join merge'")} AS v),
+    vec AS (
+      SELECT doc_id,
+             round({dot_sql(_mock_embed_sql('text'), 'qv.v')}, 9) AS cos_score
+      FROM documents, qv
+    )
+    SELECT v.doc_id,
+           round(0.5 * coalesce(k.kw_score, 0.0) / kmax.m + 0.5 * v.cos_score, 6)
+             AS hybrid_score
+    FROM vec v LEFT JOIN kw k USING (doc_id), kmax
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import hybrid_scores
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "embedding", mock_embedding_expr("text", dim=8)
+    )
+    qvec = (
+        spark.createDataFrame([("spark join merge",)], ["text"])
+        .select(mock_embedding_expr("text", dim=8).alias("v"))
+        .collect()[0]["v"]
+    )
+    return hybrid_scores(docs, _KW_TERMS, list(qvec))
+
+
+# ==================== end-to-end build pipeline (M0) =======================
+
+
+_WS_TRIM = "' ' || chr(9) || chr(13) || chr(10)"
+
+
+@register(
+    "build_pipeline",
+    # The full DocumentProcessor.process equivalent (reference
+    # document_processor.py:828-901) over a synthesized markdown corpus:
+    # frontmatter metadata -> heading split -> P2/P3 validity -> token
+    # chunking (size 16) -> mock embedding (dim 8). Every stage mirrored.
+    f"""
+    WITH src AS (
+      SELECT doc_id AS orig_id, source, text,
+             'path/to/' || source || '/file_' || doc_id || '.md' AS file_path,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '---' || chr(10) || 'title: Doc ' || doc_id || chr(10) ||
+                       'url: https://docs.example.com/' || doc_id || chr(10) ||
+                       '---' || chr(10)
+                  ELSE '' END || {_md_doc_sql()} AS md
+      FROM documents
+    ),
+    meta AS (
+      SELECT md5(file_path) AS document_id, file_path, md,
+             regexp_extract(md, '(?s)^---\\n(.*?)\\n---', 1) AS blk
+      FROM src
+    ),
+    meta2 AS (
+      SELECT document_id, md,
+             coalesce(nullif(regexp_extract(blk, '(?m)^url:\\s*"?([^"\\n]*?)"?\\s*$', 1), ''),
+                      regexp_extract(file_path, '([^/]*)$', 1)) AS docs_url,
+             coalesce(nullif(regexp_extract(blk, '(?m)^title:\\s*"?([^"\\n]*?)"?\\s*$', 1), ''),
+                      regexp_replace(split_part(md, chr(10), 1), '^#+\\s*', '')) AS title
+      FROM meta
+    ),
+    secs AS (
+      SELECT document_id, docs_url, title,
+             list_filter(list_transform(
+               regexp_split_to_array(
+                 regexp_replace(md, '(?m)^(#{{1,6}} )', chr(1) || '\\1', 'g'), chr(1)),
+               x -> trim(x, {_WS_TRIM})), x -> x <> '') AS secs
+      FROM meta2
+    ),
+    units AS (
+      SELECT document_id, docs_url, title, CAST(r.range AS INT) AS unit_index,
+             secs[CAST(r.range AS INT) + 1] AS unit_text
+      FROM secs CROSS JOIN range(0, 10000) r WHERE r.range < len(secs)
+    ),
+    valid AS (
+      SELECT * FROM units
+      WHERE regexp_matches(unit_text, '\\s')
+        AND {_HAS_CONTENT_SQL.format(x='unit_text')}
+    ),
+    toks AS (
+      SELECT document_id, docs_url, title, unit_index,
+             list_filter(regexp_split_to_array(unit_text, '\\s+'), t -> t <> '') AS tk
+      FROM valid
+    ),
+    chunks AS (
+      SELECT document_id, docs_url, title, unit_index,
+             CAST(r.range AS INT) AS chunk_index,
+             array_to_string(list_slice(tk, r.range * 16 + 1, r.range * 16 + 16), ' ') AS text
+      FROM toks CROSS JOIN range(0, 10000) r
+      WHERE r.range < CAST(ceil(greatest(len(tk) - 0, 1) / 16.0) AS INT)
+    )
+    SELECT document_id || '#' || unit_index || '#' || chunk_index AS chunk_id,
+           document_id,
+           coalesce(docs_url, title) AS source,
+           title, docs_url, true AS url_reachable, text,
+           {_mock_embed_sql('text')} AS embedding
+    FROM chunks
+    WHERE regexp_matches(text, '\\s')
+    """,
+)
+def q_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.plans.build_pipeline import BuildConfig, build_chunks
+
+    i = F.col("doc_id").cast("string")
+    fm = F.concat(
+        F.lit("---\ntitle: Doc "),
+        i,
+        F.lit("\nurl: https://docs.example.com/"),
+        i,
+        F.lit("\n---\n"),
+    )
+    md = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, fm).otherwise(F.lit("")), _md_doc_expr()
+    )
+    file_path = F.concat(
+        F.lit("path/to/"), F.col("source"), F.lit("/file_"), i, F.lit(".md")
+    )
+    documents = _docs(spark, sf_dir).select(
+        file_path.alias("file_path"),
+        F.lit("markdown").alias("doc_type"),
+        F.md5(file_path).alias("doc_id"),
+        md.alias("text"),
+    )
+    cfg = BuildConfig(chunk_size=16, chunk_overlap=0, markdown_aware=True)
+    return build_chunks(
+        documents, cfg, embedder=lambda c: mock_embedding_expr(c, dim=8)
+    ).select(
+        "chunk_id",
+        "document_id",
+        "source",
+        "title",
+        "docs_url",
+        "url_reachable",
+        "text",
+        "embedding",
+    )
+
+
+@register(
+    "json_props",
+    # Semi-structured extraction (F8-adjacent: JSON shaping): pull props.k,
+    # aggregate per event_type — the open-metadata escape hatch of the
+    # chunks schema (MAP/JSON columns) exercised on events.props.
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
+@register(
+    "lsh_buckets",
+    # The ANN LSH bucket assignment itself (scale path of Q2): 8-bit sign
+    # random projection per vector; bucket sizes per signature.
+    f"""
+    WITH planes AS (
+      SELECT j, list_transform(generate_series(0, 63),
+               i -> ({stable_hash64_sql("('srp' || j || ':' || i)")} % 2000001) / 1000000.0 - 1.0) AS r
+      FROM (SELECT unnest(generate_series(0, 7)) AS j)
+    ),
+    sigs AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN {dot_sql('e.embedding', 'p.r')} >= 0
+                           THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    )
+    SELECT bucket, count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM sigs GROUP BY bucket
+    """,
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.similarity import lsh_signature
+
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            "vec_id", lsh_signature("embedding", bits=8, dim=64, seed="srp").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )

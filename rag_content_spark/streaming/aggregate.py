@@ -1,0 +1,111 @@
+"""Streaming aggregations (north-star extension; the reference is
+batch-only, SURVEY §2 'not present').
+
+- watermarked tumbling-window counts: the streaming twin of the batch
+  ``events_windowed`` query; late data beyond the watermark is dropped,
+  state is bounded.
+- stateful sessionization via applyInPandasWithState: the streaming twin
+  of the batch ``sessionize`` query — per-user session state with a
+  processing-time timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows with a watermark bound on state.
+
+    Works on both batch and streaming DataFrames (same plan — Spark's
+    unified semantics); on a stream, output mode 'append' emits a window
+    only once the watermark passes its end.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_no", T.LongType()),
+        T.StructField("last_ts_sec", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator: 30-min inactivity gap starts a new
+    session. Emits the running (user, session, count) on every batch."""
+    gap = 1800
+    if state.exists:
+        session_no, last_ts, n_events = state.get
+    else:
+        session_no, last_ts, n_events = 0, None, 0
+    rows = []
+    for pdf in pdfs:
+        for ts_sec in sorted(pdf["ts_sec"].tolist()):
+            if last_ts is None or ts_sec - last_ts > gap:
+                if n_events:
+                    rows.append((key[0], session_no, n_events))
+                session_no += 1
+                n_events = 0
+            last_ts = ts_sec
+            n_events += 1
+    state.update((session_no, last_ts if last_ts is not None else -1, n_events))
+    state.setTimeoutDuration(60 * 60 * 1000)
+    rows.append((key[0], session_no, n_events))
+    yield pd.DataFrame(rows, columns=["user_id", "session_no", "n_events"])
+
+
+def stateful_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    applyInPandasWithState (the Spark-native form of a custom stateful
+    operator the reference could never express)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
