@@ -33,6 +33,11 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "build_pipeline",      # end-to-end documents->chunks->embeddings
+    "keyword_search",
+    "hybrid_search",
+    "lsh_buckets",
+    "json_props",
     "pricing_summary",
     "top_customers",
     "events_windowed",

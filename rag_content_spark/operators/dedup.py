@@ -57,6 +57,48 @@ def shingles(text_col: Column | str = "text", n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
+# Coefficients for combining consecutive token hashes into a shingle hash
+# ((c0*h0 + c1*h1 + c2*h2) mod P): token hash < P=2^31, coeff < 2^19, so
+# each product < 2^50 and the 3-term sum < 2^52 — no int64 overflow.
+_SHINGLE_COEFFS = (100003, 200003, 300007)
+
+
+def hashed_shingles(text_col: Column | str = "text", n: int = 3) -> Column:
+    """Distinct word-n-gram shingle HASHES (sorted ARRAY<BIGINT>).
+
+    One md5 per TOKEN (not per shingle) — each shingle hash is an integer
+    combination of the n consecutive token hashes. Skips shingle string
+    construction entirely: ~4x cheaper than hashing string n-grams and
+    the basis for MinHash/Jaccard at scale. Out-of-range positions (docs
+    shorter than n tokens) contribute 0.
+
+    DuckDB mirror (0-based get == 1-based [] index):
+      th: list_transform(tk, t -> h60(t) % P)
+      sh: list_sort(list_distinct(list_transform(
+            generate_series(0, greatest(len(th)-n, 0)),
+            i -> (coalesce(th[i+1],0)*c0 + ... ) % P)))
+    """
+    assert n == len(_SHINGLE_COEFFS), "n=3 supported"
+    tok = tokens(text_col)
+    th = F.transform(tok, lambda t: stable_hash64(t) % MINHASH_P)
+    return let(
+        th,
+        lambda h: F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(h) - n, F.lit(0))),
+                    lambda i: (
+                        F.coalesce(F.get(h, i), F.lit(0)) * _SHINGLE_COEFFS[0]
+                        + F.coalesce(F.get(h, i + 1), F.lit(0)) * _SHINGLE_COEFFS[1]
+                        + F.coalesce(F.get(h, i + 2), F.lit(0)) * _SHINGLE_COEFFS[2]
+                    )
+                    % MINHASH_P,
+                )
+            )
+        ),
+    )
+
+
 # Universal-hash MinHash family over a prime field: each shingle is
 # md5-hashed ONCE (the expensive step), then the K family members are
 # (a_i * h + b_i) mod P — integer-only, so 16 hashes cost ~1 md5 instead
@@ -72,15 +114,10 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def shingle_hashes(shingle_col: Column | str) -> Column:
-    """Base 31-bit hash per shingle (one md5 each)."""
-    c = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    return F.transform(c, lambda s: stable_hash64(s) % MINHASH_P)
-
-
-def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column:
-    """MinHash signature: ARRAY<BIGINT> of length num_hashes; entry i is
-    min over shingles of the i-th universal hash of the base hash.
+def minhash_signature(hashes_col: Column | str, num_hashes: int = 16) -> Column:
+    """MinHash signature over an ARRAY<BIGINT> of shingle hashes (see
+    :func:`hashed_shingles`): ARRAY<BIGINT> of length num_hashes; entry i
+    is min over shingles of the i-th universal hash.
 
     ONE fold over the hash array with an array accumulator — building
     ``array(min_0, ..., min_15)`` from 16 separate ``array_min`` exprs
@@ -91,7 +128,7 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 16) -> Column
     Coefficients MUST match :func:`minhash_coeffs` (the oracle renders
     the same family as 16 independent list_min expressions).
     """
-    hashes = shingle_hashes(shingle_col)
+    hashes = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
     init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), num_hashes)
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
@@ -121,14 +158,14 @@ def let(bound: Column, body) -> Column:
 
 
 def minhash_band_hashes(
-    shingle_col: Column | str, num_hashes: int = 16, bands: int = 4
+    hashes_col: Column | str, num_hashes: int = 16, bands: int = 4
 ) -> Column:
     """ARRAY<STRING> of ``bands`` LSH band hashes: md5 over the
     comma-joined signature rows of each band. The signature is computed
     once (let-bound), not once per band."""
     rows = num_hashes // bands
     return let(
-        minhash_signature(shingle_col, num_hashes),
+        minhash_signature(hashes_col, num_hashes),
         lambda sig: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.md5(
@@ -162,23 +199,45 @@ def minhash_lsh_candidates(
     banded = df.select(
         F.col(id_col),
         F.posexplode(
-            minhash_band_hashes(shingles(text_col, n=shingle_n), num_hashes, bands)
+            minhash_band_hashes(
+                hashed_shingles(text_col, n=shingle_n), num_hashes, bands
+            )
         ).alias("band", "band_hash"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    return bucket_pairs(banded, id_col, ["band", "band_hash"])
+
+
+def bucket_pairs(
+    banded: DataFrame, id_col: str, bucket_cols: list[str]
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket.
+
+    groupBy + collect_list + in-bucket pair enumeration instead of a
+    self-join: the (expensive) bucket-key expression is evaluated ONCE
+    (a self-join recomputes it for both sides — no exchange reuse under a
+    broadcast join), and the only shuffle is the groupBy.
+
+    Pathological buckets (a band hash shared by k docs) cost O(k²) pairs
+    in one task — same output as the join, but concentrated; cap upstream
+    (more bands / wider bands) if a corpus has degenerate boilerplate.
+    """
+    ids = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col(f"a.band") == F.col("b.band"),
-                F.col(f"a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        ids.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -198,7 +257,16 @@ def jaccard_pairs(
     math runs on |candidates| rows, not |corpus|^2 — and shingles are
     only computed for documents that appear in a candidate pair
     (leftsemi prune before the shingle expression).
+
+    The candidate DataFrame is materialized once (localCheckpoint): it is
+    referenced three times below (two shingle joins + the id-set union)
+    and is tiny relative to the corpus — without materialization the
+    whole LSH pipeline re-runs per reference (measured 3x slowdown; plain
+    persist() keeps the non-AQE cached plan and is ~2x slower than
+    checkpointing here). On a real cluster prefer reliable checkpoints if
+    executor loss must not trigger a full recompute.
     """
+    pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -206,7 +274,9 @@ def jaccard_pairs(
     )
     sh = (
         df.join(cand_ids, on=id_col, how="leftsemi")
-        .select(F.col(id_col), shingles(text_col, n=shingle_n).alias("_shingles"))
+        .select(
+            F.col(id_col), hashed_shingles(text_col, n=shingle_n).alias("_shingles")
+        )
     )
     out = (
         pairs.join(
@@ -285,21 +355,7 @@ def embedding_neardup_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = bucket_pairs(banded, id_col, ["band", "bucket"])
     va = emb.select(F.col(id_col).alias("id_a"), F.col(embedding_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(embedding_col).alias("_vb"))
     return (

@@ -129,6 +129,21 @@ def assign_ivf_cells(
     )
 
 
+def srp_plane(seed: str, j: int, dim: int) -> list[float]:
+    """Hyperplane j: component i is a deterministic pseudo-random value in
+    [-1, 1) derived from md5(f"{seed}{j}:{i}") — the same value
+    ``stable_hash64`` produces, computed driver-side so the plan carries
+    plain float literals instead of 512 md5 expression nodes (which blew
+    past codegen limits: 9.4 s -> sub-second at sf0.1)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"{seed}{j}:{i}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000001) / 1000000.0 - 1.0)
+    return out
+
+
 def lsh_signature(
     embedding_col: Column | str = "embedding",
     bits: int = 16,
@@ -137,29 +152,15 @@ def lsh_signature(
 ) -> Column:
     """Sign-random-projection LSH bucket key (for cosine).
 
-    Hyperplane j's component i is a deterministic pseudo-random value in
-    [-1, 1) derived from stable_hash64 — reproducible in any engine, no
-    stored model. Returns a ``bits``-bit integer bucket id.
+    Deterministic hyperplanes (see :func:`srp_plane`) — reproducible in
+    any engine, no stored model. Returns a ``bits``-bit integer bucket id.
     """
     c = F.col(embedding_col) if isinstance(embedding_col, str) else embedding_col
     sig = F.lit(0).cast("bigint")
     for j in range(bits):
+        plane = F.array(*[F.lit(v) for v in srp_plane(seed, j, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                c,
-                F.array(
-                    *[
-                        (
-                            stable_hash64(F.lit(f"{i}"), salt=f"{seed}{j}")
-                            % 2000001
-                            / 1000000.0
-                            - 1.0
-                        )
-                        for i in range(dim)
-                    ]
-                ),
-                lambda x, r: x.cast("double") * r,
-            ),
+            F.zip_with(c, plane, lambda x, r: x.cast("double") * r),
             F.lit(0.0),
             lambda a, x: a + x,
         )

@@ -706,17 +706,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_sql(n: int = 3) -> str:
+    # hashed shingles (dedup.hashed_shingles): th = per-token hash mod P;
+    # shingle = (c0*th[i] + c1*th[i+1] + c2*th[i+2]) mod P, distinct+sorted
+    th = f"list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647)"
+    comb = (
+        "(coalesce(th[i+1], 0) * 100003 + coalesce(th[i+2], 0) * 200003 "
+        "+ coalesce(th[i+3], 0) * 300007) % 2147483647"
+    )
     return f"""list_sort(list_distinct(list_transform(
-        generate_series(0, greatest(len(tk) - {n}, 0)),
-        i -> array_to_string(list_slice(tk, i + 1, i + {n}), ' '))))"""
+        generate_series(0, greatest(len(th) - {n}, 0)), i -> {comb})))"""
 
 
-def _minhash_sig_sql(num_hashes: int = 16) -> str:
-    # universal-hash family over base hashes hs (see dedup.minhash_coeffs)
+def _hashed_shingles_from_th_sql(n: int = 3) -> str:
+    comb = (
+        "(coalesce(th[i+1], 0) * 100003 + coalesce(th[i+2], 0) * 200003 "
+        "+ coalesce(th[i+3], 0) * 300007) % 2147483647"
+    )
+    return f"""list_sort(list_distinct(list_transform(
+        generate_series(0, greatest(len(th) - {n}, 0)), i -> {comb})))"""
+
+
+def _minhash_sig_sql(num_hashes: int = 16, hs: str = "sh") -> str:
+    # universal-hash family over base shingle hashes (dedup.minhash_coeffs)
     from rag_content_spark.operators.dedup import minhash_coeffs, MINHASH_P
 
     parts = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        f"list_min(list_transform({hs}, h -> (h * {a} + {b}) % {MINHASH_P}))"
         for a, b in minhash_coeffs(num_hashes)
     )
     return f"[{parts}]"
@@ -738,10 +753,9 @@ def _band_hashes_sql(num_hashes: int = 16, bands: int = 4) -> str:
     f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
     toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
-    sh AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM toks),
-    hashed AS (SELECT doc_id, sh,
-               list_transform(sh, s -> {stable_hash64_sql('s')} % 2147483647) AS hs FROM sh),
-    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM hashed),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
     bands AS (
       SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
       FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
@@ -790,7 +804,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Direct n-gram Jaccard between each doc and its doc_id+1 neighbor.
     f"""
     WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
-    sh AS (SELECT doc_id, {_shingles_sql(3)} AS sh FROM toks)
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
