@@ -83,3 +83,45 @@ def toml_string_array(block: Column | str, key: str) -> Column:
         F.transform(F.split(raw, ","), lambda s: F.trim(s, F.lit(' "'))),
         lambda s: s != "",
     )
+
+
+# Common HTML entities → ASCII (F2; the reference's AsciiDoc text
+# converter normalizes entities the same way, asciidoc_text_converter.rb:
+# 132-156 — mapping reimplemented from standard entity semantics).
+HTML_ENTITIES: dict[str, str] = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&apos;": "'",
+    "&nbsp;": " ",
+    "&#8201;": " ",
+    "&#8212;": "--",
+    "&#8216;": "'",
+    "&#8217;": "'",
+    "&#8220;": '"',
+    "&#8221;": '"',
+    "&#8230;": "...",
+    "&#8594;": "->",
+    "&#8592;": "<-",
+    "&#8658;": "=>",
+    "&#8656;": "<=",
+    "&#43;": "+",
+    "&#174;": "(R)",
+    "&#169;": "(C)",
+    "&#8482;": "(TM)",
+}
+
+
+def html_entity_decode(col: Column | str) -> Column:
+    """Replace the common HTML entities with ASCII equivalents (F2).
+
+    Chained literal replaces — stays in codegen; &amp; is decoded LAST so
+    double-encoded text doesn't over-decode.
+    """
+    c = _c(col)
+    for ent, rep in HTML_ENTITIES.items():
+        if ent == "&amp;":
+            continue
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))

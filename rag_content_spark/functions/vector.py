@@ -89,3 +89,24 @@ def cosine_sql(a: str, b: str) -> str:
         f"({dot_sql(a, b)} / "
         f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
     )
+
+
+def length_penalty(len_a: Column | str, len_b: Column | str) -> Column:
+    """Naive length-difference penalty (reference scripts/distance.py:29-30):
+    |len_a - len_b| / (len_a + len_b) * 0.1."""
+    a = (F.col(len_a) if isinstance(len_a, str) else len_a).cast("double")
+    b = (F.col(len_b) if isinstance(len_b, str) else len_b).cast("double")
+    return F.abs(a - b) / (a + b) * 0.1
+
+
+def response_distance_score(
+    vec_a: Column | str,
+    vec_b: Column | str,
+    len_a: Column | str,
+    len_b: Column | str,
+) -> Column:
+    """The reference's combined response-validation score
+    (scripts/distance.py:22-33): length penalty + mean of cosine DISTANCE
+    (1 - similarity) and euclidean distance."""
+    cos_dist = F.lit(1.0) - cosine(vec_a, vec_b)
+    return length_penalty(len_a, len_b) + (cos_dist + euclidean(vec_a, vec_b)) / 2.0

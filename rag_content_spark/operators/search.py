@@ -44,13 +44,15 @@ def keyword_scores(
     idf(t) = ln(N / df_t); documents matching no term are absent (the
     inverted index never touches them — unlike a per-doc scan).
     """
+    from pyspark.sql import Window
+
     post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
     n_docs = docs.count()  # corpus stat; at scale: precomputed metadata
-    idf = post.groupBy("token").agg(
-        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))).alias("idf")
-    )
+    # df_t via a window over the postings themselves — one corpus scan
+    # (a separate idf aggregation + join re-reads the corpus)
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
     return (
-        post.join(F.broadcast(idf), "token")
+        post.withColumn("idf", F.log(F.lit(float(n_docs)) / df_t))
         .groupBy(id_col)
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), round_to).alias("kw_score"))
     )

@@ -1436,3 +1436,111 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+
+
+@register(
+    "distance_score",
+    # Q4 full parity (reference scripts/distance.py:17-38): cosine distance,
+    # euclidean, length penalty, combined score between consecutive docs'
+    # mock embeddings.
+    f"""
+    WITH e AS (
+      SELECT doc_id, length(text) AS n, {_mock_embed_sql('text')} AS v FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(1.0 - {cosine_sql('a.v', 'b.v')}, 6) AS cos_dist,
+           round({euclidean_sql('a.v', 'b.v')}, 6) AS euc_dist,
+           round(abs(CAST(a.n AS DOUBLE) - b.n) / (CAST(a.n AS DOUBLE) + b.n) * 0.1, 6) AS len_score,
+           round(abs(CAST(a.n AS DOUBLE) - b.n) / (CAST(a.n AS DOUBLE) + b.n) * 0.1
+                 + ((1.0 - {cosine_sql('a.v', 'b.v')}) + {euclidean_sql('a.v', 'b.v')}) / 2.0, 6)
+             AS final_score
+    FROM e a JOIN e b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_distance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.vector import (
+        euclidean as euc,
+        length_penalty,
+        response_distance_score,
+    )
+
+    e = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n"),
+        mock_embedding_expr("text", dim=8).alias("v"),
+    )
+    a = e.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("_na"), F.col("v").alias("_va")
+    )
+    b = e.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("_nb"), F.col("v").alias("_vb")
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.lit(1.0) - cosine("_va", "_vb"), 6).alias("cos_dist"),
+            F.round(euc("_va", "_vb"), 6).alias("euc_dist"),
+            F.round(length_penalty("_na", "_nb"), 6).alias("len_score"),
+            F.round(
+                response_distance_score("_va", "_vb", "_na", "_nb"), 6
+            ).alias("final_score"),
+        )
+    )
+
+
+@register(
+    "sales_rollup",
+    # Multi-level aggregation (ROLLUP) — the grouping-sets surface the
+    # reference lacks entirely (SURVEY §2 'not present').
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "set_ops",
+    # Set operations (SURVEY §2.5 'none in the reference'): customers with
+    # orders intersect/except high-balance customers.
+    """
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM rich)
+    UNION ALL
+    SELECT custkey, 'orders_only' AS tag FROM (SELECT custkey FROM with_orders EXCEPT SELECT custkey FROM rich)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    rich = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = with_orders.intersect(rich).withColumn("tag", F.lit("both"))
+    only = with_orders.exceptAll(rich).withColumn("tag", F.lit("orders_only"))
+    return both.unionAll(only)

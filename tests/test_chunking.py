@@ -58,3 +58,13 @@ def test_markdown_split_sections(spark):
 def test_markdown_split_no_headings(spark):
     rows = split_markdown(_one(spark, "no headings at all")).collect()
     assert len(rows) == 1 and rows[0]["section_index"] == 0
+
+
+def test_html_entity_decode(spark):
+    from rag_content_spark.functions.text import html_entity_decode
+
+    df = spark.createDataFrame(
+        [("a &amp;&#8212;&gt; b &quot;x&quot; &#8217;y&#8217;",)], ["text"]
+    )
+    got = df.select(html_entity_decode("text").alias("t")).first()["t"]
+    assert got == 'a &--> b "x" \'y\''
