@@ -364,7 +364,7 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot("_va", "_vb"), 6).alias("cosine"),
+            F.round(dot("_va", "_vb", dim), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -80,7 +80,8 @@ def hybrid_scores(
     kw_max = kw.agg(F.max("kw_score")).collect()[0][0] or 1.0
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     vec = docs_with_vectors.select(
-        F.col(id_col), F.round(dot(F.col(embedding_col), qv), 9).alias("cos_score")
+        F.col(id_col),
+        F.round(dot(F.col(embedding_col), qv, len(query_vec)), 9).alias("cos_score"),
     )
     return (
         vec.join(kw, id_col, "left")

@@ -552,7 +552,7 @@ def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return top_k_batch(
-        emb.select("vec_id", "embedding"), queries, k=5
+        emb.select("vec_id", "embedding"), queries, k=5, dim=64
     ).select("query_id", "vec_id", "score", "rank")
 
 
@@ -582,9 +582,9 @@ def q_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    hits = top_k_batch(emb.select("vec_id", "embedding"), queries, k=10).select(
-        "query_id", "vec_id", "score"
-    )
+    hits = top_k_batch(
+        emb.select("vec_id", "embedding"), queries, k=10, dim=64
+    ).select("query_id", "vec_id", "score")
     return score_threshold_gate(hits, 0.99, partition_cols=["query_id"])
 
 
@@ -627,8 +627,8 @@ def q_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(cosine("_ea", "_eb"), 6).alias("cosine"),
-            F.round(euclidean("_ea", "_eb"), 6).alias("euclidean"),
+            F.round(cosine("_ea", "_eb", 64), 6).alias("cosine"),
+            F.round(euclidean("_ea", "_eb", 64), 6).alias("euclidean"),
         )
     )
 
@@ -852,7 +852,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(dot("_ea", "_eb"), 6).alias("cosine"),
+            F.round(dot("_ea", "_eb", 64), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
     )
@@ -1157,21 +1157,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import assign_ivf_cells
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    cent_rows = (
+        emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
     )
-    assigned = assign_ivf_cells(emb, cent)
-    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
-    qv = list(qvec)
-    cent_rows = cent.collect()
+    centroids = [(r["vec_id"], list(r["embedding"])) for r in cent_rows]
+    assigned = assign_ivf_cells(emb, centroids)
+    qv = list(
+        emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    )
     import math
 
     def _l2(a, b):
-        return round(math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))), 6)
+        return round(
+            math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))), 6
+        )
 
-    qcell = min(cent_rows, key=lambda r: (_l2(qv, r["centroid_vec"]), r["centroid_id"]))[
-        "centroid_id"
-    ]
+    qcell = min(centroids, key=lambda c: (_l2(qv, c[1]), c[0]))[0]
     cell = assigned.filter(F.col("centroid_id") == qcell)
     return top_k(cell.select("vec_id", "embedding"), qv, k=10).select(
         "vec_id", "score"
@@ -1480,11 +1481,11 @@ def q_distance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(F.lit(1.0) - cosine("_va", "_vb"), 6).alias("cos_dist"),
-            F.round(euc("_va", "_vb"), 6).alias("euc_dist"),
+            F.round(F.lit(1.0) - cosine("_va", "_vb", 8), 6).alias("cos_dist"),
+            F.round(euc("_va", "_vb", 8), 6).alias("euc_dist"),
             F.round(length_penalty("_na", "_nb"), 6).alias("len_score"),
             F.round(
-                response_distance_score("_va", "_vb", "_na", "_nb"), 6
+                response_distance_score("_va", "_vb", "_na", "_nb", dim=8), 6
             ).alias("final_score"),
         )
     )
