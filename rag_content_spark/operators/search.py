@@ -94,3 +94,47 @@ def hybrid_scores(
             ).alias("hybrid_score"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 over the same inverted-index shape as keyword_scores.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); tf normalization uses the
+    document length in whitespace tokens against the corpus average.
+    Corpus stats (N, avgdl) are exact-integer aggregates, so the score is
+    engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    lengths = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("dl")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["total_dl"] / stats["n"]
+
+    post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf * (k1 + 1) / (
+        tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        post.join(lengths, id_col)
+        .withColumn("_term_score", idf * norm)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_term_score"), round_to).alias("bm25"))
+    )

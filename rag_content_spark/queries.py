@@ -1545,3 +1545,78 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = with_orders.intersect(rich).withColumn("tag", F.lit("both"))
     only = with_orders.exceptAll(rich).withColumn("tag", F.lit("orders_only"))
     return both.unionAll(only)
+
+
+@register(
+    "bm25_search",
+    # Okapi BM25 (retrieval extension beyond the reference's TF-IDF-less
+    # keyword mode): exact-integer corpus stats, window df_t.
+    f"""
+    WITH lens AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+    post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      WHERE u.token IN {_KW_TERMS_SQL}
+      GROUP BY doc_id, u.token
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             ln(1.0 + (CAST(s.n AS DOUBLE) - count(*) OVER (PARTITION BY p.token) + 0.5)
+                      / (count(*) OVER (PARTITION BY p.token) + 0.5))
+             * (CAST(p.tf AS DOUBLE) * (1.2 + 1))
+               / (CAST(p.tf AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75 * l.dl / s.avgdl))
+               AS term_score
+      FROM post p JOIN lens l USING (doc_id), stats s
+    )
+    SELECT doc_id, round(sum(term_score), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _KW_TERMS)
+
+
+@register(
+    "distinct_counts",
+    # Exact distinct aggregation (the count-distinct shuffle shape).
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "price_quantiles",
+    # Exact linear-interpolation percentiles (sort-based — deterministic
+    # regardless of partial-agg order, unlike float sums).
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(CAST(min(l_extendedprice) AS DOUBLE), 4) AS min_price,
+           round(CAST(max(l_extendedprice) AS DOUBLE), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )

@@ -1,0 +1,48 @@
+import math
+
+from rag_content_spark.operators.search import bm25_scores, hybrid_scores, keyword_scores
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark spark join fast engine"),
+        (2, "spark once here"),
+        (3, "nothing relevant at all"),
+        (4, "join join join join tables"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_keyword_tfidf(spark):
+    got = {
+        r["doc_id"]: r["kw_score"]
+        for r in keyword_scores(_docs(spark), ["spark", "join"]).collect()
+    }
+    assert 3 not in got  # no matching term -> absent (inverted index)
+    # doc1: 2*ln(4/2) [spark] + 1*ln(4/2) [join]
+    assert math.isclose(got[1], 3 * math.log(2), abs_tol=1e-6)
+    assert math.isclose(got[4], 4 * math.log(2), abs_tol=1e-6)
+    assert got[2] < got[1]
+
+
+def test_bm25_saturates_tf(spark):
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(_docs(spark), ["join"]).collect()
+    }
+    # BM25 tf saturation: 4 occurrences score < 4x one occurrence
+    assert got[4] < 4 * got[1]
+    assert got[4] > got[1]
+
+
+def test_hybrid_fuses_both_signals(spark):
+    docs = _docs(spark).selectExpr(
+        "doc_id", "text", "array(CAST(doc_id AS DOUBLE), 1.0) AS embedding"
+    )
+    got = {
+        r["doc_id"]: r["hybrid_score"]
+        for r in hybrid_scores(docs, ["spark"], [1.0, 0.0], alpha=0.5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # vector side covers all docs
+    # doc3 has no keyword score: pure vector component (3.0 * 0.5)
+    assert math.isclose(got[3], 1.5, abs_tol=1e-6)
