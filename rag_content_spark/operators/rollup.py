@@ -49,3 +49,37 @@ def corpus_counts(
     if group_cols:
         return docs.groupBy(*group_cols).agg(*aggs)
     return docs.agg(*aggs)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant two-phase aggregation: count/sum per (key, salt)
+    first (spreads a hot key over ``salt_buckets`` reducers), then merge
+    per key. Same result as a direct groupBy — the point is the shuffle
+    shape under skew (one key holding 50% of rows no longer lands on one
+    reducer). Salt = stable row hash, so the plan stays deterministic.
+
+    AQE's skew-join handling covers JOINS automatically; aggregation skew
+    still needs explicit salting.
+    """
+    from rag_content_spark.functions.hashing import stable_hash64
+
+    salt = (stable_hash64(F.col(value_col).cast("string")) % salt_buckets).alias(
+        "_salt"
+    )
+    partial = (
+        df.select(F.col(key_col), F.col(value_col), salt)
+        .groupBy(key_col, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_sum"),
+        )
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("_cnt").alias("n_rows"),
+        F.sum("_sum").cast("double").alias("sum_value"),
+    )

@@ -129,3 +129,50 @@ def fingerprint(
     )
     hashes = F.array_sort(F.transform(grams, lambda g: stable_hash64(g)))
     return F.slice(hashes, 1, k)
+
+
+def zscore_lengths_grouped(docs, group_col: str = "source"):
+    """Per-group z-score of document length, as a GROUPED-MAP pandas UDF
+    (applyInPandas): the custom-per-group-computation shape (the same
+    plumbing a per-group normalization of embeddings would use).
+
+    Statistics use exact integer sums (population variance), so the
+    result is engine-reproducible and the DuckDB oracle is a plain
+    window expression.
+    """
+    import pandas as pd
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(group_col, T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s = int(pdf["n_chars"].sum())
+        sq = int((pdf["n_chars"].astype("int64") ** 2).sum())
+        mean = s / n
+        var = sq / n - mean * mean
+        std = var**0.5
+        z = (pdf["n_chars"] - mean) / std if std > 0 else pdf["n_chars"] * 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                group_col: pdf[group_col],
+                "n_chars": pdf["n_chars"],
+                "z": z.round(6),
+            }
+        )
+
+    return (
+        docs.select("doc_id", group_col, F.col("n_chars"))
+        .groupBy(group_col)
+        .applyInPandas(_z, schema=schema)
+    )

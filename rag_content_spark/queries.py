@@ -1620,3 +1620,41 @@ def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
     )
+
+
+@register(
+    "salted_counts",
+    # Skew-resistant two-phase aggregation — same RESULT as a plain
+    # groupBy (the oracle), different shuffle shape (salt spreads hot
+    # keys; aggregation skew isn't covered by AQE).
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.rollup import salted_aggregate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return salted_aggregate(orders, "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "zscore_lengths",
+    # Grouped-map pandas UDF (applyInPandas) vs a pure-SQL window oracle:
+    # population z-score of doc length per source.
+    """
+    SELECT doc_id, source, n_chars,
+           round(CASE WHEN stddev_pop(n_chars) OVER w > 0
+                      THEN (n_chars - avg(n_chars) OVER w) / stddev_pop(n_chars) OVER w
+                      ELSE 0.0 END, 6) AS z
+    FROM documents
+    WINDOW w AS (PARTITION BY source)
+    """,
+)
+def q_zscore_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.text_analysis import zscore_lengths_grouped
+
+    return zscore_lengths_grouped(_docs(spark, sf_dir), "source")

@@ -119,3 +119,26 @@ def test_parquet_index_roundtrip(spark, tmp_path):
     back = read_index(spark, path)
     assert back.count() == 2
     assert {r["chunk_id"] for r in back.collect()} == {"c1", "c2"}
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from rag_content_spark.sinks.parquet_sink import write_bucketed_index
+
+    # NB: spark.sql.warehouse.dir is a static conf — bucketed tables land
+    # in the default ./spark-warehouse (gitignored); drop them after.
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id AS STRING) AS chunk_id", "id AS payload"
+    )
+    try:
+        write_bucketed_index(df, "bucketed_a", n_buckets=4)
+        write_bucketed_index(df, "bucketed_b", n_buckets=4)
+        joined = spark.table("bucketed_a").join(
+            spark.table("bucketed_b"), "chunk_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: no shuffle exchange in the plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_b")
