@@ -35,9 +35,16 @@ HEADLINE = [
     "fingerprint",
     "build_pipeline",      # end-to-end documents->chunks->embeddings
     "keyword_search",
+    "bm25_search",
     "hybrid_search",
+    "dedup_apply",
     "lsh_buckets",
     "json_props",
+    "salted_counts",
+    "distinct_counts",
+    "price_quantiles",
+    "zscore_lengths",
+    "index_upsert",
     "pricing_summary",
     "top_customers",
     "events_windowed",

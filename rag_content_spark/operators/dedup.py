@@ -368,3 +368,19 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def apply_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply near-duplicate pairs to a corpus: drop every row that appears
+    as the GREATER id of a pair (keep-the-smaller policy, transitive
+    enough for LSH outputs where clusters share their minimum).
+
+    One anti-join on the (small) loser set — the standard final step of a
+    dedup pipeline at scale.
+    """
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

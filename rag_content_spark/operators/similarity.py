@@ -227,3 +227,31 @@ def lsh_signature(
         )
         sig = sig + F.when(proj >= 0, F.lit(1 << j).cast("bigint")).otherwise(0)
     return sig
+
+
+def top_k_multiprobe(
+    index_with_buckets: DataFrame,
+    query_vec: list[float],
+    probe_buckets: list[int],
+    k: int = 10,
+    bucket_col: str = "bucket",
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH search: scan only the probed buckets (the query's
+    own bucket plus its nearest neighbors by signature distance), exact
+    top-k within them. With the index WRITTEN partitioned by bucket this
+    is partition pruning — the 100 TB query path reads ~probes/2^bits of
+    the data."""
+    cand = index_with_buckets.filter(F.col(bucket_col).isin(probe_buckets))
+    return top_k(
+        cand, query_vec, k=k, metric="ip", embedding_col=embedding_col, id_col=id_col
+    )
+
+
+def probe_sequence(bucket: int, bits: int, n_probes: int) -> list[int]:
+    """Probe order: the bucket itself, then all buckets at Hamming
+    distance 1 (single sign-bit flips), truncated to n_probes — the
+    standard multi-probe heuristic for sign-random-projection LSH."""
+    probes = [bucket] + [bucket ^ (1 << j) for j in range(bits)]
+    return probes[:n_probes]

@@ -1658,3 +1658,69 @@ def q_zscore_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.text_analysis import zscore_lengths_grouped
 
     return zscore_lengths_grouped(_docs(spark, sf_dir), "source")
+
+
+@register(
+    "dedup_apply",
+    # Anti-join application of the minhash near-dup pairs: corpus minus
+    # every greater-id member of a pair.
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+    )
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT id_b FROM verified)
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    pairs = dedup.jaccard_pairs(corpus, cand, threshold=0.5)
+    return dedup.apply_dedup(corpus, pairs).select("doc_id")
+
+
+@register(
+    "index_upsert",
+    # Incremental index maintenance: new-version rows replace same-id
+    # rows, others survive (anti-join + union — the parquet-index upsert).
+    """
+    WITH existing AS (SELECT doc_id, text, 1 AS version FROM documents WHERE doc_id < 400),
+    incoming AS (SELECT doc_id, text || ' v2' AS text, 2 AS version FROM documents
+                 WHERE doc_id >= 350 AND doc_id < 450)
+    SELECT doc_id, text, version FROM incoming
+    UNION ALL
+    SELECT e.doc_id, e.text, e.version FROM existing e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM incoming)
+    """,
+)
+def q_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", "text", F.lit(1).alias("version")
+    )
+    incoming = docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 450)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    survivors = existing.join(incoming.select("doc_id"), "doc_id", "left_anti")
+    return incoming.unionAll(survivors)

@@ -1,0 +1,61 @@
+"""End-to-end ANN flows: IVF with trained centroids; multi-probe LSH."""
+
+from pyspark.sql import functions as F
+
+from rag_content_spark.operators.kmeans import kmeans
+from rag_content_spark.operators.similarity import (
+    lsh_signature,
+    probe_sequence,
+    top_k,
+    top_k_multiprobe,
+)
+
+
+def test_ivf_with_trained_centroids(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seeds = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 100 == 0).orderBy("vec_id").collect()
+    ]
+    centroids, assigned = kmeans(emb, seeds, iterations=2)
+    # every vector assigned; cells are non-trivial
+    counts = {r["centroid_id"]: r["n"] for r in assigned.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()
+    assert len(counts) > 1
+    # probing the query's own cell finds the query vector itself
+    qv = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+    probed = assigned.filter(
+        F.col("centroid_id")
+        == assigned.filter(F.col("vec_id") == 3).collect()[0]["centroid_id"]
+    )
+    hits = top_k(probed.select("vec_id", "embedding"), qv, k=1).collect()
+    assert hits[0]["vec_id"] == 3
+
+
+def test_multiprobe_improves_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bits = 6
+    bucketed = emb.withColumn(
+        "bucket", lsh_signature("embedding", bits=bits, dim=64)
+    ).cache()
+    qv = list(emb.filter(F.col("vec_id") == 11).collect()[0]["embedding"])
+    qbucket = bucketed.filter(F.col("vec_id") == 11).collect()[0]["bucket"]
+    exact = {r["vec_id"] for r in top_k(emb, qv, k=10).collect()}
+
+    def recall(n_probes):
+        probes = probe_sequence(qbucket, bits, n_probes)
+        got = {
+            r["vec_id"]
+            for r in top_k_multiprobe(bucketed, qv, probes, k=10).collect()
+        }
+        return len(got & exact) / 10
+
+    r1, r7 = recall(1), recall(7)
+    assert r7 >= r1  # more probes never hurt recall
+    assert 11 in {
+        r["vec_id"] for r in top_k_multiprobe(bucketed, qv, [qbucket], k=10).collect()
+    }
