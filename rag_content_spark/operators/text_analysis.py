@@ -160,7 +160,7 @@ def zscore_lengths_grouped(docs, group_col: str = "source"):
         sq = int((pdf["n_chars"].astype("int64") ** 2).sum())
         mean = s / n
         var = sq / n - mean * mean
-        std = var**0.5
+        std = var**0.5 if var > 0 else 0.0
         z = (pdf["n_chars"] - mean) / std if std > 0 else pdf["n_chars"] * 0.0
         return pd.DataFrame(
             {

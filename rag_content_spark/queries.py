@@ -1645,13 +1645,20 @@ def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zscore_lengths",
     # Grouped-map pandas UDF (applyInPandas) vs a pure-SQL window oracle:
     # population z-score of doc length per source.
+    # identical integer-sum variance formula on both sides (stddev_pop
+    # uses Welford internally — different float path, can drift at 1ulp)
     """
-    SELECT doc_id, source, n_chars,
-           round(CASE WHEN stddev_pop(n_chars) OVER w > 0
-                      THEN (n_chars - avg(n_chars) OVER w) / stddev_pop(n_chars) OVER w
+    WITH s AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(n_chars) AS DOUBLE) AS s1,
+             CAST(sum(n_chars * n_chars) AS DOUBLE) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                      THEN (d.n_chars - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))
                       ELSE 0.0 END, 6) AS z
-    FROM documents
-    WINDOW w AS (PARTITION BY source)
+    FROM documents d JOIN s USING (source)
     """,
 )
 def q_zscore_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,3 +59,25 @@ def test_multiprobe_improves_recall(spark):
     assert 11 in {
         r["vec_id"] for r in top_k_multiprobe(bucketed, qv, [qbucket], k=10).collect()
     }
+
+
+def test_bucket_partitioned_index_prunes(spark, tmp_path):
+    """The 100 TB ANN layout: index parquet PARTITIONED BY lsh bucket;
+    probing reads only the probed partitions (partition pruning visible
+    in the scan)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    bucketed = emb.withColumn("bucket", lsh_signature("embedding", bits=4, dim=64))
+    path = str(tmp_path / "ann_index")
+    bucketed.write.partitionBy("bucket").parquet(path)
+    index = spark.read.parquet(path)
+    probed = index.filter(F.col("bucket").isin([0, 1, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]
+    # pruned scan returns exactly the probed buckets
+    assert set(
+        r["bucket"] for r in probed.select("bucket").distinct().collect()
+    ) <= {0, 1, 2}

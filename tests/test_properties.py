@@ -1,0 +1,99 @@
+"""Property-based invariants (hypothesis) for the semantic core.
+
+One Spark job per example is slow, so properties are checked in BATCH:
+generate N examples, run them through one DataFrame, assert per-row.
+"""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from rag_content_spark.operators.chunking import chunk_fixed
+from rag_content_spark.operators.filters import has_whitespace, markdown_has_content
+
+TEXTS = st.text(
+    alphabet=st.sampled_from("ab #\n\t`~=-"), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=5), min_size=1, max_size=50),
+       st.integers(min_value=1, max_value=20))
+def test_chunker_partitions_tokens_exactly(spark, tokens_list, size):
+    """No-overlap chunking is a partition: concatenating chunk tokens in
+    order reproduces the token stream exactly; every chunk except the
+    last is full."""
+    text = " ".join(tokens_list)
+    rows = (
+        chunk_fixed(spark.createDataFrame([(text,)], ["text"]), size=size, overlap=0)
+        .orderBy("chunk_index")
+        .collect()
+    )
+    rebuilt = " ".join(r["chunk_text"] for r in rows)
+    assert rebuilt == text
+    sizes = [r["chunk_tokens"] for r in rows]
+    assert all(s == size for s in sizes[:-1])
+    assert 1 <= sizes[-1] <= size
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="xyz", min_size=1, max_size=4), min_size=2, max_size=40),
+       st.integers(min_value=2, max_value=10), st.integers(min_value=1, max_value=9))
+def test_chunker_overlap_windows(spark, tokens_list, size, overlap_raw):
+    """With overlap, consecutive chunks share exactly `overlap` tokens
+    (except possibly the truncated last chunk)."""
+    overlap = min(overlap_raw, size - 1)
+    text = " ".join(tokens_list)
+    rows = (
+        chunk_fixed(
+            spark.createDataFrame([(text,)], ["text"]), size=size, overlap=overlap
+        )
+        .orderBy("chunk_index")
+        .collect()
+    )
+    toks = text.split()
+    stride = size - overlap
+    for r in rows:
+        start = r["chunk_index"] * stride
+        assert r["chunk_text"] == " ".join(toks[start : start + size])
+
+
+def test_filter_predicates_agree_with_python_model(spark):
+    """Batch-check P2/P3 against a direct Python re-implementation on a
+    grid of generated texts."""
+    import itertools
+
+    pieces = ["# h", "## ", "body", "", "```", "   ", "====", "\tind"]
+    texts = [
+        "\n".join(c)
+        for n in (1, 2, 3)
+        for c in itertools.product(pieces, repeat=n)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = df.select(
+        "text",
+        has_whitespace("text").alias("ws"),
+        markdown_has_content("text").alias("content"),
+    ).collect()
+
+    def model_ws(t):
+        return bool(re.search(r"\s", t))
+
+    def model_content(t):
+        for line in t.split("\n"):
+            if not re.search(r"\S", line):
+                continue
+            if re.fullmatch(r"\s{0,3}#{1,6}(\s.*)?", line):
+                continue
+            if re.fullmatch(r"\s{0,3}(=+|-+|\*{3,}|_{3,})\s*", line):
+                continue
+            if re.fullmatch(r"\s{0,3}(```+|~~~+).*", line):
+                continue
+            return True
+        return False
+
+    for r in got:
+        assert r["ws"] == model_ws(r["text"]), repr(r["text"])
+        assert r["content"] == model_content(r["text"]), repr(r["text"])
