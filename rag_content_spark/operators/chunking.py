@@ -20,6 +20,8 @@ transformation — no shuffle; each input partition chunks independently.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from rag_content_spark.functions.text import tokens
@@ -110,3 +112,50 @@ def section_title(section_col: Column | str = "section_text") -> Column:
     return F.regexp_replace(
         F.regexp_extract(c, r"^(#{1,6} [^\n]*)", 1), r"^#{1,6} ", ""
     )
+
+
+def chunk_with_tokenizer(
+    df: DataFrame,
+    tokenizer,
+    text_col: str = "text",
+    size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> DataFrame:
+    """Chunker with a pluggable Python tokenizer (Arrow-batched pandas
+    UDF) — the swap point for model-exact token packing (the reference
+    packs by the embedding model's tokenizer, max 384 tokens,
+    sentence_bert_config.json). ``tokenizer(text) -> list[str]`` runs
+    once per document inside the UDF; chunk assembly stays declarative
+    (same explode plan as chunk_fixed, still no shuffle).
+
+    With ``tokenizer=str.split`` this produces exactly chunk_fixed's
+    output (tested) — plug a BPE/sentencepiece callable for model parity
+    without changing the plan shape.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+
+    @pandas_udf("array<string>")
+    def _tokenize(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: list(tokenizer(t or "")))
+
+    out = (
+        df.withColumn("_tok", _tokenize(F.col(text_col)))
+        .withColumn("_n_chunks", chunk_count(F.col("_tok"), size, overlap))
+        .select(
+            "*",
+            F.posexplode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias(
+                "chunk_index", "_i"
+            ),
+        )
+        .withColumn(
+            "_slice", F.slice(F.col("_tok"), F.col("chunk_index") * stride + 1, size)
+        )
+        .withColumn("chunk_text", F.array_join(F.col("_slice"), " "))
+        .withColumn("chunk_tokens", F.size(F.col("_slice")))
+        .drop("_tok", "_n_chunks", "_i", "_slice")
+    )
+    return out

@@ -68,3 +68,33 @@ def test_html_entity_decode(spark):
     )
     got = df.select(html_entity_decode("text").alias("t")).first()["t"]
     assert got == 'a &--> b "x" \'y\''
+
+
+def test_tokenizer_udf_chunker_matches_expr_path(spark):
+    from rag_content_spark.operators.chunking import chunk_with_tokenizer
+
+    df = spark.createDataFrame(
+        [(" ".join(f"t{i}" for i in range(23)),), ("one two",)], ["text"]
+    )
+    via_expr = {
+        (r["text"], r["chunk_index"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_fixed(df, size=5, overlap=2).collect()
+    }
+    via_udf = {
+        (r["text"], r["chunk_index"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_with_tokenizer(df, str.split, size=5, overlap=2).collect()
+    }
+    assert via_expr == via_udf
+
+
+def test_tokenizer_udf_custom_tokenizer(spark):
+    import re
+
+    from rag_content_spark.operators.chunking import chunk_with_tokenizer
+
+    bpe_ish = lambda t: re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t)
+    df = spark.createDataFrame([("ab12,cd ef!",)], ["text"])
+    rows = chunk_with_tokenizer(df, bpe_ish, size=3, overlap=0).orderBy(
+        "chunk_index"
+    ).collect()
+    assert [r["chunk_text"] for r in rows] == ["ab 12 ,", "cd ef !"]
