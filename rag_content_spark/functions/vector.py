@@ -142,3 +142,31 @@ def response_distance_score(
     (1 - similarity) and euclidean distance."""
     cos_dist = F.lit(1.0) - cosine(vec_a, vec_b, dim)
     return length_penalty(len_a, len_b) + (cos_dist + euclidean(vec_a, vec_b, dim)) / 2.0
+
+
+def quantize_int8(a: Column | str, dim: int | None = None) -> Column:
+    """Scalar int8 quantization of a vector column: STRUCT(scale DOUBLE,
+    q ARRAY<TINYINT>) with q_i = round(x_i / scale) and scale =
+    max_abs / 127. A 4x storage/scan reduction for the 100 TB index; the
+    canonical Parquet index can store q and keep full-precision vectors
+    in a cold partition.
+
+    DuckDB mirror: greatest over list_transform(abs) for max_abs, then
+    the same round/cast.
+    """
+    av = _c(a)
+    max_abs = F.array_max(F.transform(av, lambda x: F.abs(x.cast("double"))))
+    scale = max_abs / 127.0
+    q = F.transform(
+        av,
+        lambda x: F.round(x.cast("double") / scale, 0).cast("tinyint"),
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qcol: Column | str) -> Column:
+    """Approximate reconstruction: x_i ~= q_i * scale (ARRAY<DOUBLE>)."""
+    qc = _c(qcol)
+    return F.transform(
+        qc["q"], lambda v: v.cast("double") * qc["scale"]
+    )

@@ -1731,3 +1731,63 @@ def q_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = existing.join(incoming.select("doc_id"), "doc_id", "left_anti")
     return incoming.unionAll(survivors)
+
+
+_QUANT_SQL = """
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0), 0) AS TINYINT)) AS q
+      FROM embeddings
+"""
+
+
+@register(
+    "quantized_topk",
+    # Int8-quantized index scan: score = dot(dequantized, query) — the 4x
+    # smaller scan path; exact same top-k contract as Q2.
+    f"""
+    WITH quant AS ({_QUANT_SQL}),
+    deq AS (
+      SELECT vec_id, list_transform(q, v -> CAST(v AS DOUBLE) * scale) AS dq FROM quant
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
+    SELECT d.vec_id, round({dot_sql('d.dq', 'qv.v')}, 6) AS score
+    FROM deq d, qv
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.vector import dequantize_int8, quantize_int8
+
+    emb = _emb(spark, sf_dir)
+    quant = emb.select(
+        "vec_id", quantize_int8("embedding").alias("qv")
+    ).select("vec_id", dequantize_int8("qv").alias("embedding"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return top_k(quant, list(qvec), k=10).select("vec_id", "score")
+
+
+@register(
+    "sql_api_topk",
+    # The raw-SQL entry point (spark.sql over registered views) — proof
+    # the engine's surface includes plain ANSI SQL, not just DataFrames.
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id, round({dot_sql('embedding', 'qv')}, 6) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id ASC LIMIT 5
+    """,
+)
+def q_sql_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb(spark, sf_dir).createOrReplaceTempView("embeddings_v")
+    return spark.sql(
+        """
+        WITH q AS (SELECT embedding AS qv FROM embeddings_v WHERE vec_id = 1)
+        SELECT vec_id,
+               round(aggregate(zip_with(embedding, qv,
+                     (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6) AS score
+        FROM embeddings_v, q
+        ORDER BY score DESC, vec_id ASC LIMIT 5
+        """
+    )

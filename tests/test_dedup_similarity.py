@@ -102,3 +102,23 @@ def test_embedding_neardup_pairs(spark):
     # 0 and 1 are near-identical; a band must collide and cosine ~0.994
     assert (0, 1) in pairs and math.isclose(pairs[(0, 1)], 0.9939, abs_tol=1e-3)
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_int8_quantization_roundtrip_error(spark):
+    from rag_content_spark.functions.vector import dequantize_int8, quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    deq = emb.select(
+        "embedding", dequantize_int8(quantize_int8("embedding")).alias("dq")
+    )
+    err = deq.select(
+        F.array_max(
+            F.zip_with("embedding", "dq", lambda a, b: F.abs(a.cast("double") - b))
+        ).alias("max_err"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))).alias(
+            "max_abs"
+        ),
+    ).collect()
+    for r in err:
+        # int8 scalar quantization error bound: half a step = max_abs/254
+        assert r["max_err"] <= r["max_abs"] / 254 + 1e-9
