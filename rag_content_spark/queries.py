@@ -705,18 +705,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(corpus)
 
 
-def _shingles_sql(n: int = 3) -> str:
-    # hashed shingles (dedup.hashed_shingles): th = per-token hash mod P;
-    # shingle = (c0*th[i] + c1*th[i+1] + c2*th[i+2]) mod P, distinct+sorted
-    th = f"list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647)"
-    comb = (
-        "(coalesce(th[i+1], 0) * 100003 + coalesce(th[i+2], 0) * 200003 "
-        "+ coalesce(th[i+3], 0) * 300007) % 2147483647"
-    )
-    return f"""list_sort(list_distinct(list_transform(
-        generate_series(0, greatest(len(th) - {n}, 0)), i -> {comb})))"""
-
-
 def _hashed_shingles_from_th_sql(n: int = 3) -> str:
     comb = (
         "(coalesce(th[i+1], 0) * 100003 + coalesce(th[i+2], 0) * 200003 "
