@@ -45,6 +45,11 @@ HEADLINE = [
     "price_quantiles",
     "zscore_lengths",
     "index_upsert",
+    "pii_scrub",
+    "repetition_stats",
+    "contamination",
+    "stratified_sample",
+    "quantized_topk",
     "pricing_summary",
     "top_customers",
     "events_windowed",

@@ -1779,3 +1779,137 @@ def q_sql_api_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY score DESC, vec_id ASC LIMIT 5
         """
     )
+
+
+# ===================== training-data quality operators =====================
+
+
+_PII_DOC_SQL = """
+CASE WHEN doc_id % 5 = 0
+     THEN text || ' contact: user' || doc_id || '@example.com or +1 555 01' || doc_id || ' at 10.0.0.' || (doc_id % 255)
+     ELSE text END
+""".strip()
+
+
+def _pii_doc_expr():
+    i = F.col("doc_id").cast("string")
+    return F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            i,
+            F.lit("@example.com or +1 555 01"),
+            i,
+            F.lit(" at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+
+
+@register(
+    "pii_scrub",
+    # PII detection + redaction over synthesized contaminated docs.
+    f"""
+    WITH d AS (SELECT doc_id, {_PII_DOC_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS email,
+           CAST(len(regexp_extract_all(t, '\\+?[0-9][0-9() -]{{7,}}[0-9]')) AS INT) AS phone,
+           CAST(len(regexp_extract_all(t, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS INT) AS ipv4,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\+?[0-9][0-9() -]{{7,}}[0-9]', '[PHONE]', 'g'),
+               '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '[IPV4]', 'g') AS scrubbed
+    FROM d
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import pii_counts, scrub_pii
+
+    t = _pii_doc_expr()
+    counts = pii_counts(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        counts["email"].alias("email"),
+        counts["phone"].alias("phone"),
+        counts["ipv4"].alias("ipv4"),
+        scrub_pii(t).alias("scrubbed"),
+    )
+
+
+@register(
+    "repetition_stats",
+    # Gopher-style repetition measures via exploded bigram histogram.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    base AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 6)
+               AS dup_token_frac
+      FROM toks
+    ),
+    bigrams AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM toks CROSS JOIN range(1, 100000) r(i) WHERE i < len(tk)
+    ),
+    hist AS (SELECT doc_id, bigram, count(*) AS cnt FROM bigrams GROUP BY doc_id, bigram),
+    top AS (
+      SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_bigram_frac
+      FROM hist GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.dup_token_frac, coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "contamination",
+    # Shingle containment against a benchmark subset (doc_id % 100 == 0).
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    doc_sh AS (SELECT doc_id, u.s FROM sh, unnest(sh.sh) AS u(s)),
+    bench AS (SELECT DISTINCT u.s FROM sh, unnest(sh.sh) AS u(s) WHERE sh.doc_id % 100 = 0),
+    totals AS (SELECT doc_id, count(*) AS total FROM doc_sh GROUP BY doc_id),
+    hits AS (
+      SELECT d.doc_id, count(*) AS hits
+      FROM doc_sh d JOIN bench b ON d.s = b.s
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           round(coalesce(h.hits, 0)::DOUBLE / t.total, 6) AS contamination
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return contamination(docs, bench)
+
+
+@register(
+    "stratified_sample",
+    # Deterministic hash-based stratified sampling by language.
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {stable_hash64_sql("('samp:' || doc_id)")} % 10000 <
+          CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                    WHEN 'fr' THEN 1000 ELSE 0 END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", F.lit("x").alias("_pad")),
+        {"en": 0.5, "de": 0.25, "fr": 0.1},
+        stratum_col="lang",
+    ).select("doc_id", "lang")

@@ -1,0 +1,56 @@
+from pyspark.sql import functions as F
+
+from rag_content_spark.operators.quality import (
+    contamination,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample,
+)
+
+
+def test_scrub_pii_redacts_all_kinds(spark):
+    df = spark.createDataFrame(
+        [("mail a@b.com phone +1 555 0100 200 ip 10.0.0.1 end",)], ["text"]
+    )
+    got = df.select(scrub_pii("text").alias("t")).first()["t"]
+    assert "[EMAIL]" in got and "[PHONE]" in got and "[IPV4]" in got
+    assert "a@b.com" not in got and "10.0.0.1" not in got
+
+
+def test_repetition_stats_flags_repeats(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "all words here are unique")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["dup_token_frac"] > 0.8 and got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+
+
+def test_contamination_detects_benchmark_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content with other words"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox jumps over")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["contamination"] for r in contamination(docs, bench).collect()}
+    assert got[1] > 0.3 and got[2] == 0.0
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zz' END AS lang"
+    )
+    kept = stratified_sample(df, {"en": 0.5}, stratum_col="lang").collect()
+    langs = {r["lang"] for r in kept}
+    assert langs == {"en"}  # zz rate defaults to 0
+    frac = len(kept) / 2000
+    assert 0.4 < frac < 0.6  # hash-uniform ~0.5
+    # deterministic: same result on re-run
+    again = stratified_sample(df, {"en": 0.5}, stratum_col="lang").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
