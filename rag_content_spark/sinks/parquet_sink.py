@@ -54,3 +54,41 @@ def write_bucketed_index(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    target_partition_bytes: int = 128 << 20,
+    sort_by: str | None = "chunk_id",
+) -> int:
+    """Compact a parquet index in place: coalesce many small files into
+    ~target-sized ones (the small-file problem — streaming appends and
+    fine-grained upserts fragment an index; thousands of tiny files slow
+    every scan's listing + footer reads at 100 TB).
+
+    Returns the new file count. Rewrites via a temp dir + atomic-ish
+    swap (rename) so readers never see a half-written index.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_partition_bytes))
+    out = df.repartition(n_files)
+    if sort_by and sort_by in df.columns:
+        out = out.sortWithinPartitions(sort_by)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

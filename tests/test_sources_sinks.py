@@ -142,3 +142,21 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_a")
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
+def test_compact_index_reduces_files(spark, tmp_path):
+    import glob
+
+    from rag_content_spark.sinks.parquet_sink import compact_index
+
+    path = str(tmp_path / "fragmented")
+    spark.range(0, 10000).selectExpr(
+        "CAST(id AS STRING) AS chunk_id", "id AS payload"
+    ).repartition(64).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    compact_index(spark, path, target_partition_bytes=1 << 30)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after < before and after <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10000

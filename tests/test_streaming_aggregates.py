@@ -101,3 +101,35 @@ def test_windowed_counts_batch_twin(spark):
     ).withColumn("ts", F.to_timestamp("ts_str"))
     got = windowed_event_counts(df).collect()
     assert got[0]["n_events"] == 1
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    from rag_content_spark.streaming.aggregate import streaming_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"k": "a", "ts": "2024-01-01 00:00:00"},
+        {"k": "a", "ts": "2024-01-01 00:10:00"},  # duplicate key within watermark
+        {"k": "b", "ts": "2024-01-01 00:20:00"},
+    ]
+    with open(src / "e.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).json(
+        str(src), timestampFormat="yyyy-MM-dd HH:mm:ss"
+    )
+    q = (
+        streaming_dedup(stream, ["k"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_stream").collect())
+    assert got == ["a", "b"]
