@@ -1145,14 +1145,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import assign_ivf_cells
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent_rows = (
-        emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
+    # one driver collect for centroids AND the query vector (two separate
+    # collects would each run a full scan job)
+    small = (
+        emb.filter((F.col("vec_id") % 50 == 0) | (F.col("vec_id") == 7))
+        .orderBy("vec_id")
+        .collect()
     )
-    centroids = [(r["vec_id"], list(r["embedding"])) for r in cent_rows]
+    centroids = [
+        (r["vec_id"], list(r["embedding"])) for r in small if r["vec_id"] % 50 == 0
+    ]
     assigned = assign_ivf_cells(emb, centroids)
-    qv = list(
-        emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
-    )
+    qv = list(next(r["embedding"] for r in small if r["vec_id"] == 7))
     import math
 
     def _l2(a, b):
