@@ -1,0 +1,167 @@
+"""Command-line surface — drop-in equivalents of the reference's two
+entry points so its users can switch engines without relearning flags:
+
+- ``rag-spark build``  ~ scripts/generate_embeddings.py (reference
+  utils.py:83-142 flag set: -f/--folder, -o/--output, -i/--index,
+  -mn/--model-name, -c/--chunk, -ol/--overlap, -dt/--doc-type,
+  unreachable-action, hermetic)
+- ``rag-spark query``  ~ scripts/query_rag.py (reference
+  query_rag.py:259-290: -d/--db-path, -q/--query, -k/--top-k,
+  -t/--threshold, -n/--node-id)
+
+The store is the canonical Parquet index + metadata.json + llama-stack /
+lightspeed-stack YAML configs (same artifact set the reference emits,
+minus the store-specific binaries which are export-gated). Embedding
+uses the real sentence-transformers UDF when a model path is given and
+the library exists, else the deterministic mock (same plan shape).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _get_embedder(model_path: str | None, dim: int):
+    if model_path:
+        try:
+            from rag_content_spark.embedding.encoder import sentence_transformer_udf
+
+            udf = sentence_transformer_udf(model_path)
+            return lambda c: udf(c)
+        except Exception:
+            print(
+                "warning: sentence-transformers unavailable, using mock embedder",
+                file=sys.stderr,
+            )
+    from rag_content_spark.embedding.mock import mock_embedding_expr
+
+    return lambda c: mock_embedding_expr(c, dim=dim, normalize=True)
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.build_pipeline import BuildConfig, build_chunks
+    from rag_content_spark.session import get_spark
+    from rag_content_spark.sinks.exports import (
+        Timer,
+        build_metadata_json,
+        render_lightspeed_stack_yaml,
+        render_llama_stack_yaml,
+        write_metadata_json,
+    )
+    from rag_content_spark.sinks.parquet_sink import write_index
+    from rag_content_spark.sources.directory import read_text_documents
+
+    spark = get_spark("rag-spark-build")
+    cfg = BuildConfig(
+        chunk_size=args.chunk,
+        chunk_overlap=args.overlap,
+        embedding_model=args.model_name,
+        embedding_dimension=args.dim,
+        unreachable_action=args.unreachable_action,
+        hermetic=not args.check_urls,
+    )
+    docs = read_text_documents(spark, args.folder)
+    embedder = _get_embedder(args.model_path, args.dim)
+    with Timer() as timer:
+        chunks = build_chunks(docs, cfg, embedder=embedder).cache()
+        index_dir = os.path.join(args.output, "index")
+        write_index(chunks, index_dir)
+        n_docs = chunks.select("document_id").distinct().count()
+    meta = build_metadata_json(
+        execution_time_s=timer.seconds,
+        embedding_model=cfg.embedding_model,
+        index_id=args.index,
+        vector_db="parquet",  # canonical store (exports: faiss/pgvector)
+        embedding_dimension=cfg.embedding_dimension,
+        chunk=cfg.chunk_size,
+        overlap=cfg.chunk_overlap,
+        total_embedded_files=n_docs,
+    )
+    write_metadata_json(os.path.join(args.output, "metadata.json"), meta)
+    with open(os.path.join(args.output, "llama-stack.yaml"), "w") as fh:
+        fh.write(
+            render_llama_stack_yaml(
+                os.path.join(args.output, "index"),
+                cfg.embedding_model,
+                cfg.embedding_dimension,
+                args.index,
+            )
+        )
+    with open(os.path.join(args.output, "lightspeed-stack.yaml"), "w") as fh:
+        fh.write(
+            render_lightspeed_stack_yaml(
+                os.path.join(args.output, "llama-stack.yaml")
+            )
+        )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.plans.query import lookup_node, query_index
+    from rag_content_spark.session import get_spark
+    from rag_content_spark.sinks.parquet_sink import read_index
+
+    spark = get_spark("rag-spark-query")
+    index = read_index(spark, os.path.join(args.db_path, "index"))
+    if args.node_id:
+        print(json.dumps(lookup_node(index, args.node_id)))
+        return 0
+    meta = json.load(open(os.path.join(args.db_path, "metadata.json")))
+    embedder = _get_embedder(args.model_path, meta["embedding-dimension"])
+    qvec = (
+        spark.createDataFrame([(args.query,)], ["text"])
+        .select(embedder(F.col("text")).alias("v"))
+        .collect()[0]["v"]
+    )
+    result = query_index(
+        index, args.query, list(qvec), k=args.top_k, threshold=args.threshold
+    )
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="rag-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a vector index from a docs folder")
+    b.add_argument("-f", "--folder", required=True)
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("-i", "--index", default="index")
+    b.add_argument(
+        "-mn", "--model-name", default="sentence-transformers/all-mpnet-base-v2"
+    )
+    b.add_argument("-mp", "--model-path", default=None)
+    b.add_argument("-c", "--chunk", type=int, default=380)  # reference utils.py:94
+    b.add_argument("-ol", "--overlap", type=int, default=0)  # reference utils.py:95
+    b.add_argument("--dim", type=int, default=768)
+    b.add_argument(
+        "-u",
+        "--unreachable-action",
+        choices=["warn", "fail", "drop"],
+        default="warn",
+    )
+    b.add_argument("--check-urls", action="store_true")
+    b.set_defaults(func=cmd_build)
+
+    q = sub.add_parser("query", help="query a built index")
+    q.add_argument("-d", "--db-path", required=True)
+    q.add_argument("-q", "--query", default="")
+    q.add_argument("-k", "--top-k", type=int, default=1)  # reference query_rag.py:269
+    q.add_argument("-t", "--threshold", type=float, default=0.0)
+    q.add_argument("-n", "--node-id", default=None)
+    q.add_argument("-mp", "--model-path", default=None)
+    q.set_defaults(func=cmd_query)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

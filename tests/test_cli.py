@@ -1,0 +1,54 @@
+import json
+import os
+
+
+def _write_corpus(root):
+    docs = root / "docs"
+    docs.mkdir()
+    (docs / "manual.md").write_text(
+        "---\nurl: https://docs.example.com/zyranex\n"
+        'title: "Zyranex T7 Manual"\n---\n'
+        "# Zyranex T7\n\nError ZRX-4401 means the quorbitex module overheated."
+    )
+    (docs / "notes.md").write_text("# Notes\n\nRoutine service information here.")
+    return str(docs)
+
+
+def test_cli_build_and_query_roundtrip(spark, tmp_path, capsys):
+    from rag_content_spark.cli import main
+
+    docs = _write_corpus(tmp_path)
+    out = str(tmp_path / "out")
+    rc = main(["build", "-f", docs, "-o", out, "-i", "test-idx", "-c", "16", "--dim", "32"])
+    assert rc == 0
+    built = capsys.readouterr().out.strip().splitlines()[-1]
+    meta = json.loads(built)
+    assert meta["index-id"] == "test-idx" and meta["total-embedded-files"] == 2
+    assert os.path.exists(os.path.join(out, "index"))
+    assert os.path.exists(os.path.join(out, "metadata.json"))
+    assert os.path.exists(os.path.join(out, "llama-stack.yaml"))
+    assert os.path.exists(os.path.join(out, "lightspeed-stack.yaml"))
+
+    rc = main(["query", "-d", out, "-q", "Zyranex error ZRX-4401", "-k", "3"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["top_k"] == 3 and len(res["nodes"]) == 3
+    assert any("Zyranex" in n["text"] or "ZRX-4401" in n["text"] for n in res["nodes"])
+
+    node_id = res["nodes"][0]["id"]
+    rc = main(["query", "-d", out, "-n", node_id])
+    assert rc == 0
+    node = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert node["found"] and node["node"]["chunk_id"] == node_id
+
+
+def test_cli_high_threshold_empty(spark, tmp_path, capsys):
+    from rag_content_spark.cli import main
+
+    docs = _write_corpus(tmp_path)
+    out = str(tmp_path / "out2")
+    main(["build", "-f", docs, "-o", out, "-c", "16", "--dim", "32"])
+    capsys.readouterr()
+    main(["query", "-d", out, "-q", "anything", "-k", "3", "-t", "0.9999"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["nodes"] == []
