@@ -2,7 +2,11 @@
 pipeline dedup at 100 TB).
 
 Not present in the reference (it trusts file identity); these follow the
-standard large-corpus designs:
+standard public designs — MinHash/shingling per Broder (1997, "On the
+resemblance and containment of documents") with the banding analysis of
+Mining of Massive Datasets ch.3 (Leskovec/Rajaraman/Ullman); SimHash per
+Charikar (2002); the dedup pipeline shape follows what large-corpus
+curation reports (e.g. RefinedWeb, Gopher) describe:
 
 - exact          : group by content hash, keep min id. One shuffle on a
                    64-bit key; AQE handles skew (empty/boilerplate docs).

@@ -105,7 +105,9 @@ def bm25_scores(
     b: float = 0.75,
     round_to: int = 6,
 ) -> DataFrame:
-    """Okapi BM25 over the same inverted-index shape as keyword_scores.
+    """Okapi BM25 (Robertson & Walker's classic formula with the
+    standard k1/b defaults) over the same inverted-index shape as
+    keyword_scores.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); tf normalization uses the
     document length in whitespace tokens against the corpus average.
