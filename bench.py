@@ -50,6 +50,8 @@ HEADLINE = [
     "contamination",
     "stratified_sample",
     "quantized_topk",
+    "lang_id_trigram",
+    "conversion_funnel",
     "pricing_summary",
     "top_customers",
     "events_windowed",

@@ -176,3 +176,46 @@ def zscore_lengths_grouped(docs, group_col: str = "source"):
         .groupBy(group_col)
         .applyInPandas(_z, schema=schema)
     )
+
+
+def char_trigrams(text_col, max_chars: int = 200):
+    """Distinct character trigrams of the first ``max_chars`` chars
+    (lowercased). Bounded cost per row regardless of document size.
+
+    DuckDB: list_distinct(list_transform(generate_series(1, n-2),
+              i -> t[i:i+2])) over lower(substr(text,1,max_chars)).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.lower(F.substring(c, 1, max_chars))
+    n = F.length(t)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: t.substr(i, F.lit(3)),
+        )
+    )
+
+
+def lang_trigram_profile(lang: str) -> list[str]:
+    """Deterministic per-language trigram profile: the distinct char
+    trigrams of the language's stopword list (a tiny stand-in for a real
+    trained profile — the operator shape is what matters)."""
+    grams = set()
+    for w in STOPWORDS[lang]:
+        w = w.lower()
+        for i in range(max(len(w) - 2, 1)):
+            grams.add(w[i : i + 3])
+    return sorted(grams)
+
+
+def trigram_lang_score(text_col, lang: str) -> Column:
+    """Fraction of the document's distinct char trigrams found in the
+    language profile — array_intersect against a literal profile array
+    (narrow, no shuffle; profiles are constants)."""
+    doc = char_trigrams(text_col)
+    profile = F.array(*[F.lit(g) for g in lang_trigram_profile(lang)])
+    return F.round(
+        F.size(F.array_intersect(doc, profile))
+        / F.greatest(F.size(doc), F.lit(1)),
+        6,
+    )

@@ -1917,3 +1917,114 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.5, "de": 0.25, "fr": 0.1},
         stratum_col="lang",
     ).select("doc_id", "lang")
+
+
+def _trigram_doc_sql() -> str:
+    return (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(lower(substr(text, 1, 200))) - 2, 1)), "
+        "i -> lower(substr(text, 1, 200))[i:i+2]))"
+    )
+
+
+def _trigram_score_sql(lang: str) -> str:
+    from rag_content_spark.operators.text_analysis import lang_trigram_profile
+
+    profile = ", ".join(f"'{g}'" for g in lang_trigram_profile(lang))
+    return (
+        f"round(len(list_intersect(tri, [{profile}]))::DOUBLE"
+        f" / greatest(len(tri), 1), 6)"
+    )
+
+
+@register(
+    "lang_id_trigram",
+    # Char-trigram language ID (profile = trigrams of each language's
+    # stopword list); argmax with lexicographically-last tie-break.
+    f"""
+    WITH t AS (SELECT doc_id, {_trigram_doc_sql()} AS tri FROM documents),
+    s AS (
+      SELECT doc_id,
+             {" , ".join(f"{_trigram_score_sql(lang)} AS score_{lang}" for lang in sorted(text_analysis.STOPWORDS))}
+      FROM t
+    )
+    SELECT doc_id, score_en, score_de,
+           list_max([
+             {{'score': score_de, 'lang': 'de'}},
+             {{'score': score_en, 'lang': 'en'}},
+             {{'score': score_es, 'lang': 'es'}},
+             {{'score': score_fr, 'lang': 'fr'}},
+             {{'score': score_zh, 'lang': 'zh'}}
+           ]).lang AS detected
+    FROM s
+    """,
+)
+def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.text_analysis import trigram_lang_score
+
+    scores = {
+        lang: trigram_lang_score("text", lang)
+        for lang in sorted(text_analysis.STOPWORDS)
+    }
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+                for lang in sorted(text_analysis.STOPWORDS)
+            ]
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        best["lang"].alias("detected"),
+    )
+
+
+@register(
+    "conversion_funnel",
+    # Ordered-sequence funnel over events: view -> click -> purchase per
+    # user (integer epoch-second semantics).
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           count(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS n_view_click,
+           count(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+    FROM steps
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.expr("ts DIV 1000000000").alias("ts_sec")
+    )
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_sec"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_sec"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_sec"))
+        ).alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )

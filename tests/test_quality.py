@@ -54,3 +54,35 @@ def test_stratified_sample_rates(spark):
     # deterministic: same result on re-run
     again = stratified_sample(df, {"en": 0.5}, stratum_col="lang").collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+
+
+def test_stamp_document_file_id(spark):
+    from rag_content_spark.operators.rollup import stamp_document_file_id
+
+    chunks = spark.createDataFrame(
+        [("c1", "d1"), ("c2", "d1"), ("c3", "d2")], ["chunk_id", "document_id"]
+    )
+    got = stamp_document_file_id(chunks).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["document_id"], set()).add(r["file_id"])
+    # one stable file_id per document, shared by all its chunks
+    assert all(len(v) == 1 for v in by_doc.values())
+    assert by_doc["d1"] != by_doc["d2"]
+
+
+def test_trigram_langid_separates_languages(spark):
+    from rag_content_spark.operators.text_analysis import trigram_lang_score
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("the cat is in the house and it is that",), ("der hund ist von den und zu",)],
+        ["text"],
+    )
+    rows = df.select(
+        trigram_lang_score("text", "en").alias("en"),
+        trigram_lang_score("text", "de").alias("de"),
+    ).collect()
+    assert rows[0]["en"] > rows[0]["de"]
+    assert rows[1]["de"] > rows[1]["en"]
