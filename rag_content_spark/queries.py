@@ -2028,3 +2028,31 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "label_centroids",
+    # Per-label element-wise embedding mean (the k-means re-center shape,
+    # SURVEY-extension): posexplode/unnest to (label, dim, val), DECIMAL
+    # sums so partial-aggregation order cannot perturb the result.
+    """
+    SELECT label, CAST(r.range AS INT) AS dim,
+           round(CAST(sum(CAST(embedding[CAST(r.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 6) AS mean_val
+    FROM embeddings CROSS JOIN range(0, 64) r
+    GROUP BY label, dim
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        .select("label", "dim", F.round("_m", 6).alias("mean_val"))
+    )
