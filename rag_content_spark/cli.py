@@ -119,9 +119,44 @@ def cmd_query(args: argparse.Namespace) -> int:
         .select(embedder(F.col("text")).alias("v"))
         .collect()[0]["v"]
     )
-    result = query_index(
-        index, args.query, list(qvec), k=args.top_k, threshold=args.threshold
-    )
+    if args.mode == "vector":
+        result = query_index(
+            index, args.query, list(qvec), k=args.top_k, threshold=args.threshold
+        )
+    else:
+        # keyword / hybrid modes (reference query_rag.py:190: OGX-only
+        # there; first-class here) over the index's chunk text
+        from rag_content_spark.operators.search import hybrid_scores, keyword_scores
+
+        terms = [t for t in args.query.lower().split() if t]
+        if args.mode == "keyword":
+            scored = keyword_scores(index, terms, id_col="chunk_id").withColumnRenamed(
+                "kw_score", "score"
+            )
+        else:
+            scored = hybrid_scores(
+                index, terms, list(qvec), id_col="chunk_id"
+            ).withColumnRenamed("hybrid_score", "score")
+        hits = (
+            scored.join(index.select("chunk_id", "text"), "chunk_id")
+            .orderBy(F.desc("score"), F.asc("chunk_id"))
+            .limit(args.top_k)
+            .collect()
+        )
+        # all-or-nothing threshold gate on the TOP score, matching the
+        # reference (query_rag.py:81-94) and our vector path (P6)
+        if hits and hits[0]["score"] < args.threshold:
+            hits = []
+        result = {
+            "query": args.query,
+            "top_k": args.top_k,
+            "threshold": args.threshold,
+            "mode": args.mode,
+            "nodes": [
+                {"id": r["chunk_id"], "score": float(r["score"]), "text": r["text"]}
+                for r in hits
+            ],
+        }
     print(json.dumps(result))
     return 0
 
@@ -156,6 +191,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", "--top-k", type=int, default=1)  # reference query_rag.py:269
     q.add_argument("-t", "--threshold", type=float, default=0.0)
     q.add_argument("-n", "--node-id", default=None)
+    q.add_argument(
+        "-m", "--mode", choices=["vector", "keyword", "hybrid"], default="vector"
+    )  # reference query_rag.py:190
     q.add_argument("-mp", "--model-path", default=None)
     q.set_defaults(func=cmd_query)
 

@@ -52,3 +52,19 @@ def test_cli_high_threshold_empty(spark, tmp_path, capsys):
     main(["query", "-d", out, "-q", "anything", "-k", "3", "-t", "0.9999"])
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["nodes"] == []
+
+
+def test_cli_keyword_and_hybrid_modes(spark, tmp_path, capsys):
+    from rag_content_spark.cli import main
+
+    docs = _write_corpus(tmp_path)
+    out = str(tmp_path / "out3")
+    main(["build", "-f", docs, "-o", out, "-c", "16", "--dim", "32"])
+    capsys.readouterr()
+    main(["query", "-d", out, "-q", "quorbitex module", "-k", "2", "-m", "keyword"])
+    kw = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert kw["mode"] == "keyword" and kw["nodes"]
+    assert any("quorbitex" in n["text"] for n in kw["nodes"])
+    main(["query", "-d", out, "-q", "quorbitex module", "-k", "2", "-m", "hybrid"])
+    hy = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hy["mode"] == "hybrid" and len(hy["nodes"]) == 2
