@@ -55,6 +55,10 @@ from rag_content_spark.operators.similarity import top_k, top_k_batch
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: no blanket ingest repartition — measured at sf0.1 a 32-way
+    # fan-out of 5k rows LOSES ~25% (task overhead + the shuffle) vs
+    # single-task narrow chains; the 10x/100x experiments in BASELINE.md
+    # show parallelism engaging naturally once inputs have >1 split.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
