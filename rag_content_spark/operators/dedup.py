@@ -388,3 +388,91 @@ def apply_dedup(
     """
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, component)
+    with component = the minimum id reachable from ``id``.
+
+    Pairwise dedup output is edges; the unit of removal is the CLUSTER
+    (A~B, B~C must collapse to one survivor even if (A,C) was never a
+    candidate pair). Iterative min-label propagation: each round joins
+    current labels across edges and keeps the per-node minimum,
+    terminating when no label changes. Rounds are O(log n) for typical
+    near-dup clusters (small diameter); each round is two hash joins +
+    an aggregation, and labels are localCheckpoint'ed so the plan does
+    not grow with iterations (the lineage-explosion trap of iterative
+    DataFrame algorithms).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse each near-duplicate CLUSTER to one survivor: the
+    highest-``quality_col`` member (ties → lowest id), or the lowest id
+    when no quality column is given. Rows in no cluster pass through."""
+    comp = connected_components(pairs)
+    tagged = df.join(comp, df[id_col] == comp["id"], "left").drop("id")
+    in_cluster = tagged.filter(F.col("component").isNotNull())
+    solo = tagged.filter(F.col("component").isNull()).drop("component")
+    if quality_col:
+        order_key = F.struct(
+            (-F.col(quality_col)).alias("q"), F.col(id_col).alias("i")
+        )
+    else:
+        order_key = F.struct(F.col(id_col).alias("i"))
+    winners = (
+        in_cluster.groupBy("component")
+        .agg(F.min_by(id_col, order_key).alias("_keep"))
+        .select(F.col("_keep").alias(id_col))
+    )
+    kept = in_cluster.join(winners, id_col, "leftsemi").drop("component")
+    return solo.unionByName(kept)

@@ -2060,3 +2060,17 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "dim", F.round("_m", 6).alias("mean_val"))
     )
+
+
+@register(
+    "dedup_clusters",
+    # Connected components over the minhash near-dup pairs (iterative
+    # label propagation — genuinely non-SQL-expressible per the driver
+    # contract, so no oracle: rows-only check). Returns (id, component).
+    None,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    pairs = dedup.jaccard_pairs(corpus, cand, threshold=0.5).select("id_a", "id_b")
+    return dedup.connected_components(pairs)

@@ -122,3 +122,30 @@ def test_int8_quantization_roundtrip_error(spark):
     for r in err:
         # int8 scalar quantization error bound: half a step = max_abs/254
         assert r["max_err"] <= r["max_abs"] / 254 + 1e-9
+
+
+def test_connected_components_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+
+def test_resolve_duplicates_keeps_best_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (7, 0.1)], ["doc_id", "quality"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = {
+        r["doc_id"]
+        for r in dedup.resolve_duplicates(docs, pairs, quality_col="quality").collect()
+    }
+    # cluster {1,2,3} -> highest quality (2) survives; solo 7 passes through
+    assert kept == {2, 7}
