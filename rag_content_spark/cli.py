@@ -197,8 +197,41 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-mp", "--model-path", default=None)
     q.set_defaults(func=cmd_query)
 
+    e = sub.add_parser("sql", help="run ANSI SQL over a built index and/or parquet tables")
+    e.add_argument("-d", "--db-path", default=None, help="registers view 'chunks'")
+    e.add_argument("--tables", default=None, help="dir of <name>.parquet files to register as views")
+    e.add_argument("-e", "--execute", required=True, help="SQL text")
+    e.set_defaults(func=cmd_sql)
+
     args = parser.parse_args(argv)
     return args.func(args)
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Raw-SQL entry point: register the index and/or a directory of
+    parquet tables as temp views, run one statement, print JSON lines."""
+    from rag_content_spark.session import get_spark
+    from rag_content_spark.sinks.parquet_sink import read_index
+
+    spark = get_spark("rag-spark-sql")
+    # some corpora store nanosecond timestamps (read them as long nanos)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if args.db_path:
+        read_index(spark, os.path.join(args.db_path, "index")).createOrReplaceTempView(
+            "chunks"
+        )
+    if args.tables:
+        for f in sorted(os.listdir(args.tables)):
+            if f.endswith(".parquet"):
+                try:
+                    spark.read.parquet(
+                        os.path.join(args.tables, f)
+                    ).createOrReplaceTempView(f[: -len(".parquet")])
+                except Exception as exc:
+                    print(f"warning: skipping {f}: {exc}", file=sys.stderr)
+    for row in spark.sql(args.execute).toJSON().collect():
+        print(row)
+    return 0
 
 
 if __name__ == "__main__":

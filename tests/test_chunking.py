@@ -98,3 +98,15 @@ def test_tokenizer_udf_custom_tokenizer(spark):
         "chunk_index"
     ).collect()
     assert [r["chunk_text"] for r in rows] == ["ab 12 ,", "cd ef !"]
+
+
+def test_invalid_overlap_rejected(spark):
+    import pytest
+
+    from rag_content_spark.operators.chunking import chunk_with_tokenizer
+
+    df = _one(spark, "a b c")
+    with pytest.raises(ValueError):
+        chunk_fixed(df, size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_with_tokenizer(df, str.split, size=4, overlap=5)

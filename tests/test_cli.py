@@ -68,3 +68,27 @@ def test_cli_keyword_and_hybrid_modes(spark, tmp_path, capsys):
     main(["query", "-d", out, "-q", "quorbitex module", "-k", "2", "-m", "hybrid"])
     hy = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert hy["mode"] == "hybrid" and len(hy["nodes"]) == 2
+
+
+def test_cli_sql_over_index_and_tables(spark, tmp_path, capsys):
+    from rag_content_spark.cli import main
+
+    docs = _write_corpus(tmp_path)
+    out = str(tmp_path / "out4")
+    main(["build", "-f", docs, "-o", out, "-c", "16", "--dim", "32"])
+    capsys.readouterr()
+    rc = main(
+        [
+            "sql",
+            "-d",
+            out,
+            "--tables",
+            "/root/testdata/sf0.001",
+            "-e",
+            "SELECT (SELECT count(*) FROM chunks) AS n_chunks, "
+            "(SELECT count(*) FROM documents) AS n_docs",
+        ]
+    )
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n_chunks"] > 0 and row["n_docs"] == 500
