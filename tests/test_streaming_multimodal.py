@@ -76,3 +76,14 @@ def test_converters_fallback(spark):
     assert out["d1"]["text"] == "Hello world"
     # scanned-PDF warning path (reference pdf_reader.py:67,133-141)
     assert out["d2"]["conversion_warning"] is not None
+
+
+def test_asciidoc_fallback_downgrade(spark):
+    from rag_content_spark.sources.converters import convert_asciidoc
+
+    df = spark.createDataFrame(
+        [("= Title\n\n== Section\n\nbody text here",)], ["text"]
+    )
+    out = convert_asciidoc(df).collect()[0]["text"]
+    # without the asciidoctor binary: deterministic heading downgrade
+    assert out.startswith("# Title") and "\n## Section" in out
