@@ -49,12 +49,39 @@ def populate_metadata(
     return check_urls(out)
 
 
-def check_urls(df: DataFrame, url_col: str = "docs_url") -> DataFrame:
+def http_prober(urls: list[str]) -> list[bool]:
+    """Default prober: HTTP GET with the reference's 3-retry/30 s budget
+    (metadata_processor.py:71-83), one Session per partition batch."""
+    try:
+        import requests
+
+        session = requests.Session()
+    except Exception:  # offline container: everything unreachable
+        return [False] * len(urls)
+    out = []
+    for url in urls:
+        ok = False
+        if isinstance(url, str) and url.startswith("http"):
+            for _ in range(3):
+                try:
+                    ok = session.get(url, timeout=30).status_code < 400
+                    break
+                except Exception:
+                    continue
+        out.append(ok)
+    return out
+
+
+def check_urls(
+    df: DataFrame, url_col: str = "docs_url", prober=http_prober
+) -> DataFrame:
     """Non-hermetic reachability: ping each DISTINCT url once, join back.
 
-    The ping itself is a Pandas-batched mapInPandas with one
-    requests.Session per partition (reference pings per-file with a fresh
-    session each time, metadata_processor.py:71-83).
+    ``prober(urls) -> [bool]`` runs inside a Pandas-batched mapInPandas
+    (injectable so tests stay offline; the default does real HTTP). The
+    reference pings once per FILE with a fresh session each time
+    (metadata_processor.py:71-83) — deduplicating by URL first is the
+    cluster-side fix for corpora where thousands of files share a URL.
     """
     import pyspark.sql.types as T
 
@@ -66,27 +93,9 @@ def check_urls(df: DataFrame, url_col: str = "docs_url") -> DataFrame:
     )
 
     def _ping(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import requests
-
-            session = requests.Session()
-        except Exception:  # offline container: everything unreachable
-            session = None
         for pdf in batches:
-            results = []
-            for url in pdf[url_col]:
-                ok = False
-                if session is not None and isinstance(url, str) and url.startswith(
-                    "http"
-                ):
-                    for _ in range(3):  # reference retry budget
-                        try:
-                            ok = session.get(url, timeout=30).status_code < 400
-                            break
-                        except Exception:
-                            continue
-                results.append(ok)
-            yield pd.DataFrame({url_col: pdf[url_col], "url_reachable": results})
+            urls = list(pdf[url_col])
+            yield pd.DataFrame({url_col: urls, "url_reachable": prober(urls)})
 
     distinct = df.select(url_col).dropDuplicates([url_col])
     pinged = distinct.mapInPandas(_ping, schema=schema)

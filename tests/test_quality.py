@@ -86,3 +86,23 @@ def test_trigram_langid_separates_languages(spark):
     ).collect()
     assert rows[0]["en"] > rows[0]["de"]
     assert rows[1]["de"] > rows[1]["en"]
+
+
+def test_check_urls_distinct_ping_and_join_back(spark):
+    from rag_content_spark.operators.metadata import check_urls
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "https://ok.example.com"),
+            ("d2", "https://ok.example.com"),  # same URL: must ping once
+            ("d3", "https://bad.example.com"),
+            ("d4", "not-a-url"),
+        ],
+        ["doc_id", "docs_url"],
+    )
+
+    def fake_prober(urls):
+        return [isinstance(u, str) and "ok" in u for u in urls]
+
+    got = {r["doc_id"]: r["url_reachable"] for r in check_urls(df, prober=fake_prober).collect()}
+    assert got == {"d1": True, "d2": True, "d3": False, "d4": False}
