@@ -108,6 +108,50 @@ def _md_doc_sql() -> str:
     return _MD_DOC_SQL.format(tok=_TOKENS_SQL)
 
 
+# Array-output serialization: the driver's canonicalizer (pandas
+# sort_values) cannot hash list cells (CORRECTNESS_r01: 6 err rows), so
+# every query output serializes arrays to canonical strings — identically
+# on both engines.
+#
+# Numeric arrays go through floor(double(x) * 1e6) -> BIGINT: float->double
+# widening is exact, both engines run the same double multiply/floor on
+# bit-identical inputs, and integers render identically (raw double->string
+# formatting does NOT match between the JVM and DuckDB).
+
+
+def _ser_num_array(col) -> F.Column:
+    return F.array_join(
+        F.transform(
+            col if isinstance(col, F.Column) else F.col(col),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("string"),
+        ),
+        ",",
+    )
+
+
+def _ser_num_array_sql(expr: str) -> str:
+    return (
+        f"array_to_string(list_transform({expr}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), ',')"
+    )
+
+
+def _ser_int_array(col) -> F.Column:
+    return F.array_join(
+        F.transform(
+            col if isinstance(col, F.Column) else F.col(col),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+
+
+def _ser_int_array_sql(expr: str) -> str:
+    return (
+        f"array_to_string(list_transform({expr}, x -> CAST(x AS VARCHAR)), ',')"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -253,7 +297,8 @@ CASE WHEN doc_id % 2 = 0 THEN '"Red Hat OpenStack Platform", "Other Product"'
                      regexp_split_to_array(regexp_extract(blk, '(?m)^portal_product_names\\s*=\\s*\\[([^\\]]*)\\]', 1), ','),
                      s -> trim(s, ' "')), s -> s <> '') AS portal_product_names
           FROM b)
-    SELECT doc_id, okp_title, okp_url, portal_product_names
+    SELECT doc_id, okp_title, okp_url,
+           array_to_string(portal_product_names, '|') AS portal_product_names
     FROM m
     WHERE okp_url IS NOT NULL AND okp_title IS NOT NULL
       AND len(list_filter(portal_product_names,
@@ -295,6 +340,8 @@ def q_okp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.filter(
         F.col("okp_url").isNotNull() & F.col("okp_title").isNotNull() & match
+    ).withColumn(
+        "portal_product_names", F.array_join("portal_product_names", "|")
     )
 
 
@@ -457,7 +504,8 @@ def q_unreachable_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH c AS ({_CHUNK_SQL.format(tokens=_TOKENS_SQL, size=16, overlap=0, stride=16)})
     SELECT doc_id, count(*) AS n_chunks,
-           list_sort(list(doc_id || '#' || chunk_index)) AS chunk_ids
+           array_to_string(list_sort(list(doc_id || '#' || chunk_index)), '|')
+             AS chunk_ids
     FROM c GROUP BY doc_id
     """,
 )
@@ -470,7 +518,9 @@ def q_chunk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_id"
         ),
     )
-    return group_chunks_by_document(chunks, doc_col="doc_id")
+    return group_chunks_by_document(chunks, doc_col="doc_id").withColumn(
+        "chunk_ids", F.array_join("chunk_ids", "|")
+    )
 
 
 @register(
@@ -595,13 +645,14 @@ def q_score_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "node_lookup",
     # Q3: point lookup by id (reference query_rag.py:37-64).
-    "SELECT vec_id, label, embedding FROM embeddings WHERE vec_id = 42",
+    f"""SELECT vec_id, label, {_ser_num_array_sql('embedding')} AS embedding
+    FROM embeddings WHERE vec_id = 42""",
 )
 def q_node_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import node_lookup
 
     return node_lookup(_emb(spark, sf_dir), 42, id_col="vec_id").select(
-        "vec_id", "label", "embedding"
+        "vec_id", "label", _ser_num_array("embedding").alias("embedding")
     )
 
 
@@ -642,16 +693,20 @@ def q_pairwise_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # E1 twin: deterministic mock embedding, dim 8 (unnormalized so every
     # value is exactly representable: integers / 1e6).
     f"""
-    SELECT doc_id,
-           list_transform(generate_series(0, 7),
-             i -> ({stable_hash64_sql("(text || ':' || i)")} % 1000000) / 1000000.0 * 2.0 - 1.0)
-             AS embedding
-    FROM documents
+    WITH e AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 7),
+               i -> ({stable_hash64_sql("(text || ':' || i)")} % 1000000) / 1000000.0 * 2.0 - 1.0)
+               AS emb
+      FROM documents
+    )
+    SELECT doc_id, {_ser_num_array_sql('emb')} AS embedding FROM e
     """,
 )
 def q_mock_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
-        "doc_id", mock_embedding_expr("text", dim=8).alias("embedding")
+        "doc_id",
+        _ser_num_array(mock_embedding_expr("text", dim=8)).alias("embedding"),
     )
 
 
@@ -949,14 +1004,19 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id,
-           list_slice(list_sort(list_transform(g, s -> {stable_hash64_sql('s')})), 1, 8)
+           {_ser_int_array_sql(
+               "list_slice(list_sort(list_transform(g, s -> "
+               + stable_hash64_sql('s') + ")), 1, 8)")}
              AS fingerprint
     FROM grams
     """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
-        "doc_id", text_analysis.fingerprint("text", shingle_n=3, k=8).alias("fingerprint")
+        "doc_id",
+        _ser_int_array(
+            text_analysis.fingerprint("text", shingle_n=3, k=8)
+        ).alias("fingerprint"),
     )
 
 
@@ -1331,7 +1391,7 @@ _WS_TRIM = "' ' || chr(9) || chr(13) || chr(10)"
            document_id,
            coalesce(docs_url, title) AS source,
            title, docs_url, true AS url_reachable, text,
-           {_mock_embed_sql('text')} AS embedding
+           {_ser_num_array_sql(_mock_embed_sql('text'))} AS embedding
     FROM chunks
     WHERE regexp_matches(text, '\\s')
     """,
@@ -1370,7 +1430,7 @@ def q_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs_url",
         "url_reachable",
         "text",
-        "embedding",
+        _ser_num_array("embedding").alias("embedding"),
     )
 
 
