@@ -28,39 +28,100 @@ def has_whitespace(col: Column | str = "text") -> Column:
     return c.rlike(r"\s")
 
 
-# Per-line classifiers (reference document_processor.py:151-196):
-_ATX_HEADER = r"^\s{0,3}#{1,6}(\s.*)?$"  # '# ...' or bare '#'
-_SETEXT_OR_HR = r"^\s{0,3}(=+|-+|\*{3,}|_{3,})\s*$"  # underline / horizontal rule
-_FENCE = r"^\s{0,3}(```+|~~~+).*$"  # code-fence marker line
+# Exact _got_content semantics (reference document_processor.py:139-199).
+# The walk is stateful — a ``` fence toggles, any line inside a fence is
+# content, a setext underline CONSUMES the line above it (skip two), a
+# 4-space-indented raw line is content, any '#'-prefixed stripped line is
+# a header (no space required), and horizontal rules are all-=/- strings
+# only. Expressed as one JVM-side F.aggregate fold over the lines (no
+# Python UDF in the hot path); tests port every parametrized case from
+# reference tests/test_document_processor_llama_index.py:118-155.
+
+_EQ_DASH_RE = r"^[=\-]+$"
+_PYSTRIP_RE = r"(^\s+)|(\s+$)"  # Python str.strip(); Spark trim() is spaces-only
 
 
-def _is_content_line(line: Column) -> Column:
-    """A line carries content iff it is non-blank and is not a header,
-    setext underline / horizontal rule, or fence marker.
-
-    Fence *markers* never count; lines inside a fence count like any other
-    line, so an empty fenced block contributes nothing (matching the
-    reference's invalid 'empty code block' cases,
-    tests/test_document_processor_llama_index.py:136-155).
-    """
-    blank = ~line.rlike(r"\S")  # trim() strips only spaces, not tabs
-    return ~(
-        blank
-        | line.rlike(_ATX_HEADER)
-        | line.rlike(_SETEXT_OR_HR)
-        | line.rlike(_FENCE)
-    )
+def got_content_py(text: str) -> bool:
+    """Plain-Python twin of :func:`markdown_has_content` (driver-side /
+    test oracle). Same state walk as the Spark fold below."""
+    lines = text.splitlines()
+    in_fence = False
+    i = 0
+    while i < len(lines):
+        raw = lines[i]
+        line = raw.strip()
+        if not line:
+            i += 1
+            continue
+        if raw.startswith("    "):  # indented code block with content
+            return True
+        if line.startswith("```"):
+            in_fence = not in_fence
+            i += 1
+            continue
+        if in_fence:
+            return True
+        if line.startswith("#"):  # ATX header (space not required)
+            i += 1
+            continue
+        if line and all(ch in "=-" for ch in line):  # horizontal rule
+            i += 1
+            continue
+        nxt = lines[i + 1].strip() if i + 1 < len(lines) else ""
+        if nxt and all(ch in "=-" for ch in nxt):  # setext: consume both
+            i += 2
+            continue
+        return True
+    return False
 
 
 def markdown_has_content(col: Column | str = "text") -> Column:
     """P3: True iff at least one line carries real content
-    (reference _got_content, document_processor.py:139-202).
+    (reference _got_content, document_processor.py:139-199) — exact
+    state-machine semantics as a single aggregate fold.
 
-    DuckDB mirror: EXISTS over regexp_split_to_array(x, chr(10)) with the
-    same three line regexes.
+    DuckDB mirror: list_reduce over the same per-line CASE (see
+    queries._HAS_CONTENT_SQL).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.exists(F.split(c, "\n"), _is_content_line)
+    lines = F.split(c, "\n")
+    # Pair each raw line with its successor for the setext lookahead.
+    # zip_with pads the shorter side with NULL, so the last line gets
+    # nxt = NULL. (slice-based tail: one extra eval of the split, not a
+    # per-element F.get re-eval of it.)
+    tail = F.slice(lines, 2, F.greatest(F.size(lines), F.lit(1)))
+    items = F.zip_with(
+        lines, tail, lambda a, b: F.struct(a.alias("raw"), b.alias("nxt"))
+    )
+
+    def _st(fence: Column, skip: Column, found: Column) -> Column:
+        return F.struct(
+            fence.alias("fence"), skip.alias("skip"), found.alias("found")
+        )
+
+    def _step(acc: Column, x: Column) -> Column:
+        raw, nxt = x["raw"], x["nxt"]
+        line = F.regexp_replace(raw, _PYSTRIP_RE, "")
+        t, f = F.lit(True), F.lit(False)
+        return (
+            # found is terminal; skip consumes exactly this line
+            F.when(acc["found"] | acc["skip"], _st(acc["fence"], f, acc["found"]))
+            .when(line == "", acc)
+            .when(raw.startswith("    "), _st(acc["fence"], f, t))
+            .when(line.startswith("```"), _st(~acc["fence"], f, f))
+            .when(acc["fence"], _st(acc["fence"], f, t))
+            .when(line.startswith("#"), acc)
+            .when(line.rlike(_EQ_DASH_RE), acc)
+            .when(
+                nxt.isNotNull()
+                & F.regexp_replace(nxt, _PYSTRIP_RE, "").rlike(_EQ_DASH_RE),
+                _st(acc["fence"], t, f),
+            )
+            .otherwise(_st(acc["fence"], f, t))
+        )
+
+    init = _st(F.lit(False), F.lit(False), F.lit(False))
+    return F.aggregate(items, init, _step, lambda a: a["found"])
 
 
 def valid_chunk(text_col: str = "text", doc_type_col: str = "doc_type") -> Column:

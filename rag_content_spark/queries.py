@@ -419,13 +419,24 @@ def q_markdown_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ============================== filters ====================================
 
 
+# Degenerate corpus covering the discriminating _got_content cases
+# (reference tests/test_document_processor_llama_index.py:118-155):
+# no-space ATX headers, setext underlines, fenced code with header-looking
+# content, '***' (NOT a =/- horizontal rule), setext-consumes-a-line.
 _DEGENERATE_SQL = """
-CASE CAST(doc_id % 6 AS INT)
+CASE CAST(doc_id % 12 AS INT)
   WHEN 0 THEN '# Only Header'
   WHEN 1 THEN '# H1' || chr(10) || '## H2'
   WHEN 2 THEN '```' || chr(10) || '```'
   WHEN 3 THEN '   ' || chr(10) || chr(9)
   WHEN 4 THEN '# H' || chr(10) || '====' || chr(10) || '---'
+  WHEN 5 THEN '#Header1' || chr(10) || '#Header2' || chr(10) || '#Header3'
+  WHEN 6 THEN 'Title' || chr(10) || '====='
+  WHEN 7 THEN '```' || chr(10) || '# git commit' || chr(10) || '```'
+  WHEN 8 THEN '***'
+  WHEN 9 THEN '  # Header' || chr(10) || 'Another header' || chr(10) || '===='
+              || chr(10) || chr(10) || '===='
+  WHEN 10 THEN ' # H' || chr(10) || '    # indented code'
   ELSE '# Doc ' || doc_id || chr(10) || text
 END
 """.strip()
@@ -433,23 +444,81 @@ END
 
 def _degenerate_expr():
     i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 12
     return (
-        F.when(F.col("doc_id") % 6 == 0, F.lit("# Only Header"))
-        .when(F.col("doc_id") % 6 == 1, F.lit("# H1\n## H2"))
-        .when(F.col("doc_id") % 6 == 2, F.lit("```\n```"))
-        .when(F.col("doc_id") % 6 == 3, F.lit("   \n\t"))
-        .when(F.col("doc_id") % 6 == 4, F.lit("# H\n====\n---"))
+        F.when(m == 0, F.lit("# Only Header"))
+        .when(m == 1, F.lit("# H1\n## H2"))
+        .when(m == 2, F.lit("```\n```"))
+        .when(m == 3, F.lit("   \n\t"))
+        .when(m == 4, F.lit("# H\n====\n---"))
+        .when(m == 5, F.lit("#Header1\n#Header2\n#Header3"))
+        .when(m == 6, F.lit("Title\n====="))
+        .when(m == 7, F.lit("```\n# git commit\n```"))
+        .when(m == 8, F.lit("***"))
+        .when(m == 9, F.lit("  # Header\nAnother header\n====\n\n===="))
+        .when(m == 10, F.lit(" # H\n    # indented code"))
         .otherwise(F.concat(F.lit("# Doc "), i, F.lit("\n"), F.col("text")))
     )
 
 
-_HAS_CONTENT_SQL = """
-len(list_filter(regexp_split_to_array({x}, chr(10)), l ->
-    NOT (NOT regexp_matches(l, '\\S')
-         OR regexp_matches(l, '^\\s{{0,3}}#{{1,6}}(\\s.*)?$')
-         OR regexp_matches(l, '^\\s{{0,3}}(=+|-+|\\*{{3,}}|_{{3,}})\\s*$')
-         OR regexp_matches(l, '^\\s{{0,3}}(```+|~~~+).*$')))) > 0
-""".strip()
+# DuckDB twin of the exact _got_content fold (operators/filters.py).
+#
+# DuckDB 1.0.0's list_reduce miscomputes under vectorized execution
+# (identical rows in one scan return different results), so the oracle
+# uses a STATE-FREE reformulation of the same walk, provably equivalent:
+#   * fence state at line i = parity of fence-marker lines before i
+#     (markers can never be setext-consumed: a consumed line strips to
+#     all-=/-, a marker strips to ```…, disjoint);
+#   * the setext skip-two only suppresses a fire on the CONSUMED line,
+#     and the only fire a consumed line could produce is the 4-indent
+#     rule (rule-C fires require NOT-eq-dash, so never consumable);
+#   * consumption cannot chain (the trigger line is never eq-dash).
+# A line "fires" content iff A (indented code, not consumed) or B (inside
+# a fence) or C (plain content with no setext underline next).
+
+
+def _has_content_sql(x: str) -> str:
+    lines = f"regexp_split_to_array({x}, chr(10))"
+
+    def strip(v: str) -> str:
+        return f"regexp_replace({v}, '^\\s+|\\s+$', '', 'g')"
+
+    def eq(v: str) -> str:  # stripped line is a nonempty all-=/- string
+        return f"regexp_matches({strip(v)}, '^[=-]+$')"
+
+    fm = (  # fence marker: not blank, not 4-indented, strips to ```…
+        "(NOT starts_with(l2, '    ') "
+        f"AND starts_with({strip('l2')}, '```'))"
+    )
+    fence_odd = (
+        f"(len(list_filter(list_slice({lines}, 1, i - 1), l2 -> {fm})) % 2 = 1)"
+    )
+    prev, nxt = f"{lines}[i - 1]", f"{lines}[i + 1]"
+    # candidate(prev): prev reached the setext lookahead (non-blank,
+    # non-indent, non-marker, outside fence, non-header, non-eq-dash)
+    cand_prev = (
+        f"({prev} IS NOT NULL AND {strip(prev)} <> '' "
+        f"AND NOT starts_with({prev}, '    ') "
+        f"AND NOT starts_with({strip(prev)}, '```') "
+        f"AND NOT {fence_odd} "
+        f"AND NOT starts_with({strip(prev)}, '#') "
+        f"AND NOT {eq(prev)})"
+    )
+    fire = f"""(
+      {strip('l')} <> '' AND (
+        (starts_with(l, '    ') AND NOT ({eq('l')} AND {cand_prev}))
+        OR (NOT starts_with(l, '    ') AND NOT starts_with({strip('l')}, '```')
+            AND {fence_odd})
+        OR (NOT starts_with(l, '    ') AND NOT starts_with({strip('l')}, '```')
+            AND NOT {fence_odd}
+            AND NOT starts_with({strip('l')}, '#')
+            AND NOT {eq('l')}
+            AND NOT ({nxt} IS NOT NULL AND {eq(nxt)}))
+      ))"""
+    return (
+        f"(len(list_filter(list_transform({lines}, (l, i) -> {fire}),"
+        f" b -> b)) > 0)"
+    )
 
 
 @register(
@@ -459,8 +528,8 @@ len(list_filter(regexp_split_to_array({x}, chr(10)), l ->
     WITH d AS (SELECT doc_id, {_DEGENERATE_SQL} AS t FROM documents)
     SELECT doc_id,
            regexp_matches(t, '\\s') AS got_whitespace,
-           {_HAS_CONTENT_SQL.format(x='t')} AS got_content,
-           (regexp_matches(t, '\\s') AND {_HAS_CONTENT_SQL.format(x='t')}) AS valid
+           {_has_content_sql('t')} AS got_content,
+           (regexp_matches(t, '\\s') AND {_has_content_sql('t')}) AS valid
     FROM d
     """,
 )
@@ -1373,7 +1442,7 @@ _WS_TRIM = "' ' || chr(9) || chr(13) || chr(10)"
     valid AS (
       SELECT * FROM units
       WHERE regexp_matches(unit_text, '\\s')
-        AND {_HAS_CONTENT_SQL.format(x='unit_text')}
+        AND {_has_content_sql('unit_text')}
     ),
     toks AS (
       SELECT document_id, docs_url, title, unit_index,
