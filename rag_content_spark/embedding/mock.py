@@ -64,6 +64,9 @@ def _mock_embed_one(text: str, dim: int, normalize: bool) -> np.ndarray:
         n = np.linalg.norm(vals)
         if n > 0:
             vals = vals / n
+        # mock_embedding_expr rounds after normalizing — keep the two
+        # paths bit-identical (near-tie top-k order depends on it)
+        vals = np.round(vals, 6)
     return vals
 
 

@@ -24,13 +24,14 @@ TOKENS_SQL = "list_filter(regexp_split_to_array({x}, '\\s+'), t -> t <> '')"
 
 
 def first_line_title(col: Column | str) -> Column:
-    """Title = first line with leading markdown heading marker stripped
-    (reference metadata_processor.py:44-57).
+    """Title = first line with leading '#'/' ' characters stripped — the
+    reference does ``first_line.lstrip("# ")``, i.e. strips any leading
+    run of '#' and ' ' in any order (metadata_processor.py:43-56).
 
-    DuckDB: regexp_replace(split_part(x, chr(10), 1), '^#+\\s*', '')
+    DuckDB: regexp_replace(split_part(x, chr(10), 1), '^[# ]*', '')
     """
     return F.regexp_replace(
-        F.split_part(_c(col), F.lit("\n"), F.lit(1)), r"^#+\s*", ""
+        F.split_part(_c(col), F.lit("\n"), F.lit(1)), r"^[# ]*", ""
     )
 
 

@@ -36,22 +36,35 @@ def populate_metadata(
     text_col: str = "text",
     hermetic: bool = True,
 ) -> DataFrame:
-    """Add docs_url / title / url_reachable columns (P1)."""
+    """Add docs_url / title / url_reachable columns (P1).
+
+    Title semantics match the reference exactly (metadata_processor.py:
+    43-56): when the document STARTS with a frontmatter marker, the title
+    is the frontmatter title — or '' if the block has no title key, with
+    NO first-line fallback; only frontmatter-less documents use the
+    first-line-stripped-of-'# ' title.
+    """
     fm_url = F.nullif(frontmatter_field(F.col(text_col), "url"), F.lit(""))
-    fm_title = F.nullif(frontmatter_field(F.col(text_col), "title"), F.lit(""))
+    has_fm = F.col(text_col).startswith("---")
     out = df.withColumn(
         "docs_url", F.coalesce(fm_url, basename(F.col(path_col)))
     ).withColumn(
-        "title", F.coalesce(fm_title, first_line_title(F.col(text_col)))
+        "title",
+        F.when(has_fm, frontmatter_field(F.col(text_col), "title")).otherwise(
+            first_line_title(F.col(text_col))
+        ),
     )
     if hermetic:
         return out.withColumn("url_reachable", F.lit(True))
     return check_urls(out)
 
 
-def http_prober(urls: list[str]) -> list[bool]:
-    """Default prober: HTTP GET with the reference's 3-retry/30 s budget
-    (metadata_processor.py:71-83), one Session per partition batch."""
+def http_prober(urls: list[str], retries: int = 3) -> list[bool]:
+    """Default prober with the reference ping_url semantics
+    (metadata_processor.py:70-83): reachable iff the response status is
+    exactly 200; non-200 responses AND request errors retry up to
+    ``retries`` attempts; the last attempt decides. One Session per
+    partition batch (the reference opens a fresh connection per ping)."""
     try:
         import requests
 
@@ -62,12 +75,18 @@ def http_prober(urls: list[str]) -> list[bool]:
     for url in urls:
         ok = False
         if isinstance(url, str) and url.startswith("http"):
-            for _ in range(3):
+            for trynum in range(1, retries + 1):
                 try:
-                    ok = session.get(url, timeout=30).status_code < 400
+                    status = session.get(url, timeout=30).status_code
+                    if trynum < retries and status != 200:
+                        continue
+                    ok = status == 200
                     break
                 except Exception:
-                    continue
+                    if trynum < retries:
+                        continue
+                    ok = False
+                    break
         out.append(ok)
     return out
 

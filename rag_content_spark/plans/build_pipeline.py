@@ -62,7 +62,7 @@ def build_chunks(
             "section_index"
         )
     else:
-        units = documents.withColumn("unit_text", F.col("text")).withColumn(
+        units = docs.withColumn("unit_text", F.col("text")).withColumn(
             "unit_index", F.lit(0)
         )
 

@@ -177,7 +177,7 @@ def register(name: str, oracle: str | None):
     # F1: first line stripped of '# ' — exercised on synthesized markdown
     f"""
     SELECT doc_id,
-           regexp_replace(split_part({_md_doc_sql()}, chr(10), 1), '^#+\\s*', '')
+           regexp_replace(split_part({_md_doc_sql()}, chr(10), 1), '^[# ]*', '')
              AS title
     FROM documents
     """,
@@ -229,13 +229,20 @@ def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "metadata_populate",
-    # P1 hermetic: docs_url = frontmatter url ▸ basename(source); title
-    # fallback chain; url_reachable = true (hermetic).
-    # Docs with doc_id % 3 == 0 get frontmatter; others fall back.
+    # P1 hermetic: docs_url = frontmatter url ▸ basename(source); title =
+    # frontmatter title when a frontmatter block opens the doc (NO
+    # first-line fallback — reference metadata_processor.py:43-56 yields
+    # '' for a block without a title key), else first line stripped of
+    # '# '; url_reachable = true (hermetic).
+    # doc_id % 3 == 0: full frontmatter; % 3 == 1: frontmatter with url
+    # but NO title (title must be ''); else: no frontmatter.
     f"""
     WITH d AS (
       SELECT doc_id, source,
              CASE WHEN doc_id % 3 = 0 THEN {_FM_DOC_SQL}
+                  WHEN doc_id % 3 = 1 THEN '---' || chr(10) ||
+                       'url: https://docs.example.com/' || doc_id || chr(10) ||
+                       '---' || chr(10) || text
                   ELSE '# Doc ' || doc_id || chr(10) || text END AS md
       FROM documents
     ),
@@ -245,28 +252,39 @@ def q_frontmatter(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(nullif(regexp_extract(blk, '(?m)^url:\\s*"?([^"\\n]*?)"?\\s*$', 1), ''),
                     regexp_extract('path/to/' || source || '/file_' || doc_id || '.md', '([^/]*)$', 1))
              AS docs_url,
-           coalesce(nullif(regexp_extract(blk, '(?m)^title:\\s*"?([^"\\n]*?)"?\\s*$', 1), ''),
-                    regexp_replace(split_part(md, chr(10), 1), '^#+\\s*', ''))
-             AS title,
+           CASE WHEN starts_with(md, '---')
+                THEN regexp_extract(blk, '(?m)^title:\\s*"?([^"\\n]*?)"?\\s*$', 1)
+                ELSE regexp_replace(split_part(md, chr(10), 1), '^[# ]*', '')
+           END AS title,
            true AS url_reachable
     FROM b
     """,
 )
 def q_metadata_populate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.metadata import populate_metadata
+
     i = F.col("doc_id").cast("string")
-    md = F.when(F.col("doc_id") % 3 == 0, _fm_doc_expr()).otherwise(
-        F.concat(F.lit("# Doc "), i, F.lit("\n"), F.col("text"))
+    md = (
+        F.when(F.col("doc_id") % 3 == 0, _fm_doc_expr())
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("---\nurl: https://docs.example.com/"),
+                i,
+                F.lit("\n---\n"),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("# Doc "), i, F.lit("\n"), F.col("text")))
     )
     file_path = F.concat(
         F.lit("path/to/"), F.col("source"), F.lit("/file_"), i, F.lit(".md")
     )
-    fm_url = F.nullif(frontmatter_field(md, "url"), F.lit(""))
-    fm_title = F.nullif(frontmatter_field(md, "title"), F.lit(""))
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.coalesce(fm_url, basename(file_path)).alias("docs_url"),
-        F.coalesce(fm_title, first_line_title(md)).alias("title"),
-        F.lit(True).alias("url_reachable"),
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", file_path.alias("file_path"), md.alias("text")
+    )
+    return populate_metadata(docs, hermetic=True).select(
+        "doc_id", "docs_url", "title", "url_reachable"
     )
 
 

@@ -75,6 +75,42 @@ def test_high_threshold_returns_empty(spark, docs_df):
     assert res["nodes"] == []
 
 
+def test_markdown_aware_false_keeps_metadata(docs_df):
+    # The non-markdown-aware path must still run populate_metadata (the
+    # original bug read the raw input and lost docs_url/title entirely)
+    cfg = BuildConfig(
+        chunk_size=16, chunk_overlap=0, embedding_dimension=32,
+        markdown_aware=False,
+    )
+    rows = build_chunks(docs_df, cfg, embedder=_embedder).collect()
+    assert rows
+    manual = [r for r in rows if "zyranex" in (r["docs_url"] or "")]
+    assert manual and all(r["title"] == "Zyranex T7 Manual" for r in manual)
+    # whole-doc units: every chunk_id has unit index 0
+    assert all(r["chunk_id"].split("#")[1] == "0" for r in rows)
+
+
+def test_markdown_aware_false_unreachable_drop(spark):
+    docs = spark.createDataFrame(
+        [
+            ("/c/a.md", "markdown", "# A\n\nreachable body text here"),
+            ("/c/b.md", "markdown", "# B\n\nunreachable body text here"),
+        ],
+        ["file_path", "doc_type", "text"],
+    ).selectExpr("file_path", "doc_type", "md5(file_path) AS doc_id", "text")
+    cfg = BuildConfig(
+        chunk_size=16, chunk_overlap=0, embedding_dimension=32,
+        markdown_aware=False, unreachable_action="drop",
+    )
+    # hermetic populate marks everything reachable; flip one doc by
+    # injecting url_reachable upstream is not possible through the public
+    # API, so assert the drop path at least executes and keeps all
+    # reachable docs
+    rows = build_chunks(docs, cfg, embedder=_embedder).collect()
+    assert {r["title"] for r in rows} == {"A", "B"}
+    assert all(r["url_reachable"] for r in rows)
+
+
 def test_node_lookup_roundtrip(docs_df):
     chunks = _build(docs_df)
     some_id = chunks.select("chunk_id").first()["chunk_id"]
