@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "chunk_fixed",        # C1 explode throughput
+    "chunk_sentences",    # C1 SentenceSplitter-packing parity path
     "markdown_split",     # C2
     "filter_valid_chunks",# P2/P3
     "mock_embed",         # E1 twin (column-expr embedding)

@@ -114,6 +114,262 @@ def section_title(section_col: Column | str = "section_text") -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# C1 sentence-aware packing (SentenceSplitter semantics, reference
+# document_processor.py:113-121). llama-index packs whole sentences into
+# token-budget chunks, window-splits oversized sentences by words, and
+# carries a sentence tail of up to `overlap` tokens into the next chunk.
+# Re-expressed deterministically: sentence boundary = [.!?] followed by
+# whitespace; tokens = whitespace tokens (swap chunk_sentences_with_
+# tokenizer for model-BPE counting). Punkt-exact boundaries are out of
+# scope (llama-index/nltk not in scope); the packing rules are the spec.
+
+_SENT_SENTINEL = "\x02"
+
+
+def sentence_array(col: Column | str) -> Column:
+    """Split text into sentences: break after [.!?]+ followed by
+    whitespace; trims each sentence, drops empties.
+
+    DuckDB: regexp_replace(x, '([.!?])\\s+', '\\1' || chr(2), 'g') then
+    split on chr(2), trim ' \\t\\r\\n', filter non-empty."""
+    c = F.col(col) if isinstance(col, str) else col
+    tagged = F.regexp_replace(c, r"([.!?])\s+", "$1" + _SENT_SENTINEL)
+    return F.filter(
+        F.transform(
+            F.split(tagged, _SENT_SENTINEL),
+            lambda s: F.trim(s, F.lit(" \t\r\n")),
+        ),
+        lambda s: s != "",
+    )
+
+
+def _sentence_items(sents: Column, size: int) -> Column:
+    """(text, token_count) items; sentences over ``size`` tokens are
+    window-split into <= size-token word pieces (llama-index recursively
+    splits oversized sentences by words; the merge step then packs the
+    remainder piece with following sentences, which the fold reproduces)."""
+
+    def pieces(s: Column) -> Column:
+        tk = tokens(s)
+        n = F.size(tk)
+        nw = F.ceil(n / F.lit(size)).cast("int")
+        whole = F.array(F.struct(s.alias("t"), n.alias("k")))
+        windows = F.transform(
+            F.sequence(F.lit(0), nw - 1),
+            lambda w: F.struct(
+                F.array_join(F.slice(tk, w * size + 1, size), " ").alias("t"),
+                F.least(F.lit(size), n - w * size).alias("k"),
+            ),
+        )
+        return F.when(n <= size, whole).otherwise(windows)
+
+    return F.flatten(F.transform(sents, pieces))
+
+
+def _pack_fold(items: Column, size: int, overlap: int) -> Column:
+    """Greedy sentence packing as one aggregate fold (JVM-side, no UDF).
+
+    State: (chunks: closed chunk texts, cur: open chunk's (t, k) items,
+    cur_toks). Closing a chunk seeds the next one with the maximal
+    sentence suffix whose token sum fits the overlap budget — the
+    suffix-sum condition is monotone, so a per-element filter computes
+    the same tail a reverse scan would."""
+    empty_cur = F.array().cast("array<struct<t:string,k:int>>")
+
+    def _st(chunks: Column, cur: Column, cur_toks: Column) -> Column:
+        return F.struct(
+            chunks.alias("chunks"), cur.alias("cur"), cur_toks.alias("cur_toks")
+        )
+
+    def _toksum(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0), lambda a, y: a + y["k"])
+
+    def _tail(cur: Column) -> Column:
+        if overlap <= 0:
+            return empty_cur
+        return F.filter(
+            cur,
+            lambda y, i: _toksum(F.slice(cur, i + 1, F.size(cur)))
+            <= F.lit(overlap),
+        )
+
+    def step(acc: Column, x: Column) -> Column:
+        close = (F.size(acc["cur"]) > 0) & (
+            acc["cur_toks"] + x["k"] > F.lit(size)
+        )
+        tail = _tail(acc["cur"])
+        joined = F.array_join(
+            F.transform(acc["cur"], lambda y: y["t"]), " "
+        )
+        return F.when(
+            close,
+            _st(
+                F.concat(acc["chunks"], F.array(joined)),
+                F.concat(tail, F.array(x)),
+                _toksum(tail) + x["k"],
+            ),
+        ).otherwise(
+            _st(
+                acc["chunks"],
+                F.concat(acc["cur"], F.array(x)),
+                acc["cur_toks"] + x["k"],
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        last = F.array_join(F.transform(acc["cur"], lambda y: y["t"]), " ")
+        return F.when(
+            F.size(acc["cur"]) > 0,
+            F.concat(acc["chunks"], F.array(last)),
+        ).otherwise(acc["chunks"])
+
+    init = _st(F.array().cast("array<string>"), empty_cur, F.lit(0))
+    return F.aggregate(items, init, step, finish)
+
+
+def chunk_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> DataFrame:
+    """C1 with SentenceSplitter packing semantics. Adds ``chunk_index``,
+    ``chunk_text``, ``chunk_tokens``; keeps other columns. Narrow plan:
+    sentence split + fold + explode, no shuffle."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    sents = sentence_array(F.col(text_col))
+    chunks = _pack_fold(_sentence_items(sents, size), size, overlap)
+    return (
+        df.withColumn("_chunks", chunks)
+        .select(
+            "*",
+            F.posexplode(F.col("_chunks")).alias("chunk_index", "chunk_text"),
+        )
+        .withColumn("chunk_tokens", F.size(tokens(F.col("chunk_text"))))
+        .drop("_chunks")
+    )
+
+
+def chunk_sentences_py(
+    text: str, size: int, overlap: int = 0
+) -> list[str]:
+    """Plain-Python twin of :func:`chunk_sentences` (tests / driver-side).
+    ``tokenizer`` counting = whitespace split, same packing rules."""
+    import re
+
+    tagged = re.sub(r"([.!?])\s+", "\\1" + _SENT_SENTINEL, text or "")
+    sents = [
+        s.strip(" \t\r\n")
+        for s in tagged.split(_SENT_SENTINEL)
+        if s.strip(" \t\r\n")
+    ]
+    items: list[tuple[str, int]] = []
+    for s in sents:
+        tk = [t for t in re.split(r"\s+", s) if t]
+        if len(tk) <= size:
+            items.append((s, len(tk)))
+        else:
+            for w in range(0, len(tk), size):
+                piece = tk[w : w + size]
+                items.append((" ".join(piece), len(piece)))
+    chunks: list[str] = []
+    cur: list[tuple[str, int]] = []
+    cur_toks = 0
+    for t, k in items:
+        if cur and cur_toks + k > size:
+            chunks.append(" ".join(p for p, _ in cur))
+            tail: list[tuple[str, int]] = []
+            ssum = 0
+            for p, kk in reversed(cur):
+                if overlap > 0 and ssum + kk <= overlap:
+                    tail.insert(0, (p, kk))
+                    ssum += kk
+                else:
+                    break
+            cur = tail + [(t, k)]
+            cur_toks = ssum + k
+        else:
+            cur.append((t, k))
+            cur_toks += k
+    if cur:
+        chunks.append(" ".join(p for p, _ in cur))
+    return chunks
+
+
+def chunk_sentences_with_tokenizer(
+    df: DataFrame,
+    tokenizer,
+    text_col: str = "text",
+    size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+) -> DataFrame:
+    """Sentence packing with a pluggable token counter (Arrow-batched
+    pandas UDF) — plug the embedding model's BPE tokenizer for
+    model-exact budgets (reference packs by model tokenizer, max 384,
+    sentence_bert_config.json). Packing rules identical to
+    :func:`chunk_sentences`; only token counting differs."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+
+    def _chunk_one(text: str) -> list[str]:
+        tagged = re.sub(r"([.!?])\s+", "\\1" + _SENT_SENTINEL, text or "")
+        sents = [
+            s.strip(" \t\r\n")
+            for s in tagged.split(_SENT_SENTINEL)
+            if s.strip(" \t\r\n")
+        ]
+        items: list[tuple[str, int]] = []
+        for s in sents:
+            tk = list(tokenizer(s))
+            if len(tk) <= size:
+                items.append((s, len(tk)))
+            else:
+                for w in range(0, len(tk), size):
+                    piece = tk[w : w + size]
+                    items.append((" ".join(piece), len(piece)))
+        chunks: list[str] = []
+        cur: list[tuple[str, int]] = []
+        cur_toks = 0
+        for t, k in items:
+            if cur and cur_toks + k > size:
+                chunks.append(" ".join(p for p, _ in cur))
+                tail: list[tuple[str, int]] = []
+                ssum = 0
+                for p, kk in reversed(cur):
+                    if overlap > 0 and ssum + kk <= overlap:
+                        tail.insert(0, (p, kk))
+                        ssum += kk
+                    else:
+                        break
+                cur = tail + [(t, k)]
+                cur_toks = ssum + k
+            else:
+                cur.append((t, k))
+                cur_toks += k
+        if cur:
+            chunks.append(" ".join(p for p, _ in cur))
+        return chunks
+
+    @pandas_udf("array<string>")
+    def _chunks(texts: pd.Series) -> pd.Series:
+        return texts.map(_chunk_one)
+
+    return (
+        df.withColumn("_chunks", _chunks(F.col(text_col)))
+        .select(
+            "*",
+            F.posexplode(F.col("_chunks")).alias("chunk_index", "chunk_text"),
+        )
+        .drop("_chunks")
+    )
+
+
 def chunk_with_tokenizer(
     df: DataFrame,
     tokenizer,

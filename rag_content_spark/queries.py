@@ -39,6 +39,7 @@ from rag_content_spark.functions.vector import (
 from rag_content_spark.operators import dedup, text_analysis
 from rag_content_spark.operators.chunking import (
     chunk_fixed,
+    chunk_sentences,
     section_title,
     split_markdown,
 )
@@ -403,6 +404,98 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_fixed(
         _docs(spark, sf_dir).select("doc_id", "text"), size=16, overlap=4
     ).select("doc_id", "chunk_index", "chunk_text", "chunk_tokens")
+
+
+# C1 sentence-aware packing (SentenceSplitter semantics). The synthetic
+# documents have no punctuation, so both engines first inject '. ' after
+# deterministic trigger words; the operator under test is the packing.
+# Oracle: the greedy fold is inherently sequential, so the DuckDB twin is
+# a recursive CTE advancing every doc one item per iteration, emitting a
+# closed chunk's text on the step that closes it and the open chunk at
+# the final item.
+_CS_SIZE, _CS_OVERLAP = 12, 4
+
+_CHUNK_SENT_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_replace(text, '(scan|join|batch) ', '\\1. ', 'g') AS txt
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      string_split(regexp_replace(txt, '([.!?])\\s+', '\\1' || chr(2), 'g'), chr(2)),
+      x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))), x -> x <> '') AS ss
+  FROM d
+),
+sents AS (
+  SELECT doc_id, CAST(r.range AS INT) AS si, ss[CAST(r.range AS INT) + 1] AS sent
+  FROM s CROSS JOIN range(0, 10000) r WHERE r.range < len(ss)
+),
+stok AS (
+  SELECT doc_id, si, list_filter(regexp_split_to_array(sent, '\\s+'), x -> x <> '') AS tk
+  FROM sents
+),
+pieces AS (
+  SELECT doc_id, si, CAST(w.range AS INT) AS wi,
+         array_to_string(list_slice(tk, CAST(w.range AS INT) * {_CS_SIZE} + 1,
+                                    CAST(w.range AS INT) * {_CS_SIZE} + {_CS_SIZE}), ' ') AS t,
+         CAST(least({_CS_SIZE}, len(tk) - w.range * {_CS_SIZE}) AS INT) AS k
+  FROM stok CROSS JOIN range(0, 1000) w
+  WHERE w.range < CAST(ceil(len(tk) / CAST({_CS_SIZE} AS DOUBLE)) AS INT)
+),
+items AS (
+  SELECT doc_id, t, k,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY si, wi) AS INT) AS idx
+  FROM pieces
+),
+ni AS (SELECT doc_id, CAST(max(idx) AS INT) AS n FROM items GROUP BY doc_id),
+pack AS (
+  SELECT i.doc_id, i.idx, CAST(NULL AS VARCHAR) AS closed, 0 AS closed_no,
+         [{{'t': i.t, 'k': i.k}}] AS cur, i.k AS cur_toks, 0 AS nclosed
+  FROM items i WHERE i.idx = 1
+  UNION ALL
+  SELECT doc_id, idx,
+         CASE WHEN close THEN array_to_string(list_transform(pcur, y -> y.t), ' ') END AS closed,
+         nclosed AS closed_no,
+         CASE WHEN close THEN list_concat(tail, [{{'t': it, 'k': ik}}])
+              ELSE list_append(pcur, {{'t': it, 'k': ik}}) END AS cur,
+         CASE WHEN close THEN CAST(coalesce(list_sum(list_transform(tail, y -> y.k)), 0) + ik AS INT)
+              ELSE cur_toks + ik END AS cur_toks,
+         nclosed + CASE WHEN close THEN 1 ELSE 0 END AS nclosed
+  FROM (
+    SELECT p.doc_id, i.idx, i.t AS it, i.k AS ik, p.cur AS pcur, p.cur_toks, p.nclosed,
+           (len(p.cur) > 0 AND p.cur_toks + i.k > {_CS_SIZE}) AS close,
+           CASE WHEN {_CS_OVERLAP} > 0 THEN
+             list_filter(p.cur, (y, j) ->
+               coalesce(list_sum(list_transform(p.cur[j:], z -> z.k)), 0) <= {_CS_OVERLAP})
+           ELSE CAST([] AS STRUCT(t VARCHAR, k INTEGER)[]) END AS tail
+    FROM pack p JOIN items i ON i.doc_id = p.doc_id AND i.idx = p.idx + 1
+  )
+),
+out AS (
+  SELECT doc_id, closed_no AS chunk_index, closed AS chunk_text
+  FROM pack WHERE closed IS NOT NULL
+  UNION ALL
+  SELECT p.doc_id, p.nclosed AS chunk_index,
+         array_to_string(list_transform(p.cur, y -> y.t), ' ') AS chunk_text
+  FROM pack p JOIN ni ON ni.doc_id = p.doc_id AND p.idx = ni.n
+  WHERE len(p.cur) > 0
+)
+SELECT doc_id, chunk_index, chunk_text,
+       CAST(len(list_filter(regexp_split_to_array(chunk_text, '\\s+'), x -> x <> '')) AS INT) AS chunk_tokens
+FROM out
+"""
+
+
+@register("chunk_sentences", _CHUNK_SENT_SQL)
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"(scan|join|batch) ", "$1. ").alias("text"),
+    )
+    return chunk_sentences(d, size=_CS_SIZE, overlap=_CS_OVERLAP).select(
+        "doc_id", "chunk_index", "chunk_text", "chunk_tokens"
+    )
 
 
 @register(

@@ -110,3 +110,124 @@ def test_invalid_overlap_rejected(spark):
         chunk_fixed(df, size=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_with_tokenizer(df, str.split, size=4, overlap=5)
+
+
+# ------------------------- sentence-aware packing (C1 parity) -------------
+
+
+def test_chunk_sentences_whole_sentences_packed(spark):
+    from rag_content_spark.operators.chunking import chunk_sentences
+
+    # 3 sentences of 3/4/2 tokens; size 7 packs s1+s2, then s3.
+    text = "One two three. Four five six seven. Eight nine."
+    rows = (
+        chunk_sentences(_one(spark, text), size=7, overlap=0)
+        .orderBy("chunk_index")
+        .collect()
+    )
+    assert [r["chunk_text"] for r in rows] == [
+        "One two three. Four five six seven.",
+        "Eight nine.",
+    ]
+    assert [r["chunk_tokens"] for r in rows] == [7, 2]
+
+
+def test_chunk_sentences_never_splits_fitting_sentence(spark):
+    from rag_content_spark.operators.chunking import chunk_sentences
+
+    # A sentence that doesn't fit the open chunk moves whole to the next.
+    text = "A b c d. E f g h i."
+    rows = (
+        chunk_sentences(_one(spark, text), size=6, overlap=0)
+        .orderBy("chunk_index")
+        .collect()
+    )
+    assert [r["chunk_text"] for r in rows] == ["A b c d.", "E f g h i."]
+
+
+def test_chunk_sentences_oversized_sentence_window_split(spark):
+    from rag_content_spark.operators.chunking import chunk_sentences
+
+    text = " ".join(f"w{i}" for i in range(10))  # one 10-token "sentence"
+    rows = (
+        chunk_sentences(_one(spark, text), size=4, overlap=0)
+        .orderBy("chunk_index")
+        .collect()
+    )
+    assert [r["chunk_tokens"] for r in rows] == [4, 4, 2]
+
+
+def test_chunk_sentences_overlap_tail_carried(spark):
+    from rag_content_spark.operators.chunking import chunk_sentences
+
+    # Closing chunk [s1(3), s2(2)] with overlap 2 carries s2 into chunk 2.
+    text = "One two three. Four five. Six seven eight nine."
+    rows = (
+        chunk_sentences(_one(spark, text), size=5, overlap=2)
+        .orderBy("chunk_index")
+        .collect()
+    )
+    assert [r["chunk_text"] for r in rows] == [
+        "One two three. Four five.",
+        "Four five. Six seven eight nine.",
+    ]
+
+
+def test_chunk_sentences_matches_python_twin(spark):
+    from rag_content_spark.operators.chunking import (
+        chunk_sentences,
+        chunk_sentences_py,
+    )
+
+    texts = [
+        "One two three. Four five six seven. Eight nine! Ten eleven? Twelve.",
+        "A single enormous sentence " + " ".join(f"w{i}" for i in range(30)),
+        "Short.",
+        "",
+        "No terminal punctuation just words flowing on and on and on",
+        "Mr. X said hi. Dr.Y did not.  Trailing spaces.   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    for size, overlap in [(8, 0), (8, 3), (5, 2)]:
+        out = (
+            chunk_sentences(df, size=size, overlap=overlap)
+            .select("id", "chunk_index", "chunk_text")
+            .collect()
+        )
+        got = {}
+        for r in out:
+            got.setdefault(r.id, []).append((r.chunk_index, r.chunk_text))
+        for i, t in enumerate(texts):
+            exp = chunk_sentences_py(t, size, overlap)
+            act = [c for _, c in sorted(got.get(i, []))]
+            assert act == exp, (size, overlap, i)
+
+
+def test_chunk_sentences_with_tokenizer_char_budget(spark):
+    from rag_content_spark.operators.chunking import (
+        chunk_sentences_with_tokenizer,
+    )
+
+    # Token = single character (BPE stand-in): budgets count chars.
+    df = _one(spark, "abc de. fg hi jk. lm.")
+    rows = (
+        chunk_sentences_with_tokenizer(
+            df, tokenizer=lambda s: list(s.replace(" ", "")), size=8, overlap=0
+        )
+        .orderBy("chunk_index")
+        .collect()
+    )
+    # "abc de." = 6 chars, "fg hi jk." = 7, "lm." = 3 -> [s1], [s2], [s3]?
+    # 6+7 > 8 so s2 opens chunk 2; 7+3 > 8 so s3 opens chunk 3.
+    assert [r["chunk_text"] for r in rows] == ["abc de.", "fg hi jk.", "lm."]
+
+
+def test_chunk_sentences_invalid_overlap_rejected(spark):
+    import pytest
+
+    from rag_content_spark.operators.chunking import chunk_sentences
+
+    with pytest.raises(ValueError):
+        chunk_sentences(_one(spark, "x"), size=4, overlap=4)
