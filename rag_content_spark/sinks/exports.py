@@ -22,34 +22,74 @@ def export_faiss(
     output_path: str,
     metric: str = "ip",
     embedding_col: str = "embedding",
-) -> int:
+    id_col: str = "chunk_id",
+    index_factory=None,
+    index_writer=None,
+    batch_rows: int = 4096,
+) -> dict[str, Any]:
     """W1 (reference document_processor.py:238-240,266-279): build a FAISS
-    IndexFlatIP/-L2 from the embedded chunks and persist it.
+    IndexFlatIP/-L2 from the embedded chunks and persist it, plus the
+    position→id sidecar (``<output_path>.ids.json``) that mirrors
+    llama-index FaissVectorStore's index_to_id map: vector i in the file
+    is chunk ``ids[i]``.
 
-    Uses toLocalIterator so only one partition is resident on the driver
-    at a time. Import-gated: faiss is optional in this container.
+    Rows stream via ``orderBy(id_col).toLocalIterator()`` — the global
+    sort makes the vector order deterministic (the reference adds nodes
+    in list order; a distributed source has no inherent order), and
+    toLocalIterator keeps one partition resident on the driver. Vectors
+    are added in ``batch_rows`` batches (faiss add() is vectorized;
+    per-row add was ~50× slower).
+
+    ``index_factory(dim) -> index`` and ``index_writer(index, path)``
+    default to real faiss and are injectable so the ordering/layout
+    logic is testable without faiss in the container.
     """
-    try:
-        import faiss
-        import numpy as np
-    except ImportError as exc:
-        raise NotImplementedError("faiss not installed in this container") from exc
+    import numpy as np
 
+    if index_factory is None or index_writer is None:
+        try:
+            import faiss
+        except ImportError as exc:
+            raise NotImplementedError(
+                "faiss not installed in this container; inject "
+                "index_factory/index_writer to export with another backend"
+            ) from exc
+        index_factory = index_factory or (
+            lambda dim: faiss.IndexFlatIP(dim)
+            if metric == "ip"
+            else faiss.IndexFlatL2(dim)
+        )
+        index_writer = index_writer or faiss.write_index
+
+    ordered = chunks.select(id_col, embedding_col).orderBy(id_col)
     index = None
-    n = 0
-    for row in chunks.select(embedding_col).toLocalIterator():
-        vec = np.asarray(row[0], dtype="float32")[None, :]
+    ids: list[Any] = []
+    buf: list[Any] = []
+
+    def _flush():
+        nonlocal index
+        if not buf:
+            return
+        mat = np.asarray(buf, dtype="float32")
         if index is None:
-            index = (
-                faiss.IndexFlatIP(vec.shape[1])
-                if metric == "ip"
-                else faiss.IndexFlatL2(vec.shape[1])
-            )
-        index.add(vec)
-        n += 1
+            index = index_factory(mat.shape[1])
+        index.add(mat)
+        buf.clear()
+
+    for row in ordered.toLocalIterator():
+        ids.append(row[0])
+        buf.append(row[1])
+        if len(buf) >= batch_rows:
+            _flush()
+    _flush()
+
+    dim = 0
     if index is not None:
-        faiss.write_index(index, output_path)
-    return n
+        index_writer(index, output_path)
+        dim = int(getattr(index, "d", 0))
+        with open(output_path + ".ids.json", "w") as fh:
+            json.dump({str(i): str(v) for i, v in enumerate(ids)}, fh)
+    return {"count": len(ids), "dim": dim, "ids": ids}
 
 
 def pgvector_insert_sql(

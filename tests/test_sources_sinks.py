@@ -160,3 +160,82 @@ def test_compact_index_reduces_files(spark, tmp_path):
     assert after < before and after <= 2
     back = spark.read.parquet(path)
     assert back.count() == 10000
+
+
+# ----------------------------- W1 FAISS export -----------------------------
+
+
+class _FakeIndex:
+    """Records adds like faiss.IndexFlatIP: batched float32 matrices."""
+
+    def __init__(self, dim):
+        self.d = dim
+        self.batches = []
+
+    def add(self, mat):
+        assert mat.dtype.name == "float32" and mat.ndim == 2
+        assert mat.shape[1] == self.d
+        self.batches.append(mat.copy())
+
+
+def test_export_faiss_order_and_id_mapping(spark, tmp_path):
+    from rag_content_spark.sinks.exports import export_faiss
+
+    rows = [(f"c{i:03d}", [float(i), float(i) * 0.5]) for i in range(10)]
+    # Scramble input order: export must re-establish id order.
+    scrambled = rows[::2][::-1] + rows[1::2]
+    df = spark.createDataFrame(
+        scrambled, "chunk_id string, embedding array<float>"
+    ).repartition(4)
+
+    written = {}
+    out = str(tmp_path / "index.faiss")
+    res = export_faiss(
+        df,
+        out,
+        index_factory=_FakeIndex,
+        index_writer=lambda idx, path: written.setdefault("idx", idx),
+        batch_rows=4,
+    )
+    assert res["count"] == 10 and res["dim"] == 2
+    # Vector order == sorted chunk_id order (reference adds nodes in list
+    # order; our deterministic equivalent is the id sort).
+    assert res["ids"] == [f"c{i:03d}" for i in range(10)]
+    import numpy as np
+
+    idx = written["idx"]
+    flat = np.vstack(idx.batches)
+    assert flat.shape == (10, 2)
+    assert [float(v) for v in flat[:, 0]] == [float(i) for i in range(10)]
+    # Batching honored: 10 rows at batch_rows=4 -> 4+4+2.
+    assert [b.shape[0] for b in idx.batches] == [4, 4, 2]
+    # Sidecar mirrors llama-index index_to_id: position i -> chunk id.
+    sidecar = json.loads(open(out + ".ids.json").read())
+    assert sidecar["0"] == "c000" and sidecar["9"] == "c009"
+    assert len(sidecar) == 10
+
+
+def test_export_faiss_empty_input(spark, tmp_path):
+    from rag_content_spark.sinks.exports import export_faiss
+
+    df = spark.createDataFrame([], "chunk_id string, embedding array<float>")
+    res = export_faiss(
+        df,
+        str(tmp_path / "empty.faiss"),
+        index_factory=_FakeIndex,
+        index_writer=lambda idx, path: None,
+    )
+    assert res["count"] == 0
+    assert not os.path.exists(str(tmp_path / "empty.faiss.ids.json"))
+
+
+def test_export_faiss_gate_without_faiss(spark, tmp_path):
+    import pytest
+
+    from rag_content_spark.sinks.exports import export_faiss
+
+    df = spark.createDataFrame(
+        [("a", [1.0])], "chunk_id string, embedding array<float>"
+    )
+    with pytest.raises(NotImplementedError):
+        export_faiss(df, str(tmp_path / "x.faiss"))
