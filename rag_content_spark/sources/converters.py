@@ -45,17 +45,54 @@ def _get_docling(fmt: str):
     return _CONVERTER
 
 
-def _fallback_decode(content: bytes, doc_type: str) -> str:
-    """Deterministic no-docling fallback: HTML → tag-stripped text; PDF →
-    empty (triggers the scanned-PDF warning path, like the reference's
-    < 50 chars branch, pdf/pdf_reader.py:133-141)."""
-    if doc_type == "html":
-        import re
+def _html_to_markdown(txt: str) -> str:
+    """Deterministic HTML → markdown downgrade matching the reference's
+    *output contract* (html_reader.py:92-108: docling export_to_markdown —
+    headings/paragraphs/lists survive as markdown) so downstream C2
+    heading-split and P3 content-filter behave the same on the fallback
+    path. Not a full HTML parser: regex block mapping, good enough for
+    structure preservation."""
+    import html as htmllib
+    import re
 
-        txt = content.decode("utf-8", errors="replace")
-        txt = re.sub(r"(?s)<(script|style).*?</\1>", " ", txt)
-        txt = re.sub(r"<[^>]+>", " ", txt)
-        return re.sub(r"\s+", " ", txt).strip()
+    txt = re.sub(r"(?is)<head\b.*?</head>", " ", txt)
+    txt = re.sub(r"(?is)<(script|style)\b.*?</\1>", " ", txt)
+    txt = re.sub(r"(?s)<!--.*?-->", " ", txt)
+
+    def _heading(m: "re.Match[str]") -> str:
+        level = int(m.group(1))
+        inner = re.sub(r"<[^>]+>", " ", m.group(2))
+        inner = re.sub(r"\s+", " ", inner).strip()
+        return "\n\n" + "#" * level + " " + inner + "\n\n"
+
+    txt = re.sub(r"(?is)<h([1-6])[^>]*>(.*?)</h\1>", _heading, txt)
+
+    def _li(m: "re.Match[str]") -> str:
+        inner = re.sub(r"<[^>]+>", " ", m.group(1))
+        return "\n- " + re.sub(r"\s+", " ", inner).strip()
+
+    txt = re.sub(r"(?is)<li[^>]*>(.*?)</li>", _li, txt)
+    txt = re.sub(
+        r"(?i)</(p|div|section|article|table|ul|ol|blockquote|pre)>",
+        "\n\n",
+        txt,
+    )
+    txt = re.sub(r"(?i)<br[^>]*/?>|</tr>", "\n", txt)
+    txt = re.sub(r"<[^>]+>", " ", txt)
+    txt = htmllib.unescape(txt)
+    txt = "\n".join(
+        re.sub(r"[ \t]+", " ", line).strip() for line in txt.split("\n")
+    )
+    return re.sub(r"\n{3,}", "\n\n", txt).strip()
+
+
+def _fallback_decode(content: bytes, doc_type: str) -> str:
+    """Deterministic no-docling fallback: HTML → markdown-shaped downgrade
+    (:func:`_html_to_markdown`); PDF → empty (triggers the scanned-PDF
+    warning path, like the reference's < 50 chars branch,
+    pdf/pdf_reader.py:133-141)."""
+    if doc_type == "html":
+        return _html_to_markdown(content.decode("utf-8", errors="replace"))
     return ""
 
 

@@ -78,6 +78,52 @@ def test_converters_fallback(spark):
     assert out["d2"]["conversion_warning"] is not None
 
 
+HTML_DOC = b"""<html><head><title>x</title><style>p {color: red}</style>
+<script>var a = 1 < 2;</script></head><body>
+<h1>Install &amp; Setup</h1>
+<p>First paragraph with <b>bold</b> text.</p>
+<h2>Steps</h2>
+<ul><li>step <i>one</i></li><li>step two</li></ul>
+<p>Done.</p>
+</body></html>"""
+
+
+def test_html_fallback_is_markdown_shaped(spark):
+    from rag_content_spark.sources.converters import convert_binary_documents
+
+    df = spark.createDataFrame(
+        [("/x/c.html", "html", "d3", bytearray(HTML_DOC))],
+        ["file_path", "doc_type", "doc_id", "content"],
+    )
+    text = convert_binary_documents(df).collect()[0]["text"]
+    lines = text.split("\n")
+    # headings survive as markdown, entities decoded, script/style gone
+    assert "# Install & Setup" in lines
+    assert "## Steps" in lines
+    assert "- step one" in lines and "- step two" in lines
+    assert "color" not in text and "var a" not in text
+    assert "First paragraph with bold text." in lines
+
+
+def test_html_fallback_drives_markdown_split(spark):
+    from rag_content_spark.operators.chunking import split_markdown
+    from rag_content_spark.sources.converters import convert_binary_documents
+
+    df = spark.createDataFrame(
+        [("/x/c.html", "html", "d3", bytearray(HTML_DOC))],
+        ["file_path", "doc_type", "doc_id", "content"],
+    )
+    sections = (
+        split_markdown(convert_binary_documents(df))
+        .orderBy("section_index")
+        .collect()
+    )
+    # C2 heading split sees two heading sections (reference contract:
+    # HTML -> markdown so downstream chunking is structure-aware).
+    titles = [r["section_text"].split("\n")[0] for r in sections]
+    assert titles == ["# Install & Setup", "## Steps"]
+
+
 def test_asciidoc_fallback_downgrade(spark):
     from rag_content_spark.sources.converters import convert_asciidoc
 
