@@ -91,6 +91,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Measured 2026-08-13 by tools/baseline_ref/run_baseline.py
+                # (reference document_processor.py runs unmodified over
+                # shims; identical mock embedder both sides; see
+                # BASELINE.md "Round-2 measured baseline"):
+                "baseline": {
+                    "protocol": "tools/baseline_ref/run_baseline.py",
+                    "sf0.1": {"reference_s": 20.8, "spark_s": 17.4, "ratio": 1.19},
+                    "sf0.1x10": {"reference_s": 218.8, "spark_s": 88.0, "ratio": 2.49},
+                    "node_count_parity": True,
+                },
             }
         )
     )
