@@ -32,27 +32,48 @@ def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def corpus_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus-stats table ``(n_docs, avgdl)``.
+
+    At scale this is materialized once per corpus snapshot (a parquet
+    table maintained next to the postings index) and passed into the
+    scoring functions, which broadcast-join it — no mid-plan driver
+    round-trip. Computed in-plan here when the caller doesn't supply it.
+    """
+    return docs.select(F.size(tokens(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
 def keyword_scores(
     docs: DataFrame,
     terms: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """TF·IDF keyword score per document for a bag of query terms.
 
     idf(t) = ln(N / df_t); documents matching no term are absent (the
-    inverted index never touches them — unlike a per-doc scan).
+    inverted index never touches them — unlike a per-doc scan). N comes
+    from a broadcast one-row stats table (:func:`corpus_stats`) — the
+    whole score is one lazy plan with no driver round-trip.
     """
     from pyspark.sql import Window
 
+    if stats is None:
+        stats = corpus_stats(docs, id_col, text_col)
     post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
-    n_docs = docs.count()  # corpus stat; at scale: precomputed metadata
     # df_t via a window over the postings themselves — one corpus scan
     # (a separate idf aggregation + join re-reads the corpus)
     df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
     return (
-        post.withColumn("idf", F.log(F.lit(float(n_docs)) / df_t))
+        post.join(F.broadcast(stats.select("n_docs")))
+        .withColumn("idf", F.log(F.col("n_docs").cast("double") / df_t))
         .groupBy(id_col)
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), round_to).alias("kw_score"))
     )
@@ -67,17 +88,27 @@ def hybrid_scores(
     embedding_col: str = "embedding",
     alpha: float = 0.5,
     round_to: int = 6,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid = alpha * keyword (max-normalized) + (1-alpha) * cosine.
 
     Keyword side covers only keyword-matching docs; vector side covers
     all docs; the fusion is a left join from the vector side (missing
-    keyword score = 0), matching the OGX hybrid shape.
+    keyword score = 0), matching the OGX hybrid shape. The per-query
+    max used for normalization is a one-row aggregate broadcast back
+    into the plan — no driver collect, so the whole query stays lazy.
     """
     from rag_content_spark.functions.vector import dot
 
-    kw = keyword_scores(docs_with_vectors, terms, id_col, text_col, round_to=9)
-    kw_max = kw.agg(F.max("kw_score")).collect()[0][0] or 1.0
+    kw = keyword_scores(
+        docs_with_vectors, terms, id_col, text_col, round_to=9, stats=stats
+    )
+    # empty/zero max -> 1.0, mirroring the previous `max or 1.0` scalar
+    kw_max = kw.agg(
+        F.coalesce(
+            F.nullif(F.max("kw_score"), F.lit(0.0)), F.lit(1.0)
+        ).alias("kw_max")
+    )
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     vec = docs_with_vectors.select(
         F.col(id_col),
@@ -85,10 +116,13 @@ def hybrid_scores(
     )
     return (
         vec.join(kw, id_col, "left")
+        .join(F.broadcast(kw_max))
         .select(
             F.col(id_col),
             F.round(
-                F.lit(alpha) * F.coalesce(F.col("kw_score"), F.lit(0.0)) / kw_max
+                F.lit(alpha)
+                * F.coalesce(F.col("kw_score"), F.lit(0.0))
+                / F.col("kw_max")
                 + F.lit(1.0 - alpha) * F.col("cos_score"),
                 round_to,
             ).alias("hybrid_score"),
@@ -104,6 +138,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 (Robertson & Walker's classic formula with the
     standard k1/b defaults) over the same inverted-index shape as
@@ -111,31 +146,33 @@ def bm25_scores(
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); tf normalization uses the
     document length in whitespace tokens against the corpus average.
-    Corpus stats (N, avgdl) are exact-integer aggregates, so the score is
-    engine-reproducible.
+    Corpus stats (N, avgdl) come from a broadcast one-row stats table
+    (:func:`corpus_stats`) — exact aggregates, engine-reproducible, and
+    no mid-plan driver round-trip.
     """
     from pyspark.sql import Window
 
+    if stats is None:
+        stats = corpus_stats(docs, id_col, text_col)
     lengths = docs.select(
         F.col(id_col), F.size(tokens(text_col)).alias("dl")
     )
-    stats = lengths.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], stats["total_dl"] / stats["n"]
 
     post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
     df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    n_docs = F.col("n_docs").cast("double")
     idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        F.lit(1.0) + (n_docs - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
     )
     tf = F.col("tf").cast("double")
     norm = tf * (k1 + 1) / (
-        tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        tf
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     return (
         post.join(lengths, id_col)
+        .join(F.broadcast(stats))
         .withColumn("_term_score", idf * norm)
         .groupBy(id_col)
         .agg(F.round(F.sum("_term_score"), round_to).alias("bm25"))

@@ -46,3 +46,54 @@ def test_hybrid_fuses_both_signals(spark):
     assert set(got) == {1, 2, 3, 4}  # vector side covers all docs
     # doc3 has no keyword score: pure vector component (3.0 * 0.5)
     assert math.isclose(got[3], 1.5, abs_tol=1e-6)
+
+
+def test_precomputed_stats_matches_inplan(spark):
+    """Supplying a materialized corpus-stats table (the 100 TB shape:
+    stats computed once per corpus snapshot) must give identical scores
+    to the in-plan fallback."""
+    from rag_content_spark.operators.search import corpus_stats
+
+    docs = _docs(spark)
+    stats = spark.createDataFrame(
+        corpus_stats(docs).collect()
+    )  # materialized snapshot
+
+    for fn, col in ((keyword_scores, "kw_score"), (bm25_scores, "bm25")):
+        inplan = {
+            r["doc_id"]: r[col] for r in fn(docs, ["spark", "join"]).collect()
+        }
+        supplied = {
+            r["doc_id"]: r[col]
+            for r in fn(docs, ["spark", "join"], stats=stats).collect()
+        }
+        assert inplan == supplied, fn.__name__
+
+    docs_v = docs.selectExpr(
+        "doc_id", "text", "array(CAST(doc_id AS DOUBLE), 1.0) AS embedding"
+    )
+    a = {
+        r["doc_id"]: r["hybrid_score"]
+        for r in hybrid_scores(docs_v, ["spark"], [1.0, 0.0]).collect()
+    }
+    b = {
+        r["doc_id"]: r["hybrid_score"]
+        for r in hybrid_scores(
+            docs_v, ["spark"], [1.0, 0.0], stats=stats
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hybrid_all_zero_keyword_scores(spark):
+    """Every doc contains the term -> idf=ln(1)=0 -> kw max is 0; the
+    normalizer must fall back to 1.0 instead of dividing by zero."""
+    rows = [(1, "common word"), (2, "common thing")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).selectExpr(
+        "doc_id", "text", "array(1.0, 0.0) AS embedding"
+    )
+    got = {
+        r["doc_id"]: r["hybrid_score"]
+        for r in hybrid_scores(docs, ["common"], [1.0, 0.0]).collect()
+    }
+    assert got == {1: 0.5, 2: 0.5}
