@@ -61,9 +61,13 @@ def test_chunker_overlap_windows(spark, tokens_list, size, overlap_raw):
 
 
 def test_filter_predicates_agree_with_python_model(spark):
-    """Batch-check P2/P3 against a direct Python re-implementation on a
-    grid of generated texts."""
+    """Batch-check P2/P3 against the Python twin (got_content_py, which
+    test_filters.py pins to the reference's parametrized _got_content
+    cases) on a grid of generated texts — the JVM aggregate fold and the
+    Python state machine must agree everywhere."""
     import itertools
+
+    from rag_content_spark.operators.filters import got_content_py
 
     pieces = ["# h", "## ", "body", "", "```", "   ", "====", "\tind"]
     texts = [
@@ -81,19 +85,6 @@ def test_filter_predicates_agree_with_python_model(spark):
     def model_ws(t):
         return bool(re.search(r"\s", t))
 
-    def model_content(t):
-        for line in t.split("\n"):
-            if not re.search(r"\S", line):
-                continue
-            if re.fullmatch(r"\s{0,3}#{1,6}(\s.*)?", line):
-                continue
-            if re.fullmatch(r"\s{0,3}(=+|-+|\*{3,}|_{3,})\s*", line):
-                continue
-            if re.fullmatch(r"\s{0,3}(```+|~~~+).*", line):
-                continue
-            return True
-        return False
-
     for r in got:
         assert r["ws"] == model_ws(r["text"]), repr(r["text"])
-        assert r["content"] == model_content(r["text"]), repr(r["text"])
+        assert r["content"] == got_content_py(r["text"]), repr(r["text"])
