@@ -170,3 +170,96 @@ def dequantize_int8(qcol: Column | str) -> Column:
     return F.transform(
         qc["q"], lambda v: v.cast("double") * qc["scale"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — the IVF-PQ compression step of the 100 TB
+# ANN path: m sub-codes of log2(k) bits replace the full vector, and
+# query scan cost becomes m table lookups per candidate).
+
+
+def pq_demo_codebook(m: int, k: int, sub_dim: int) -> list[list[list[float]]]:
+    """Deterministic demo codebook (m subspaces x k centroids x sub_dim).
+
+    A real pipeline trains this with operators/kmeans.py per subspace;
+    the closed-form values here exist so PQ encode/scan can be
+    oracle-checked with identical literals in both engines.
+    """
+    return [
+        [
+            [((s * 131 + j * 37 + d * 17) % 23 - 11) / 11.0 for d in range(sub_dim)]
+            for j in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_subspace_dists(sub: Column, centroids: list[list[float]]) -> Column:
+    """ARRAY<DOUBLE> of squared L2 distances from ``sub`` to each
+    centroid — a left-to-right fold per centroid, so the summation order
+    matches the DuckDB oracle's list_sum bit-for-bit."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(c)) for c in cent]),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids
+        ]
+    )
+
+
+def pq_encode(a: Column | str, codebook: list[list[list[float]]]) -> Column:
+    """ARRAY<INT> of m sub-codes: argmin centroid per subspace (first
+    minimum wins — deterministic)."""
+    av = _c(a)
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(av, s * sub_dim + 1, sub_dim)
+        dists = _pq_subspace_dists(sub, codebook[s])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_table(
+    query: list[float], codebook: list[list[list[float]]]
+) -> list[list[float]]:
+    """Driver-side asymmetric-distance table: table[s][j] = squared L2
+    distance from the query's s-th subvector to centroid j. Computed
+    once per query in exact Python floats and injected into both engines
+    as literals."""
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    table = []
+    for s in range(m):
+        qsub = query[s * sub_dim : (s + 1) * sub_dim]
+        table.append(
+            [
+                sum((q - c) * (q - c) for q, c in zip(qsub, cent))
+                for cent in codebook[s]
+            ]
+        )
+    return table
+
+
+def pq_adc_score(codes: Column | str, table: list[list[float]]) -> Column:
+    """Approximate squared distance = sum over subspaces of the table
+    entry the sub-code selects. m element_at lookups per row — the whole
+    index scan never touches a full vector."""
+    cc = _c(codes)
+    score = None
+    for s, row in enumerate(table):
+        lut = F.array(*[F.lit(float(v)) for v in row])
+        term = F.element_at(lut, F.element_at(cc, s + 1) + 1)
+        score = term if score is None else score + term
+    return score

@@ -24,7 +24,7 @@ exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from rag_content_spark.functions.hashing import stable_hash64
 from rag_content_spark.functions.text import tokens
@@ -476,3 +476,49 @@ def resolve_duplicates(
     )
     kept = in_cluster.join(winners, id_col, "leftsemi").drop("component")
     return solo.unionByName(kept)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (boilerplate removal).
+
+    Splits each document on ``sep``, keeps only the globally-first
+    occurrence of every distinct paragraph (first = lowest (id, position)
+    — deterministic), and reassembles documents from their surviving
+    paragraphs in original order. Documents whose every paragraph was
+    seen earlier disappear (fully-boilerplate docs).
+
+    Scale shape: explode (narrow) → one shuffle on the paragraph hash
+    (the window) → one shuffle on id (the rebuild). Paragraph text never
+    leaves the row, only its 60-bit hash is the shuffle key.
+    """
+    paras = df.select(
+        F.col(id_col), F.posexplode(F.split(text_col, sep)).alias("pos", "para")
+    ).filter(F.col("para") != "")
+    w = (
+        Window.partitionBy(stable_hash64(F.col("para")))
+        .orderBy(id_col, "pos")
+    )
+    kept = (
+        paras.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("dedup_text")
+        )
+    )

@@ -1,0 +1,54 @@
+"""Sequence packing: group documents into fixed token-budget buckets —
+the batching step of a pretraining data pipeline (each bucket becomes
+one training sequence / one shard file).
+
+Scale design: a single global cumulative sum would serialize on one
+partition, so documents are first sharded by a deterministic hash and
+packed WITHIN each shard — the window partitions by shard, so N shards
+give N-way parallel packing and shard boundaries are stable across runs
+(restartable, engine-portable). At 100 TB, shards map 1:1 to output
+files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from rag_content_spark.functions.hashing import stable_hash64
+from rag_content_spark.functions.text import tokens
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each document a ``(shard, seq_bucket)`` packing slot.
+
+    Documents are ordered by id within their hash-shard; the running
+    token total places each doc in bucket ``floor(start_offset /
+    budget)`` — contiguous greedy packing. Integer window arithmetic
+    only, so the assignment is exactly reproducible.
+
+    Output: ``id, shard, n_tokens, seq_bucket``.
+    """
+    shard = (
+        stable_hash64(F.col(id_col).cast("string"), salt=salt) % shards
+    ).alias("shard")
+    with_counts = docs.select(
+        F.col(id_col),
+        shard,
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return with_counts.withColumn(
+        "seq_bucket", F.floor(start_offset / budget).cast("bigint")
+    )

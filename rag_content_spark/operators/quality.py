@@ -155,3 +155,114 @@ def stratified_sample(
         expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
     rate = expr.otherwise(F.lit(0.0))
     return df.filter(bucket < rate * 10000)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A —
+# public heuristics widely used for pretraining-corpus filtering).
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+# the Gopher "stop word presence" list (the paper's example set)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(text_col: Column | str = "text") -> dict[str, Column]:
+    """Per-document Gopher rule booleans + the conjunction ``keep``.
+
+    All pure Column expressions (one narrow map, no shuffle): word-count
+    bounds, mean word length bounds, symbol-to-word ratio (``#``/``...``),
+    alphabetic-word ratio, and stopword presence. Integer aggregates +
+    one double division each, so the booleans are engine-reproducible.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tok = tokens(c)
+    n = F.size(tok)
+    nd = n.cast("double")
+
+    char_sum = F.aggregate(
+        tok, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = char_sum.cast("double") / nd
+
+    symbol_hits = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+    alpha_words = F.size(F.filter(tok, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(tok, lambda t: F.lower(t).isin(*GOPHER_STOPWORDS))
+    )
+
+    rules = {
+        "word_count_ok": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "mean_word_len_ok": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "symbol_ratio_ok": symbol_hits.cast("double") / nd
+        <= GOPHER_MAX_SYMBOL_RATIO,
+        "alpha_ratio_ok": alpha_words.cast("double") / nd
+        >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "stopword_ok": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    keep = None
+    for col in rules.values():
+        keep = col if keep is None else keep & col
+    rules["keep"] = keep
+    return rules
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    mix: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample strata so the kept corpus matches a target mix.
+
+    The most-constrained stratum (smallest count_s / share_s) is kept in
+    full; every other stratum's keep-rate is scaled so expected kept
+    counts are proportional to ``mix``. Selection is deterministic
+    hash-mod (restartable, engine-portable, same as stratified_sample);
+    strata absent from ``mix`` are dropped.
+
+    One groupBy for counts + a broadcast join of the per-stratum rate —
+    no driver round-trip, so at 100 TB the rate table is computed and
+    joined in-plan (or supplied from a materialized stats snapshot).
+    """
+    share = None
+    for stratum, s in mix.items():
+        cond = F.col(stratum_col) == stratum
+        share = (
+            F.when(cond, F.lit(float(s)))
+            if share is None
+            else share.when(cond, F.lit(float(s)))
+        )
+    share = share.otherwise(F.lit(None))
+
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_share", share)
+        .filter(F.col("_share").isNotNull())
+    )
+    scale = counts.agg(
+        F.min(F.col("_n").cast("double") / F.col("_share")).alias("_scale")
+    )
+    rates = (
+        counts.join(F.broadcast(scale))
+        .select(
+            stratum_col,
+            (F.col("_share") * F.col("_scale") / F.col("_n")).alias("_rate"),
+        )
+    )
+    bucket = stable_hash64(F.col(id_col).cast("string"), salt=salt) % 10000
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.col("_rate") * 10000)
+        .drop("_rate")
+    )

@@ -219,3 +219,36 @@ def trigram_lang_score(text_col, lang: str) -> Column:
         / F.greatest(F.size(doc), F.lit(1)),
         6,
     )
+
+
+def top_ngrams(
+    docs,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+):
+    """Corpus-wide top-k word n-grams (count desc, n-gram asc tiebreak).
+
+    The workhorse of corpus analyses (boilerplate discovery, benchmark
+    decontamination prep, quality dashboards). One narrow explode + one
+    hash aggregate on the n-gram — partial (map-side) aggregation does
+    the heavy lifting at 100 TB, and the final top-k is a TakeOrdered,
+    not a global sort.
+    """
+    tok = tokens(text_col)
+    # NB: Spark's sequence(0, stop) auto-steps DOWNWARD for stop < 0, so
+    # short docs need an explicit empty-array branch, not a clamp.
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(k)
+    )

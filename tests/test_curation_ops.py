@@ -1,0 +1,160 @@
+"""Round-2 curation operators: Gopher rules, mix rebalance, paragraph
+dedup, n-gram stats, sequence packing, product quantization."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_gopher_rules(spark):
+    from rag_content_spark.operators.quality import gopher_rules
+
+    good = "the quick brown fox jumps to be sure of the answer and that " * 10
+    rows = [
+        ("good", good),
+        ("short", "tiny doc"),
+        ("symbols", ("# " * 60) + "the be to of and that have with"),
+        ("numeric", " ".join(str(i) for i in range(100))),
+        ("nostop", "lorem ipsum dolor sit amet " * 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[
+            c.alias(name) for name, c in gopher_rules("text").items()
+        ]).collect()
+    }
+    assert got["good"]["keep"] is True
+    assert got["short"]["word_count_ok"] is False
+    assert got["symbols"]["symbol_ratio_ok"] is False
+    assert got["numeric"]["alpha_ratio_ok"] is False
+    assert got["nostop"]["stopword_ok"] is False
+    for name in ("short", "symbols", "numeric", "nostop"):
+        assert got[name]["keep"] is False
+
+
+def test_rebalance_to_mix(spark):
+    from rag_content_spark.operators.quality import rebalance_to_mix
+
+    rows = [(f"d{i}", "en" if i < 900 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = rebalance_to_mix(df, {"en": 0.5, "fr": 0.5}).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in out.collect()}
+    # fr is most-constrained (100 docs / 0.5 share): kept in full;
+    # en downsampled to ~100 (hash-mod, so approximately)
+    assert counts["fr"] == 100
+    assert 70 <= counts["en"] <= 130
+    # deterministic: same result twice
+    again = {
+        r["lang"]: r["count"]
+        for r in rebalance_to_mix(df, {"en": 0.5, "fr": 0.5})
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert again == counts
+    # strata not in the mix are dropped
+    assert "de" not in counts
+
+
+def test_dedup_paragraphs(spark):
+    from rag_content_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        ("a", "unique one\nSHARED BOILERPLATE\nunique two"),
+        ("b", "SHARED BOILERPLATE\nother text"),
+        ("c", "SHARED BOILERPLATE"),
+        ("d", "repeat me\nrepeat me\nend"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["dedup_text"]
+        for r in dedup_paragraphs(df).collect()
+    }
+    # first occurrence (lowest id) keeps the boilerplate
+    assert got["a"] == "unique one\nSHARED BOILERPLATE\nunique two"
+    assert got["b"] == "other text"
+    # doc c was pure boilerplate -> vanishes
+    assert "c" not in got
+    # within-doc repeats collapse too
+    assert got["d"] == "repeat me\nend"
+
+
+def test_top_ngrams(spark):
+    from rag_content_spark.operators.text_analysis import top_ngrams
+
+    rows = [("a", "x y x y z"), ("b", "x y q"), ("c", "w")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["ngram"], r["freq"]) for r in top_ngrams(df, n=2, k=3).collect()]
+    # 'x y' appears 3x (twice in a, once in b); ties broken by ngram asc
+    assert got[0] == ("x y", 3)
+    assert got[1][1] == 1 and got[1][0] < got[2][0]
+    # single-word doc contributes no bigrams (and doesn't error)
+    assert all(g != "w" for g, _ in got)
+
+
+def test_pack_sequences(spark):
+    from rag_content_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:02d}", "tok " * 50) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=100, shards=2).collect()
+    assert {r["n_tokens"] for r in out} == {50}
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1}
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        # greedy contiguous packing: bucket = floor(start_offset/budget)
+        # -> two 50-token docs per 100-token bucket, in id order
+        for idx, r in enumerate(shard_rows):
+            assert r["seq_bucket"] == (idx * 50) // 100, r
+    # deterministic across runs
+    again = pack_sequences(df, budget=100, shards=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pq_roundtrip_and_adc(spark):
+    import numpy as np
+
+    from rag_content_spark.functions.vector import (
+        pq_adc_score,
+        pq_adc_table,
+        pq_demo_codebook,
+        pq_encode,
+    )
+
+    m, k, sub_dim = 4, 8, 4
+    dim = m * sub_dim
+    cb = pq_demo_codebook(m, k, sub_dim)
+
+    # vectors sitting exactly ON centroids must encode to those codes
+    rows = []
+    expect = {}
+    for i, codes in enumerate([(0, 1, 2, 3), (7, 6, 5, 4), (3, 3, 3, 3)]):
+        vec = []
+        for s, j in enumerate(codes):
+            vec.extend(cb[s][j])
+        rows.append((f"v{i}", vec))
+        expect[f"v{i}"] = list(codes)
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    enc = df.select("id", pq_encode("embedding", cb).alias("codes"))
+    got = {r["id"]: r["codes"] for r in enc.collect()}
+    assert got == expect
+
+    # ADC: the score of an on-centroid vector vs itself as query is 0,
+    # and ADC equals the exact squared distance to the reconstruction
+    query = rows[0][1]
+    table = pq_adc_table(query, cb)
+    scored = enc.select(
+        "id", pq_adc_score("codes", table).alias("adc")
+    ).collect()
+    by_id = {r["id"]: r["adc"] for r in scored}
+    assert math.isclose(by_id["v0"], 0.0, abs_tol=1e-12)
+    for rid, codes in expect.items():
+        recon = np.array(
+            [v for s, j in enumerate(codes) for v in cb[s][j]]
+        )
+        exact = float(((np.array(query) - recon) ** 2).sum())
+        assert math.isclose(by_id[rid], exact, rel_tol=1e-9), rid
