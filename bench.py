@@ -57,6 +57,12 @@ HEADLINE = [
     "top_customers",
     "events_windowed",
     "sessionize",
+    "gopher_quality",     # Gopher rule gate (narrow map)
+    "rebalance_mix",      # language-mix rebalancing
+    "paragraph_dedup",    # boilerplate paragraph dedup
+    "top_bigrams",        # corpus n-gram stats
+    "seq_packing",        # token-budget sequence packing
+    "pq_topk",            # product-quantization ADC scan
 ]
 
 

@@ -2314,3 +2314,229 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
     pairs = dedup.jaccard_pairs(corpus, cand, threshold=0.5).select("id_a", "id_b")
     return dedup.connected_components(pairs)
+
+
+# ===================== round-2 curation operators ==========================
+
+
+_GOPHER_STOP_SQL = "('the','be','to','of','and','that','have','with')"
+
+
+@register(
+    "gopher_quality",
+    # Gopher quality-rule booleans (operators/quality.py gopher_rules) —
+    # integer aggregates + one double division per rule, identical math.
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS tok FROM documents)
+    SELECT doc_id,
+      (len(tok) >= 50 AND len(tok) <= 100000) AS word_count_ok,
+      (CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) >= 3.0
+       AND CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) <= 10.0)
+        AS mean_word_len_ok,
+      (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(tok) <= 0.1)
+        AS symbol_ratio_ok,
+      (CAST(len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tok) >= 0.8)
+        AS alpha_ratio_ok,
+      (len(list_filter(tok, x -> lower(x) IN {_GOPHER_STOP_SQL})) >= 2) AS stopword_ok,
+      ((len(tok) >= 50 AND len(tok) <= 100000)
+       AND (CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) >= 3.0
+            AND CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) <= 10.0)
+       AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(tok) <= 0.1)
+       AND (CAST(len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tok) >= 0.8)
+       AND (len(list_filter(tok, x -> lower(x) IN {_GOPHER_STOP_SQL})) >= 2)) AS keep
+    FROM t
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import gopher_rules
+
+    rules = gopher_rules("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in rules.items()]
+    )
+
+
+_MIX = {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.1, "zh": 0.1}
+_MIX_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX.items())
+    + " ELSE NULL END"
+)
+
+
+@register(
+    "rebalance_mix",
+    # Language-mix rebalancing (operators/quality.py rebalance_to_mix):
+    # counts -> most-constrained scale -> per-stratum keep rate ->
+    # deterministic hash-mod selection.
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n, {_MIX_CASE_SQL} AS share
+      FROM documents GROUP BY lang
+    ),
+    eligible AS (SELECT * FROM counts WHERE share IS NOT NULL),
+    scale AS (SELECT min(CAST(n AS DOUBLE) / share) AS s FROM eligible),
+    rates AS (
+      SELECT lang, share * (SELECT s FROM scale) / n AS rate FROM eligible
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {stable_hash64_sql("CAST(d.doc_id AS VARCHAR)", salt="mix")} % 10000
+          < r.rate * 10000
+    """,
+)
+def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import rebalance_to_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return rebalance_to_mix(docs, _MIX).select("doc_id", "lang")
+
+
+@register(
+    "paragraph_dedup",
+    # Corpus-wide first-occurrence paragraph dedup over the synthesized
+    # markdown docs ('## Section j' headers repeat across every doc and
+    # get dropped after their first appearance; content lines survive).
+    f"""
+    WITH m AS (SELECT doc_id, {_md_doc_sql()} AS md FROM documents),
+    ls AS (SELECT doc_id, string_split(md, chr(10)) AS parts FROM m),
+    p AS (
+      SELECT doc_id, CAST(r.range AS INT) AS pos,
+             parts[CAST(r.range AS INT) + 1] AS para
+      FROM ls CROSS JOIN range(0, 100000) r WHERE r.range < len(parts)
+    ),
+    nz AS (SELECT * FROM p WHERE para <> ''),
+    kept AS (
+      SELECT doc_id, pos, para FROM nz
+      QUALIFY row_number() OVER (
+        PARTITION BY {stable_hash64_sql("para")} ORDER BY doc_id, pos
+      ) = 1
+    )
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS dedup_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    md = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("md"))
+    return dedup.dedup_paragraphs(md, id_col="doc_id", text_col="md", sep="\n")
+
+
+@register(
+    "top_bigrams",
+    # Corpus top-100 bigrams; total order (freq desc, ngram asc) makes
+    # the limit boundary engine-deterministic.
+    f"""
+    WITH t AS (SELECT {_TOKENS_SQL} AS tok FROM documents),
+    g AS (
+      SELECT array_to_string(
+               list_slice(tok, CAST(r.range AS INT) + 1, CAST(r.range AS INT) + 2), ' ')
+             AS ngram
+      FROM t CROSS JOIN range(0, 100000) r
+      WHERE len(tok) >= 2 AND r.range <= len(tok) - 2
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+    FROM g GROUP BY ngram
+    ORDER BY freq DESC, ngram ASC LIMIT 100
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.text_analysis import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=100)
+
+
+@register(
+    "seq_packing",
+    # Sequence packing (operators/packing.py): per-shard token cumsum ->
+    # contiguous greedy bucket assignment; integer window arithmetic.
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="pack")} % 4 AS shard,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+      CAST(floor(
+        (CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         - n_tokens) / 500.0) AS BIGINT) AS seq_bucket
+    FROM t
+    """,
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=500, shards=4)
+
+
+# PQ: 64-d embeddings -> m=4 subspaces x k=8 codes; ADC top-10 for a
+# deterministic query vector. Codebook + distance table are Python-exact
+# literals injected into BOTH engines; the fold order in pq_encode
+# matches the SQL '+' chain bit-for-bit.
+_PQ_M, _PQ_K, _PQ_SUB = 4, 8, 16
+_PQ_QUERY = [((i * 7) % 13 - 6) / 6.0 for i in range(64)]
+
+
+def _pq_sql() -> str:
+    from rag_content_spark.functions.vector import pq_adc_table, pq_demo_codebook
+
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    table = pq_adc_table(_PQ_QUERY, cb)
+
+    def dist_expr(s: int, j: int) -> str:
+        terms = [
+            f"(CAST(embedding[{s * _PQ_SUB + d + 1}] AS DOUBLE) - ({cb[s][j][d]!r}))"
+            f" * (CAST(embedding[{s * _PQ_SUB + d + 1}] AS DOUBLE) - ({cb[s][j][d]!r}))"
+            for d in range(_PQ_SUB)
+        ]
+        return " + ".join(terms)
+
+    code_exprs = []
+    for s in range(_PQ_M):
+        dists = ", ".join(dist_expr(s, j) for j in range(_PQ_K))
+        code_exprs.append(
+            f"CAST(list_indexof(list_value({dists}), "
+            f"list_aggregate(list_value({dists}), 'min')) - 1 AS INT)"
+        )
+    luts = [
+        "list_value(" + ", ".join(repr(v) for v in table[s]) + ")"
+        for s in range(_PQ_M)
+    ]
+    adc = " + ".join(f"{luts[s]}[c{s} + 1]" for s in range(_PQ_M))
+    codes_list = ", ".join(f"c{s}" for s in range(_PQ_M))
+    code_cols = ", ".join(
+        f"{expr} AS c{s}" for s, expr in enumerate(code_exprs)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, {code_cols} FROM embeddings)
+    SELECT vec_id,
+           array_to_string(list_transform([{codes_list}], x -> CAST(x AS VARCHAR)), ',') AS codes,
+           round({adc}, 6) AS adc
+    FROM c ORDER BY adc ASC, vec_id ASC LIMIT 10
+    """
+
+
+@register("pq_topk", _pq_sql())
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.vector import (
+        pq_adc_score,
+        pq_adc_table,
+        pq_demo_codebook,
+        pq_encode,
+    )
+
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    table = pq_adc_table(_PQ_QUERY, cb)
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("vec_id", pq_encode("embedding", cb).alias("_codes"))
+        .select(
+            "vec_id",
+            _ser_int_array("_codes").alias("codes"),
+            F.round(pq_adc_score("_codes", table), 6).alias("adc"),
+        )
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(10)
+    )
