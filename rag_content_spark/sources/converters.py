@@ -147,11 +147,16 @@ def convert_asciidoc(df: DataFrame, target_format: str = "text") -> DataFrame:
     mapPartitions subprocess stage (reference asciidoctor_converter.py:64-189
     shells out per file; we amortize one process check per partition).
 
-    Binary-gated: without asciidoctor installed a deterministic
-    markdown-ish downgrade runs instead (headings '= ' -> '# ').
+    Binary-gated: without asciidoctor installed, the structural
+    fallback :mod:`rag_content_spark.sources.asciidoc_text` runs — it
+    implements the reference Ruby text converter's output contract
+    (heading demotion, list/dlist/listing/admonition forms, the exact
+    entity-decode table).
     """
     import shutil
     import subprocess
+
+    from rag_content_spark.sources.asciidoc_text import asciidoc_to_text
 
     def _convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         have_bin = shutil.which("asciidoctor") is not None
@@ -168,9 +173,7 @@ def convert_asciidoc(df: DataFrame, target_format: str = "text") -> DataFrame:
                     )
                     out.append(proc.stdout.decode("utf-8", errors="replace"))
                 else:
-                    import re
-
-                    out.append(re.sub(r"(?m)^(=+) ", lambda m: "#" * len(m.group(1)) + " ", src))
+                    out.append(asciidoc_to_text(src))
             pdf = pdf.copy()
             pdf["text"] = out
             yield pdf
