@@ -94,3 +94,122 @@ def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataF
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_sample, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL header parsing (pure stdlib — no image/audio libs needed): PNG
+# IHDR, JPEG SOF, GIF logical screen, and WAV/RIFF fmt headers carry
+# dimensions / sample rate in fixed byte layouts. This replaces the fake
+# decode for the metadata-probe stage; pixel decode remains gated.
+
+import struct
+
+
+def probe_media_header(content: bytes) -> dict:
+    """Parse container headers: returns {format, width, height,
+    sample_rate, channels, duration_s} with None for non-applicable
+    fields, or format=None when unrecognized.
+
+    Formats (public byte layouts):
+    - PNG: 8-byte signature, IHDR chunk at offset 16 (width/height BE u32)
+    - JPEG: scan markers for SOF0/1/2 (height/width BE u16 at +5/+7)
+    - GIF: 6-byte header, logical screen size LE u16 at 6/8
+    - WAV: RIFF....WAVE, 'fmt ' chunk (channels/sample rate LE),
+      duration = data size / byte rate
+    """
+    out = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "channels": None,
+        "duration_s": None,
+    }
+    b = content or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        out["format"] = "png"
+        out["width"], out["height"] = struct.unpack(">II", b[16:24])
+        return out
+    if b[:3] == b"\xff\xd8\xff":
+        out["format"] = "jpeg"
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                out["height"], out["width"] = struct.unpack(
+                    ">HH", b[i + 5 : i + 9]
+                )
+                break
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            i += 2 + seglen
+        return out
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        out["format"] = "gif"
+        out["width"], out["height"] = struct.unpack("<HH", b[6:10])
+        return out
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["format"] = "wav"
+        i = 12
+        byte_rate = data_size = None
+        while i + 8 <= len(b):
+            chunk_id = b[i : i + 4]
+            chunk_size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if chunk_id == b"fmt " and i + 24 <= len(b):
+                out["channels"] = struct.unpack("<H", b[i + 10 : i + 12])[0]
+                out["sample_rate"] = struct.unpack("<I", b[i + 12 : i + 16])[0]
+                byte_rate = struct.unpack("<I", b[i + 16 : i + 20])[0]
+            elif chunk_id == b"data":
+                data_size = chunk_size
+            i += 8 + chunk_size + (chunk_size % 2)
+        if byte_rate and data_size is not None:
+            out["duration_s"] = data_size / byte_rate
+        return out
+    return out
+
+
+MEDIA_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Header-probe every media row (REAL parsing, not the fake decode):
+    one Arrow-batched pass, bytes never leave the executor. The cheap
+    probe stage runs before any expensive pixel decode so corrupt /
+    mislabeled files are filtered early — at 100 TB this is the
+    gatekeeper that keeps decode workers busy with valid media only.
+    """
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in MEDIA_PROBE_SCHEMA.fields}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                info = probe_media_header(
+                    bytes(content) if content is not None else b""
+                )
+                rows["media_id"].append(media_id)
+                for k in (
+                    "format",
+                    "width",
+                    "height",
+                    "sample_rate",
+                    "channels",
+                    "duration_s",
+                ):
+                    rows[k].append(info[k])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_probe, schema=MEDIA_PROBE_SCHEMA)

@@ -135,3 +135,73 @@ def test_asciidoc_fallback_downgrade(spark):
     # contract (asciidoc_text_converter.rb) — doc title '# ', '=='
     # section is asciidoctor level 1 -> '# ' too
     assert out == "# Title\n\n# Section\n\nbody text here"
+
+
+def _png(w, h):
+    import struct, zlib
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg(w, h):
+    import struct
+    # SOI + APP0 (JFIF stub) + SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def _wav(sample_rate, channels, seconds):
+    import struct
+    byte_rate = sample_rate * channels * 2
+    data = b"\x00" * int(byte_rate * seconds)
+    fmt = (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    )
+    payload = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_probe_media_header_formats():
+    from rag_content_spark.operators.multimodal import probe_media_header
+
+    png = probe_media_header(_png(640, 480))
+    assert (png["format"], png["width"], png["height"]) == ("png", 640, 480)
+
+    jpg = probe_media_header(_jpeg(1920, 1080))
+    assert (jpg["format"], jpg["width"], jpg["height"]) == ("jpeg", 1920, 1080)
+
+    wav = probe_media_header(_wav(16000, 2, 1.5))
+    assert wav["format"] == "wav"
+    assert wav["sample_rate"] == 16000 and wav["channels"] == 2
+    assert abs(wav["duration_s"] - 1.5) < 1e-6
+
+    gif = probe_media_header(b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little"))
+    assert (gif["format"], gif["width"], gif["height"]) == ("gif", 320, 200)
+
+    assert probe_media_header(b"not media")["format"] is None
+    assert probe_media_header(b"")["format"] is None
+
+
+def test_probe_media_dataframe(spark):
+    from rag_content_spark.operators.multimodal import probe_media
+
+    rows = [
+        ("m1", "image", bytearray(_png(10, 20)), 0, {}),
+        ("m2", "audio", bytearray(_wav(8000, 1, 2.0)), 0, {}),
+        ("m3", "image", bytearray(b"garbage"), 0, {}),
+    ]
+    from rag_content_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in probe_media(df).collect()}
+    assert got["m1"]["format"] == "png" and got["m1"]["width"] == 10
+    assert got["m2"]["format"] == "wav" and got["m2"]["duration_s"] == 2.0
+    assert got["m3"]["format"] is None
