@@ -63,6 +63,7 @@ HEADLINE = [
     "top_bigrams",        # corpus n-gram stats
     "seq_packing",        # token-budget sequence packing
     "pq_topk",            # product-quantization ADC scan
+    "ivf_pq_topk",        # IVF coarse probe + PQ ADC (FAISS IVFPQ shape)
 ]
 
 

@@ -255,3 +255,65 @@ def probe_sequence(bucket: int, bits: int, n_probes: int) -> list[int]:
     standard multi-probe heuristic for sign-random-projection LSH."""
     probes = [bucket] + [bucket ^ (1 << j) for j in range(bits)]
     return probes[:n_probes]
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantizer + PQ ADC scan — the canonical billion-scale
+    ANN read path (FAISS IVFPQ shape, Jégou et al. 2011).
+
+    Build side (at 100 TB: run once, store partitioned by cell):
+    ``assign_ivf_cells`` tags each vector with its nearest centroid and
+    ``pq_encode`` compresses it to m sub-codes — the stored index is
+    (id, cell, m bytes), ~dim*4/m x smaller than raw vectors.
+
+    Query side: rank centroids against the query on the driver (nlist
+    floats — O(nlist*dim)), probe the best ``n_probe`` cells (partition
+    pruning when the index is stored by cell), score candidates with m
+    table lookups each (no full-vector math), exact top-k on the ADC
+    scores. Ties and scores are rounded/ordered deterministically.
+    """
+    import math
+
+    from rag_content_spark.functions.vector import (
+        pq_adc_score,
+        pq_adc_table,
+        pq_encode,
+    )
+
+    def _l2(a: list[float], b: list[float]) -> float:
+        return round(
+            math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))), 6
+        )
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (_l2(query_vec, c[1]), c[0])
+        )[:n_probe]
+    ]
+    assigned = assign_ivf_cells(
+        index, centroids, embedding_col=embedding_col, id_col=id_col
+    )
+    encoded = assigned.withColumn(
+        "_codes", pq_encode(embedding_col, codebook)
+    )
+    table = pq_adc_table(query_vec, codebook)
+    cand = encoded.filter(F.col("centroid_id").isin(probed))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.round(pq_adc_score("_codes", table), 6).alias("adc"),
+        )
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2493,41 +2493,49 @@ _PQ_M, _PQ_K, _PQ_SUB = 4, 8, 16
 _PQ_QUERY = [((i * 7) % 13 - 6) / 6.0 for i in range(64)]
 
 
+def _pq_code_cols_sql(cb, emb: str = "embedding") -> str:
+    """``expr AS c0, …`` — PQ sub-code SQL (argmin centroid per subspace,
+    same '+'-chain summation order as the Spark fold)."""
+    sub = len(cb[0][0])
+
+    def dist_expr(s: int, j: int) -> str:
+        terms = [
+            f"(CAST({emb}[{s * sub + d + 1}] AS DOUBLE) - ({cb[s][j][d]!r}))"
+            f" * (CAST({emb}[{s * sub + d + 1}] AS DOUBLE) - ({cb[s][j][d]!r}))"
+            for d in range(sub)
+        ]
+        return " + ".join(terms)
+
+    cols = []
+    for s in range(len(cb)):
+        dists = ", ".join(dist_expr(s, j) for j in range(len(cb[s])))
+        cols.append(
+            f"CAST(list_indexof(list_value({dists}), "
+            f"list_aggregate(list_value({dists}), 'min')) - 1 AS INT) AS c{s}"
+        )
+    return ", ".join(cols)
+
+
+def _pq_adc_sql(table) -> str:
+    """ADC score SQL: m lookup-table indexings summed (tables are
+    Python-exact literals, same on both engines)."""
+    luts = [
+        "list_value(" + ", ".join(repr(v) for v in row) + ")" for row in table
+    ]
+    return " + ".join(f"{luts[s]}[c{s} + 1]" for s in range(len(table)))
+
+
 def _pq_sql() -> str:
     from rag_content_spark.functions.vector import pq_adc_table, pq_demo_codebook
 
     cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
     table = pq_adc_table(_PQ_QUERY, cb)
-
-    def dist_expr(s: int, j: int) -> str:
-        terms = [
-            f"(CAST(embedding[{s * _PQ_SUB + d + 1}] AS DOUBLE) - ({cb[s][j][d]!r}))"
-            f" * (CAST(embedding[{s * _PQ_SUB + d + 1}] AS DOUBLE) - ({cb[s][j][d]!r}))"
-            for d in range(_PQ_SUB)
-        ]
-        return " + ".join(terms)
-
-    code_exprs = []
-    for s in range(_PQ_M):
-        dists = ", ".join(dist_expr(s, j) for j in range(_PQ_K))
-        code_exprs.append(
-            f"CAST(list_indexof(list_value({dists}), "
-            f"list_aggregate(list_value({dists}), 'min')) - 1 AS INT)"
-        )
-    luts = [
-        "list_value(" + ", ".join(repr(v) for v in table[s]) + ")"
-        for s in range(_PQ_M)
-    ]
-    adc = " + ".join(f"{luts[s]}[c{s} + 1]" for s in range(_PQ_M))
     codes_list = ", ".join(f"c{s}" for s in range(_PQ_M))
-    code_cols = ", ".join(
-        f"{expr} AS c{s}" for s, expr in enumerate(code_exprs)
-    )
     return f"""
-    WITH c AS (SELECT vec_id, {code_cols} FROM embeddings)
+    WITH c AS (SELECT vec_id, {_pq_code_cols_sql(cb)} FROM embeddings)
     SELECT vec_id,
            array_to_string(list_transform([{codes_list}], x -> CAST(x AS VARCHAR)), ',') AS codes,
-           round({adc}, 6) AS adc
+           round({_pq_adc_sql(table)}, 6) AS adc
     FROM c ORDER BY adc ASC, vec_id ASC LIMIT 10
     """
 
@@ -2553,4 +2561,60 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+def _ivf_pq_sql() -> str:
+    from rag_content_spark.functions.vector import pq_adc_table, pq_demo_codebook
+
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    table = pq_adc_table(_PQ_QUERY, cb)
+    qlit = "list_value(" + ", ".join(repr(v) for v in _PQ_QUERY) + ")"
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
+                                           c.centroid_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    qcells AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               row_number() OVER (ORDER BY round({euclidean_sql(qlit, 'c.cv')}, 6) ASC,
+                                  c.centroid_id ASC) AS rk
+        FROM cent c
+      ) WHERE rk <= 2
+    ),
+    coded AS (
+      SELECT vec_id, centroid_id, {_pq_code_cols_sql(cb)}
+      FROM assigned WHERE centroid_id IN (SELECT centroid_id FROM qcells)
+    )
+    SELECT vec_id, centroid_id, round({_pq_adc_sql(table)}, 6) AS adc
+    FROM coded ORDER BY adc ASC, vec_id ASC LIMIT 10
+    """
+
+
+@register("ivf_pq_topk", _ivf_pq_sql())
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN (FAISS IVFPQ shape): data-derived coarse
+    centroids (every 50th vector), demo PQ codebook, literal query —
+    probe 2 cells, ADC-score candidates, exact top-10 on the codes."""
+    from rag_content_spark.functions.vector import pq_demo_codebook
+    from rag_content_spark.operators.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
+    ]
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    return ivf_pq_topk(
+        emb, centroids, cb, _PQ_QUERY, k=10, n_probe=2
     )

@@ -158,3 +158,27 @@ def test_pq_roundtrip_and_adc(spark):
         )
         exact = float(((np.array(query) - recon) ** 2).sum())
         assert math.isclose(by_id[rid], exact, rel_tol=1e-9), rid
+
+
+def test_ivf_pq_topk_finds_planted_neighbor(spark):
+    """Plant a vector exactly on the query point: IVF+PQ must rank it
+    first (its cell is the closest cell; its codes match the query's)."""
+    import numpy as np
+
+    from rag_content_spark.functions.vector import pq_demo_codebook
+    from rag_content_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    base = rng.uniform(-1, 1, (100, dim))
+    query = list(base[0])  # plant: vector 0 IS the query
+    rows = [(i, [float(x) for x in base[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids = [(i, list(base[i * 20])) for i in range(5)]
+    cb = pq_demo_codebook(4, 8, 16)
+    got = ivf_pq_topk(df, centroids, cb, query, k=5, n_probe=2).collect()
+    assert got[0]["vec_id"] == 0
+    # scores ascend (ADC squared distance) and stay in probed cells
+    scores = [r["adc"] for r in got]
+    assert scores == sorted(scores)
+    assert len({r["centroid_id"] for r in got}) <= 2
