@@ -64,6 +64,7 @@ HEADLINE = [
     "seq_packing",        # token-budget sequence packing
     "pq_topk",            # product-quantization ADC scan
     "ivf_pq_topk",        # IVF coarse probe + PQ ADC (FAISS IVFPQ shape)
+    "ann_recall",         # recall@10 of IVF probe vs exact scan
 ]
 
 

@@ -2618,3 +2618,80 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, centroids, cb, _PQ_QUERY, k=10, n_probe=2
     )
+
+
+@register(
+    "ann_recall",
+    # ANN quality evaluation: recall@10 of the single-probe IVF scan vs
+    # the exact brute-force top-10 (same vec_id=7 query as ann_ivf).
+    # One row: (k, n_hits, recall).
+    f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
+                                           c.centroid_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    qcell AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               row_number() OVER (ORDER BY round({euclidean_sql('q.qv', 'c.cv')}, 6) ASC,
+                                  c.centroid_id ASC) AS rk
+        FROM cent c, q
+      ) WHERE rk = 1
+    ),
+    approx AS (
+      SELECT a.vec_id FROM assigned a, q, qcell
+      WHERE a.centroid_id = qcell.centroid_id
+      ORDER BY round({dot_sql('a.embedding', 'q.qv')}, 6) DESC, a.vec_id ASC LIMIT 10
+    ),
+    exact AS (
+      SELECT e.vec_id FROM embeddings e, q
+      ORDER BY round({dot_sql('e.embedding', 'q.qv')}, 6) DESC, e.vec_id ASC LIMIT 10
+    )
+    SELECT 10 AS k,
+           CAST((SELECT count(*) FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)) AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)) / 10.0, 6) AS recall
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe IVF vs exact scan — the metric that
+    decides n_probe/nlist at scale (recall/latency tradeoff curve)."""
+    from rag_content_spark.operators.similarity import assign_ivf_cells
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    small = (
+        emb.filter((F.col("vec_id") % 50 == 0) | (F.col("vec_id") == 7))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"])) for r in small if r["vec_id"] % 50 == 0
+    ]
+    qv = list(next(r["embedding"] for r in small if r["vec_id"] == 7))
+    import math
+
+    def _l2(a, b):
+        return round(
+            math.sqrt(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))), 6
+        )
+
+    qcell = min(centroids, key=lambda c: (_l2(qv, c[1]), c[0]))[0]
+    assigned = assign_ivf_cells(emb, centroids)
+    approx = top_k(
+        assigned.filter(F.col("centroid_id") == qcell).select("vec_id", "embedding"),
+        qv,
+        k=10,
+    ).select("vec_id")
+    exact = top_k(emb, qv, k=10).select("vec_id")
+    # one lazy plan: the leftsemi intersection aggregates to the metric row
+    return approx.join(exact, "vec_id", "leftsemi").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
+    )
