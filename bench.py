@@ -65,6 +65,7 @@ HEADLINE = [
     "pq_topk",            # product-quantization ADC scan
     "ivf_pq_topk",        # IVF coarse probe + PQ ADC (FAISS IVFPQ shape)
     "ann_recall",         # recall@10 of IVF probe vs exact scan
+    "incremental_dedup",  # new batch vs stored corpus band table
 ]
 
 

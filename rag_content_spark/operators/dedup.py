@@ -522,3 +522,78 @@ def dedup_paragraphs(
             ).alias("dedup_text")
         )
     )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_hash) — the materialized LSH index of a corpus
+    snapshot. At 100 TB this is written once per snapshot, partitioned
+    (or bucketed) by (band, band_hash); incremental batches then probe
+    it without touching corpus text. ``minhash_lsh_candidates`` is the
+    self-join flavor of the same table."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            minhash_band_hashes(
+                hashed_shingles(text_col, n=shingle_n), num_hashes, bands
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: drop new docs that duplicate the
+    EXISTING corpus (the daily-ingest path — new data never re-scans
+    history beyond one equi-join against the stored band table).
+
+    Candidates come from a band-hash equi-join of the new batch's band
+    table against the corpus's (supply ``corpus_bands`` from the
+    materialized snapshot to skip recomputing it); verification runs
+    n-gram Jaccard on candidate pairs only; survivors are the anti-join.
+    Requires disjoint id spaces between batch and corpus.
+    """
+    nb = minhash_band_table(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_band_table(
+            corpus_docs, text_col, id_col, num_hashes, bands, shingle_n
+        )
+    )
+    cand = (
+        nb.join(
+            cb.withColumnRenamed(id_col, "_corpus_id"),
+            ["band", "band_hash"],
+        )
+        .select(
+            F.col(id_col).alias("id_a"), F.col("_corpus_id").alias("id_b")
+        )
+        .distinct()
+    )
+    both = new_docs.select(id_col, text_col).unionAll(
+        corpus_docs.select(id_col, text_col)
+    )
+    dup_new_ids = (
+        jaccard_pairs(both, cand, text_col, id_col, shingle_n, threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dup_new_ids, id_col, "left_anti")

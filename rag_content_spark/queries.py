@@ -2695,3 +2695,64 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
     )
+
+
+@register(
+    "incremental_dedup",
+    # Incremental ingest dedup: a synthetic "daily batch" (near-dup twins
+    # of corpus docs % 20 == 0 with the last 2 tokens dropped, plus fresh
+    # docs % 20 == 10 with reversed token order) deduped AGAINST the
+    # existing corpus via the band-table equi-join + Jaccard verify.
+    # Near-dups drop; fresh docs survive.
+    f"""
+    WITH newb AS (
+      SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(list_slice(tk, 1, greatest(len(tk) - 2, 1)), ' ') AS text
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, array_to_string(list_reverse(tk), ' ') AS text
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) WHERE doc_id % 20 = 10
+    ),
+    allb AS (
+      SELECT doc_id, text FROM newb UNION ALL SELECT doc_id, text FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM allb),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands n JOIN bands c ON n.band = c.band AND n.band_hash = c.band_hash
+      WHERE n.doc_id >= 3000000 AND c.doc_id < 3000000
+    ),
+    dups AS (
+      SELECT DISTINCT c.id_a
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+    )
+    SELECT doc_id FROM newb WHERE doc_id NOT IN (SELECT id_a FROM dups)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _fan(_docs(spark, sf_dir).select("doc_id", "text"))
+    tok = tokens(F.col("text"))
+    near = corpus.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(
+            F.slice(tok, 1, F.greatest(F.size(tok) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    fresh = corpus.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.array_join(F.reverse(tok), " ").alias("text"),
+    )
+    kept = dedup.dedup_against_corpus(
+        near.unionAll(fresh), corpus, threshold=0.5
+    )
+    return kept.select("doc_id")

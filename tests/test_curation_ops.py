@@ -182,3 +182,35 @@ def test_ivf_pq_topk_finds_planted_neighbor(spark):
     scores = [r["adc"] for r in got]
     assert scores == sorted(scores)
     assert len({r["centroid_id"] for r in got}) <= 2
+
+
+def test_dedup_against_corpus(spark):
+    from rag_content_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_band_table,
+    )
+
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    new_rows = [
+        # near-dup of corpus doc 1 (one token dropped)
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        # genuinely new content
+        (102, "completely different words about another topic entirely here"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    kept = [r["doc_id"] for r in dedup_against_corpus(new, corpus, threshold=0.5).collect()]
+    assert kept == [102]
+
+    # supplying the materialized band table gives the same answer
+    bands = spark.createDataFrame(minhash_band_table(corpus).collect())
+    kept2 = [
+        r["doc_id"]
+        for r in dedup_against_corpus(
+            new, corpus, threshold=0.5, corpus_bands=bands
+        ).collect()
+    ]
+    assert kept2 == [102]
