@@ -214,3 +214,29 @@ def test_dedup_against_corpus(spark):
         ).collect()
     ]
     assert kept2 == [102]
+
+
+def test_assign_ivf_cells_np_matches_exact(spark):
+    """The vectorized (numpy-matmul) IVF assignment must agree with the
+    exact declarative operator on real data."""
+    from rag_content_spark.operators.similarity import (
+        assign_ivf_cells,
+        assign_ivf_cells_np,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").collect()
+    ]
+    exact = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_ivf_cells(emb, centroids).collect()
+    }
+    fast = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_ivf_cells_np(emb, centroids).collect()
+    }
+    assert fast == exact
