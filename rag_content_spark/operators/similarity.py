@@ -381,3 +381,49 @@ def assign_ivf_cells_np(
             )
 
     return index.mapInPandas(_assign, schema=schema)
+
+
+def lsh_signature_np(
+    df: DataFrame,
+    bits: int = 16,
+    dim: int = 64,
+    seed: str = "srp",
+    embedding_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Vectorized SRP-LSH bucket assignment: one (n x bits) projection
+    matmul per Arrow batch — the build-path twin of
+    :func:`lsh_signature` (whose per-bit interpreted folds dominate when
+    bucketing a full corpus). Same deterministic hyperplanes; sign
+    convention (proj >= 0) matches, and the equality test pins agreement
+    on real data. Projections exactly at 0 are astronomically rare but
+    could differ from the fold under float reassociation — acceptable on
+    the build path, not used by oracle queries."""
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    planes = np.array(
+        [srp_plane(seed, j, dim) for j in range(bits)], dtype=np.float64
+    )
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def _sig(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            emb = np.array(pdf[embedding_col].tolist(), dtype=np.float64)
+            proj = emb @ planes.T
+            buckets = ((proj >= 0) @ weights).astype(np.int64)
+            pdf = pdf.copy()
+            pdf[out_col] = buckets
+            yield pdf
+
+    return df.mapInPandas(_sig, schema=schema)

@@ -240,3 +240,48 @@ def test_assign_ivf_cells_np_matches_exact(spark):
         for r in assign_ivf_cells_np(emb, centroids).collect()
     }
     assert fast == exact
+
+
+def test_pq_encode_np_matches_exact(spark):
+    from rag_content_spark.functions.vector import (
+        pq_demo_codebook,
+        pq_encode,
+        pq_encode_np,
+    )
+
+    cb = pq_demo_codebook(4, 8, 16)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    exact = {
+        r["vec_id"]: r["codes"]
+        for r in emb.select(
+            "vec_id", pq_encode("embedding", cb).alias("codes")
+        ).collect()
+    }
+    fast = {
+        r["vec_id"]: r["codes"] for r in pq_encode_np(emb, cb).collect()
+    }
+    assert fast == exact
+
+
+def test_lsh_signature_np_matches_exact(spark):
+    from rag_content_spark.operators.similarity import (
+        lsh_signature,
+        lsh_signature_np,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    exact = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select(
+            "vec_id", lsh_signature("embedding", bits=8, dim=64).alias("bucket")
+        ).collect()
+    }
+    fast = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_signature_np(emb, bits=8, dim=64).collect()
+    }
+    assert fast == exact
