@@ -66,6 +66,7 @@ HEADLINE = [
     "ivf_pq_topk",        # IVF coarse probe + PQ ADC (FAISS IVFPQ shape)
     "ann_recall",         # recall@10 of IVF probe vs exact scan
     "incremental_dedup",  # new batch vs stored corpus band table
+    "curation_pipeline",  # gopher gate -> dedup -> rebalance -> pack
 ]
 
 

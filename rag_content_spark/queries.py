@@ -2756,3 +2756,77 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         near.unionAll(fresh), corpus, threshold=0.5
     )
     return kept.select("doc_id")
+
+
+@register(
+    "curation_pipeline",
+    # End-to-end training-data curation: Gopher quality gate -> exact
+    # dedup (survivor = min doc_id per content hash) -> language-mix
+    # rebalance -> sequence packing. One lazy plan, every stage from the
+    # curation operator set.
+    f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text, {_TOKENS_SQL} AS tok FROM documents
+      )
+      WHERE (len(tok) >= 50 AND len(tok) <= 100000)
+        AND (CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) >= 3.0
+             AND CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) <= 10.0)
+        AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(tok) <= 0.1)
+        AND (CAST(len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tok) >= 0.8)
+        AND (len(list_filter(tok, x -> lower(x) IN {_GOPHER_STOP_SQL})) >= 2)
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text FROM gated
+      QUALIFY row_number() OVER (
+        PARTITION BY {stable_hash64_sql('text')} ORDER BY doc_id
+      ) = 1
+    ),
+    counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n, {_MIX_CASE_SQL} AS share
+      FROM deduped GROUP BY lang
+    ),
+    eligible AS (SELECT * FROM counts WHERE share IS NOT NULL),
+    scale AS (SELECT min(CAST(n AS DOUBLE) / share) AS s FROM eligible),
+    rates AS (SELECT lang, share * (SELECT s FROM scale) / n AS rate FROM eligible),
+    balanced AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM deduped d JOIN rates r USING (lang)
+      WHERE {stable_hash64_sql("CAST(d.doc_id AS VARCHAR)", salt="mix")} % 10000
+            < r.rate * 10000
+    ),
+    packed AS (
+      SELECT doc_id, lang,
+             {stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="pack")} % 4 AS shard,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM balanced
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+      CAST(floor(
+        (CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         - n_tokens) / 500.0) AS BIGINT) AS seq_bucket
+    FROM packed
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation flagship: every stage is one of the
+    curation operators, composed as a single lazy plan (filter ->
+    hash-window dedup -> broadcast-rate sampling -> windowed packing)."""
+    from rag_content_spark.operators.packing import pack_sequences
+    from rag_content_spark.operators.quality import gopher_rules, rebalance_to_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    gated = docs.filter(gopher_rules("text")["keep"])
+    w = Window.partitionBy(stable_hash64(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    balanced = rebalance_to_mix(deduped, _MIX)
+    packed = pack_sequences(balanced, budget=500, shards=4)
+    return packed.join(
+        balanced.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "shard", "n_tokens", "seq_bucket")
