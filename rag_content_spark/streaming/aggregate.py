@@ -124,3 +124,43 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming incremental near-dup filter: drop streamed docs whose
+    LSH band hash collides with the STATIC corpus band table (the
+    materialized minhash_band_table snapshot).
+
+    This is a stream-static join — Spark re-reads only the matching
+    static partitions per micro-batch and keeps NO stream state for it,
+    so the corpus can be arbitrarily large while the stream stays
+    bounded. Collision-level filtering (no Jaccard verify) makes this
+    the conservative fast gate; collided docs can be side-outputted to a
+    batch verify instead of dropped when recall matters.
+    """
+    from rag_content_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_band_hashes,
+    )
+
+    # band hashes stay an ARRAY on the stream row (exploding would make
+    # the anti-join stream-stream); the join condition indexes the array
+    # with the static row's band number
+    withb = new_docs.withColumn(
+        "_bands",
+        minhash_band_hashes(
+            hashed_shingles(text_col, n=shingle_n), num_hashes, bands
+        ),
+    )
+    cond = F.get(F.col("_bands"), F.col("band")) == F.col("band_hash")
+    return withb.join(
+        corpus_bands.select("band", "band_hash"), cond, "left_anti"
+    ).drop("_bands")

@@ -1,5 +1,7 @@
 import time
 
+from pyspark.sql import functions as F
+
 from rag_content_spark.operators.multimodal import (
     extract_image_features,
     sample_video_frames,
@@ -205,3 +207,54 @@ def test_probe_media_dataframe(spark):
     assert got["m1"]["format"] == "png" and got["m1"]["width"] == 10
     assert got["m2"]["format"] == "wav" and got["m2"]["duration_s"] == 2.0
     assert got["m3"]["format"] is None
+
+
+def test_streaming_dedup_against_corpus(spark, tmp_path):
+    """Stream-static anti-join: streamed docs colliding with the static
+    corpus band table are dropped; fresh docs pass through."""
+    from rag_content_spark.operators.dedup import minhash_band_table
+    from rag_content_spark.streaming.aggregate import (
+        streaming_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("c2", "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    bands_path = str(tmp_path / "bands")
+    minhash_band_table(corpus).write.parquet(bands_path)
+    corpus_bands = spark.read.parquet(bands_path)  # materialized snapshot
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    # near-dup of c1 (one token dropped) and a genuinely fresh doc
+    (src / "dup.md").write_text(
+        "alpha beta gamma delta epsilon zeta eta theta iota"
+    )
+    (src / "new.md").write_text(
+        "completely different words about another topic entirely here"
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(str(src))
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_dedup_against_corpus(stream, corpus_bands)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert kept == ["new.md"]
