@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_recall",         # recall@10 of IVF probe vs exact scan
     "incremental_dedup",  # new batch vs stored corpus band table
     "curation_pipeline",  # gopher gate -> dedup -> rebalance -> pack
+    "doc_entropy",        # unigram-LM cross-entropy (perplexity proxy)
 ]
 
 

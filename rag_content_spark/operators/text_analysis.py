@@ -252,3 +252,55 @@ def top_ngrams(
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def unigram_logloss(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probs=None,
+):
+    """Per-document cross-entropy under the corpus unigram LM — the
+    classic perplexity-proxy quality score (high = unusual token mix;
+    a real pipeline swaps in a KenLM pandas_udf at the same plan point).
+
+    ``probs`` is an optional materialized (token, p) table — at 100 TB
+    the LM is estimated once per snapshot and broadcast/shuffle-joined;
+    when omitted it is estimated in-plan from the same corpus. Unseen
+    tokens (only possible with a supplied LM) back off to 1/total_count.
+
+    xent = avg over tokens of -ln p(token), rounded to 6 (float-sum
+    order tolerance).
+    """
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    if probs is None:
+        counts = exploded.groupBy("token").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        total = counts.agg(F.sum("_c").alias("_total"))
+        probs = counts.join(F.broadcast(total)).select(
+            "token",
+            (F.col("_c").cast("double") / F.col("_total")).alias("p"),
+            F.col("_total"),
+        )
+    elif "_total" not in probs.columns:
+        raise ValueError(
+            "supplied probs must carry (token, p, _total) — _total drives "
+            "the 1/_total unseen-token backoff"
+        )
+    # the backoff total rides a broadcast one-row frame: an OOV token has
+    # no probs row, so _total must NOT come from the (null) joined row
+    bt = probs.agg(F.max("_total").alias("_bt"))
+    joined = exploded.join(F.broadcast(bt)).join(
+        probs.drop("_total"), "token", "left"
+    )
+    p = F.coalesce(F.col("p"), F.lit(1.0) / F.col("_bt").cast("double"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(p)), 6).alias("xent"),
+        )
+    )

@@ -2830,3 +2830,29 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.join(
         balanced.select("doc_id", "lang"), "doc_id"
     ).select("doc_id", "lang", "shard", "n_tokens", "seq_bucket")
+
+
+@register(
+    "doc_entropy",
+    # Unigram-LM cross-entropy per document (perplexity proxy): the LM
+    # is estimated in-plan from the same corpus; xent = avg -ln p(token).
+    f"""
+    WITH ex AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+    ),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+    probs AS (SELECT token, CAST(c AS DOUBLE) / (SELECT total FROM total) AS p FROM counts)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(p.p)), 6) AS xent
+    FROM ex JOIN probs p USING (token)
+    GROUP BY ex.doc_id
+    """,
+)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.text_analysis import unigram_logloss
+
+    return unigram_logloss(_docs(spark, sf_dir))

@@ -285,3 +285,30 @@ def test_lsh_signature_np_matches_exact(spark):
         for r in lsh_signature_np(emb, bits=8, dim=64).collect()
     }
     assert fast == exact
+
+
+def test_unigram_logloss(spark):
+    import math
+
+    from rag_content_spark.operators.text_analysis import unigram_logloss
+
+    rows = [(1, "a a a b"), (2, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_logloss(df).collect()}
+    # corpus: a x4, b x2, total 6 -> p(a)=2/3, p(b)=1/3
+    pa, pb = 4 / 6, 2 / 6
+    expect1 = -(3 * math.log(pa) + math.log(pb)) / 4
+    expect2 = -(math.log(pa) + math.log(pb)) / 2
+    assert abs(got[1]["xent"] - expect1) < 1e-6
+    assert abs(got[2]["xent"] - expect2) < 1e-6
+    # doc 2 has rarer mix on average -> higher xent
+    assert got[2]["xent"] > got[1]["xent"]
+
+    # supplied materialized LM + OOV backoff (1/total)
+    probs = spark.createDataFrame(
+        [("a", pa, 6), ("b", pb, 6)], ["token", "p", "_total"]
+    )
+    oov = spark.createDataFrame([(3, "a z")], ["doc_id", "text"])
+    got3 = unigram_logloss(oov, probs=probs).collect()[0]
+    expect3 = -(math.log(pa) + math.log(1 / 6)) / 2
+    assert abs(got3["xent"] - expect3) < 1e-6
