@@ -86,10 +86,46 @@ def split_markdown(df: DataFrame, text_col: str = "text") -> DataFrame:
     a leading section without a heading is kept.
 
     Adds ``section_index``, ``section_text`` (trimmed), drops empty sections.
-    Implementation: tag ``^#{1,6} `` heading lines with a sentinel, split on
-    it — pure narrow ops, no shuffle, no lookahead regex (DuckDB RE2-safe).
+    Implementation: tag heading lines with a sentinel and split on it —
+    pure narrow ops, no shuffle. Fence-aware like MarkdownNodeParser
+    (and the exact P3 filter): a ``#`` line inside a \`\`\` fence is
+    content, not a section break. Fence state per line is the parity of
+    fence-opener lines before it — a prefix count over the line array
+    (O(lines^2) integer ops per doc; docs are line-bounded upstream).
     """
-    tagged = F.regexp_replace(F.col(text_col), r"(?m)^(#{1,6} )", _SENTINEL + "$1")
+    from rag_content_spark.operators.dedup import let
+
+    def _tag(ls):
+        marks = F.transform(
+            ls,
+            lambda l: F.when(
+                F.ltrim(l).startswith(F.lit("```")), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        return let(
+            marks,
+            lambda mk: F.array_join(
+                F.transform(
+                    ls,
+                    lambda l, i: F.when(
+                        l.rlike(r"^#{1,6} ")
+                        & (
+                            F.aggregate(
+                                F.slice(mk, 1, i),
+                                F.lit(0),
+                                lambda a, x: a + x,
+                            )
+                            % 2
+                            == 0
+                        ),
+                        F.concat(F.lit(_SENTINEL), l),
+                    ).otherwise(l),
+                ),
+                "\n",
+            ),
+        )
+
+    tagged = let(F.split(F.col(text_col), "\n"), _tag)
     # trim(col) strips only spaces in both Spark and DuckDB; pass the full
     # whitespace set explicitly so sections don't keep trailing newlines.
     sections = F.filter(

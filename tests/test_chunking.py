@@ -231,3 +231,29 @@ def test_chunk_sentences_invalid_overlap_rejected(spark):
 
     with pytest.raises(ValueError):
         chunk_sentences(_one(spark, "x"), size=4, overlap=4)
+
+
+def test_markdown_split_fence_aware(spark):
+    """MarkdownNodeParser contract: a heading-looking line inside a
+    ``` fence is content, not a section break."""
+    from rag_content_spark.operators.chunking import split_markdown
+
+    text = (
+        "# Real Heading\n"
+        "intro line\n"
+        "```\n"
+        "# not a heading, just a comment\n"
+        "```\n"
+        "tail line\n"
+        "## Second Section\n"
+        "body"
+    )
+    df = spark.createDataFrame([("d1", text)], ["doc_id", "text"])
+    sections = [
+        r["section_text"]
+        for r in split_markdown(df).orderBy("section_index").collect()
+    ]
+    assert len(sections) == 2
+    assert sections[0].startswith("# Real Heading")
+    assert "# not a heading" in sections[0]  # stayed inside section 1
+    assert sections[1].startswith("## Second Section")
