@@ -338,6 +338,7 @@ def embedding_neardup_pairs(
     bits: int = 8,
     bands: int = 2,
     dim: int = 64,
+    vectorized_signatures: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-random-projection LSH
     with OR-amplification (a pair is a candidate if ANY of ``bands``
@@ -346,19 +347,41 @@ def embedding_neardup_pairs(
 
     Vectors are assumed L2-normalized (dot == cosine). At 100 TB the
     band-bucket join is the only shuffle; raise ``bits`` to shrink
-    buckets, raise ``bands`` to raise recall.
+    buckets, raise ``bands`` to raise recall. ``vectorized_signatures``
+    swaps the interpreted per-bit folds for the numpy-matmul twin
+    (lsh_signature_np — build path; oracle queries keep the exact fold).
     """
-    banded = emb.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    lsh_signature(embedding_col, bits=bits, dim=dim, seed=f"srp{b}")
-                    for b in range(bands)
-                ]
+    if vectorized_signatures:
+        from rag_content_spark.operators.similarity import lsh_signature_np
+
+        sigs = emb
+        for b in range(bands):
+            sigs = lsh_signature_np(
+                sigs,
+                bits=bits,
+                dim=dim,
+                seed=f"srp{b}",
+                embedding_col=embedding_col,
+                out_col=f"_sig{b}",
             )
-        ).alias("band", "bucket"),
-    )
+        banded = sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[F.col(f"_sig{b}") for b in range(bands)])
+            ).alias("band", "bucket"),
+        )
+    else:
+        banded = emb.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_signature(embedding_col, bits=bits, dim=dim, seed=f"srp{b}")
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
     cand = bucket_pairs(banded, id_col, ["band", "bucket"])
     va = emb.select(F.col(id_col).alias("id_a"), F.col(embedding_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(embedding_col).alias("_vb"))

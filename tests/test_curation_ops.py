@@ -312,3 +312,23 @@ def test_unigram_logloss(spark):
     got3 = unigram_logloss(oov, probs=probs).collect()[0]
     expect3 = -(math.log(pa) + math.log(1 / 6)) / 2
     assert abs(got3["xent"] - expect3) < 1e-6
+
+
+def test_embedding_neardup_vectorized_matches_exact(spark):
+    from rag_content_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    exact = sorted(
+        map(tuple, embedding_neardup_pairs(emb, threshold=0.0).collect())
+    )
+    fast = sorted(
+        map(
+            tuple,
+            embedding_neardup_pairs(
+                emb, threshold=0.0, vectorized_signatures=True
+            ).collect(),
+        )
+    )
+    assert fast == exact
