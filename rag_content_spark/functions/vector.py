@@ -308,3 +308,54 @@ def pq_encode_np(
             yield pdf
 
     return df.mapInPandas(_encode, schema=schema)
+
+
+def train_pq_codebook(
+    emb_df,
+    m: int,
+    k: int,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 5,
+) -> list[list[list[float]]]:
+    """Train a PQ codebook with per-subspace k-means (the real
+    counterpart of :func:`pq_demo_codebook`): slice each vector into m
+    subvectors, run Lloyd's on every subspace (operators/kmeans.py —
+    driver-resident centroids, one job per iteration), return the
+    m x k x sub_dim codebook for :func:`pq_encode` / ADC scanning.
+
+    Initial centroids per subspace are the subvectors of the first k
+    rows by id — deterministic, so training is reproducible.
+    """
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.kmeans import kmeans
+
+    dim = len(
+        emb_df.select(embedding_col).first()[0]
+    )
+    sub_dim = dim // m
+    codebook = []
+    seeds = [
+        list(r[embedding_col])
+        for r in emb_df.orderBy(id_col).limit(k).collect()
+    ]
+    for s in range(m):
+        sub_df = emb_df.select(
+            F.col(id_col),
+            F.slice(F.col(embedding_col), s * sub_dim + 1, sub_dim).alias(
+                embedding_col
+            ),
+        )
+        init = [
+            (j, seeds[j][s * sub_dim : (s + 1) * sub_dim]) for j in range(k)
+        ]
+        centroids, _ = kmeans(
+            sub_df,
+            init,
+            iterations=iterations,
+            embedding_col=embedding_col,
+            id_col=id_col,
+        )
+        codebook.append([vec for _, vec in sorted(centroids)])
+    return codebook

@@ -332,3 +332,41 @@ def test_embedding_neardup_vectorized_matches_exact(spark):
         )
     )
     assert fast == exact
+
+
+def test_trained_pq_beats_demo_codebook(spark):
+    """PQ with a kmeans-trained codebook must reconstruct the corpus
+    better (lower total ADC self-distance) than the untrained demo
+    codebook — ties PQ to real training end-to-end."""
+    from rag_content_spark.functions.vector import (
+        pq_adc_score,
+        pq_adc_table,
+        pq_demo_codebook,
+        pq_encode,
+        train_pq_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    m, k = 4, 8
+    trained = train_pq_codebook(emb, m=m, k=k, iterations=3)
+    demo = pq_demo_codebook(m, k, 16)
+
+    # quantization error proxy: ADC distance of each vector to ITS OWN
+    # codes equals the squared distance to its reconstruction
+    def total_self_distance(cb):
+        q_rows = emb.limit(20).collect()
+        total = 0.0
+        enc = {
+            r["vec_id"]: r["codes"]
+            for r in emb.select(
+                "vec_id", pq_encode("embedding", cb).alias("codes")
+            ).collect()
+        }
+        for r in q_rows:
+            table = pq_adc_table([float(x) for x in r["embedding"]], cb)
+            total += sum(table[s][enc[r["vec_id"]][s]] for s in range(m))
+        return total
+
+    assert total_self_distance(trained) < total_self_distance(demo)
