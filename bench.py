@@ -68,6 +68,7 @@ HEADLINE = [
     "incremental_dedup",  # new batch vs stored corpus band table
     "curation_pipeline",  # gopher gate -> dedup -> rebalance -> pack
     "doc_entropy",        # unigram-LM cross-entropy (perplexity proxy)
+    "dedup_recall",       # MinHash-LSH recall on planted near-dups
 ]
 
 

@@ -2856,3 +2856,87 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.text_analysis import unigram_logloss
 
     return unigram_logloss(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_recall",
+    # Dedup quality evaluation (the MinHash twin of ann_recall): recall
+    # of the LSH+Jaccard pipeline on the PLANTED near-dup pairs
+    # (id, id+1000000) in the synthesized corpus. One row:
+    # (planted, found_planted, recall, extra_pairs).
+    f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    found AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+    ),
+    planted AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT CAST((SELECT count(*) FROM planted) AS BIGINT) AS planted,
+           CAST((SELECT count(*) FROM found f
+                 WHERE EXISTS (SELECT 1 FROM planted p
+                               WHERE p.id_a = f.id_a AND p.id_b = f.id_b)) AS BIGINT)
+             AS found_planted,
+           round((SELECT count(*) FROM found f
+                  WHERE EXISTS (SELECT 1 FROM planted p
+                                WHERE p.id_a = f.id_a AND p.id_b = f.id_b))
+                 / CAST((SELECT count(*) FROM planted) AS DOUBLE), 6) AS recall,
+           CAST((SELECT count(*) FROM found f
+                 WHERE NOT EXISTS (SELECT 1 FROM planted p
+                                   WHERE p.id_a = f.id_a AND p.id_b = f.id_b)) AS BIGINT)
+             AS extra_pairs
+    """,
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH pipeline on planted near-dup pairs —
+    the measurement that tunes (num_hashes, bands) at scale."""
+    corpus = _dup_corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    found = dedup.jaccard_pairs(corpus, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    planted = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+    )
+    hits = found.join(planted, ["id_a", "id_b"], "leftsemi")
+    extras = found.join(planted, ["id_a", "id_b"], "left_anti")
+    n_planted = planted.agg(F.count(F.lit(1)).alias("planted"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("found_planted"))
+    n_extra = extras.agg(F.count(F.lit(1)).alias("extra_pairs"))
+    return (
+        n_planted.join(F.broadcast(n_hits))
+        .join(F.broadcast(n_extra))
+        .select(
+            "planted",
+            "found_planted",
+            F.round(
+                F.col("found_planted") / F.col("planted").cast("double"), 6
+            ).alias("recall"),
+            "extra_pairs",
+        )
+    )
