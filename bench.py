@@ -69,6 +69,7 @@ HEADLINE = [
     "curation_pipeline",  # gopher gate -> dedup -> rebalance -> pack
     "doc_entropy",        # unigram-LM cross-entropy (perplexity proxy)
     "dedup_recall",       # MinHash-LSH recall on planted near-dups
+    "ann_multiprobe",     # multi-probe LSH search (partition-pruned read)
 ]
 
 

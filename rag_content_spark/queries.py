@@ -2940,3 +2940,80 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "extra_pairs",
         )
     )
+
+
+def _multiprobe_sql() -> str:
+    """Driver-side probe selection for the literal query vector — the
+    same srp_plane family the Spark side uses, so both engines filter
+    the same literal bucket list."""
+    from rag_content_spark.operators.similarity import probe_sequence, srp_plane
+
+    bits, dim, n_probes = 8, 64, 4
+    qbucket = 0
+    for j in range(bits):
+        plane = srp_plane("srp", j, dim)
+        proj = sum(q * r for q, r in zip(_PQ_QUERY, plane))
+        if proj >= 0:
+            qbucket |= 1 << j
+    probes = probe_sequence(qbucket, bits, n_probes)
+    probes_sql = ", ".join(str(p) for p in probes)
+    qlit = "list_value(" + ", ".join(repr(v) for v in _PQ_QUERY) + ")"
+    return f"""
+    WITH planes AS (
+      SELECT j, list_transform(generate_series(0, 63),
+               i -> ({stable_hash64_sql("('srp' || j || ':' || i)")} % 2000001) / 1000000.0 - 1.0) AS r
+      FROM (SELECT unnest(generate_series(0, 7)) AS j)
+    ),
+    sigs AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN {dot_sql('e.embedding', 'p.r')} >= 0
+                           THEN (1::BIGINT << p.j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, e.embedding
+    )
+    SELECT vec_id, bucket,
+           round({dot_sql('embedding', qlit)}, 6) AS score
+    FROM sigs
+    WHERE bucket IN ({probes_sql})
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """
+
+
+@register("ann_multiprobe", _multiprobe_sql())
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH search (the partition-pruned 100 TB read
+    path): probe the query's bucket + Hamming-1 neighbors, exact top-10
+    within the probed buckets."""
+    from rag_content_spark.operators.similarity import (
+        lsh_signature,
+        probe_sequence,
+        srp_plane,
+    )
+
+    bits, dim, n_probes = 8, 64, 4
+    qbucket = 0
+    for j in range(bits):
+        plane = srp_plane("srp", j, dim)
+        proj = sum(q * r for q, r in zip(_PQ_QUERY, plane))
+        if proj >= 0:
+            qbucket |= 1 << j
+    probes = probe_sequence(qbucket, bits, n_probes)
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        lsh_signature("embedding", bits=bits, dim=dim, seed="srp").alias(
+            "bucket"
+        ),
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _PQ_QUERY])
+    return (
+        emb.filter(F.col("bucket").isin(probes))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(dot(F.col("embedding"), qv, dim), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
