@@ -370,3 +370,38 @@ def test_trained_pq_beats_demo_codebook(spark):
         return total
 
     assert total_self_distance(trained) < total_self_distance(demo)
+
+
+def test_bucketed_band_table_joins_without_corpus_shuffle(spark):
+    """The 100 TB incremental-dedup layout: the corpus band table stored
+    bucketed by band_hash joins new-batch band hashes with NO exchange
+    on the (huge) corpus side — only the (small) batch side shuffles."""
+    from rag_content_spark.operators.dedup import minhash_band_table
+    from rag_content_spark.sinks.parquet_sink import write_bucketed_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i} zeta eta theta") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    write_bucketed_index(
+        minhash_band_table(corpus),
+        "corpus_bands_bucketed",
+        bucket_col="band_hash",
+        n_buckets=8,
+    )
+    stored = spark.table("corpus_bands_bucketed")
+
+    new = spark.createDataFrame(
+        [(1001, "alpha beta gamma delta epsilon word1 zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    joined = minhash_band_table(new).join(
+        stored.withColumnRenamed("doc_id", "corpus_id"),
+        ["band", "band_hash"],
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the bucketed (corpus) scan feeds the join with no Exchange above it:
+    # exactly one shuffle in the whole plan — the new-batch side
+    assert plan.count("Exchange") == 1, plan
+    assert joined.count() >= 4  # shared-shingle bands collide
+    spark.sql("DROP TABLE corpus_bands_bucketed")
