@@ -25,7 +25,8 @@ def audit(name: str, df) -> None:
     pushed = re.findall(r"PushedFilters: (\[[^\]]*\])", plan)
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)
     exchanges = len(re.findall(r"\n\s*(?:\(\d+\) )?Exchange", plan))
-    codegen = len(re.findall(r"WholeStageCodegen", plan))
+    # formatted mode tags codegen stages as "[codegen id : N]"
+    codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
     print(f"== {name}")
     for s in scans:
         print(f"   scan: {s[:110]}")
