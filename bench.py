@@ -70,6 +70,7 @@ HEADLINE = [
     "doc_entropy",        # unigram-LM cross-entropy (perplexity proxy)
     "dedup_recall",       # MinHash-LSH recall on planted near-dups
     "ann_multiprobe",     # multi-probe LSH search (partition-pruned read)
+    "chunk_bpe",          # tokenizer-pluggable chunking (regex tokenizer)
 ]
 
 

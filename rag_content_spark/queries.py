@@ -3017,3 +3017,42 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "chunk_bpe",
+    # Tokenizer-pluggable chunking (C1 swap point) with the BPE-ish
+    # regex tokenizer: the pandas-UDF tokenizer on the Spark side must
+    # produce the same windows as regexp_extract_all in DuckDB.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS tk
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, tk,
+             CAST(ceil(greatest(len(tk), 1) / 24.0) AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(r.range AS INT) AS chunk_index,
+           array_to_string(list_slice(tk, r.range * 24 + 1, r.range * 24 + 24), ' ') AS chunk_text,
+           CAST(len(list_slice(tk, r.range * 24 + 1, r.range * 24 + 24)) AS INT) AS chunk_tokens
+    FROM n CROSS JOIN range(0, 10000) r
+    WHERE r.range < n.n_chunks
+    """,
+)
+def q_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from rag_content_spark.operators.chunking import chunk_with_tokenizer
+    from rag_content_spark.operators.text_analysis import TOKEN_REGEX
+
+    pat = re.compile(TOKEN_REGEX)
+
+    return chunk_with_tokenizer(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        tokenizer=pat.findall,
+        size=24,
+        overlap=0,
+    ).select("doc_id", "chunk_index", "chunk_text", "chunk_tokens")
