@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_recall",       # MinHash-LSH recall on planted near-dups
     "ann_multiprobe",     # multi-probe LSH search (partition-pruned read)
     "chunk_bpe",          # tokenizer-pluggable chunking (regex tokenizer)
+    "cohort_retention",   # first-active-week cohorts x week offset
 ]
 
 

@@ -3056,3 +3056,43 @@ def q_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         size=24,
         overlap=0,
     ).select("doc_id", "chunk_index", "chunk_text", "chunk_tokens")
+
+
+@register(
+    "cohort_retention",
+    # Cohort retention over events: users grouped by first-active week,
+    # distinct actives per (cohort, week offset). Integer epoch-week
+    # math on both engines.
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) % 604800 AS week
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST((e.week - c.cohort_week) / 604800 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    week = (
+        F.expr("ts DIV 1000000000") - F.expr("ts DIV 1000000000") % 604800
+    ).alias("week")
+    e = ev.select("user_id", week)
+    cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.col("week") - F.col("cohort_week")) / 604800)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
