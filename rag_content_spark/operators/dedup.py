@@ -515,21 +515,29 @@ def dedup_paragraphs(
     paragraphs in original order. Documents whose every paragraph was
     seen earlier disappear (fully-boilerplate docs).
 
-    Scale shape: explode (narrow) → one shuffle on the paragraph hash
-    (the window) → one shuffle on id (the rebuild). Paragraph text never
-    leaves the row, only its 60-bit hash is the shuffle key.
+    Scale shape: explode (narrow) → groupBy-min on the paragraph hash
+    (NOT a window: a boilerplate paragraph repeated 10^9 times would put
+    all its rows in one window partition, while the aggregate combines
+    map-side and AQE can split the skewed join) → semi-join back → one
+    shuffle on id (the rebuild). Paragraph text never leaves the row;
+    only its 60-bit hash is the shuffle key.
     """
     paras = df.select(
         F.col(id_col), F.posexplode(F.split(text_col, sep)).alias("pos", "para")
     ).filter(F.col("para") != "")
-    w = (
-        Window.partitionBy(stable_hash64(F.col("para")))
-        .orderBy(id_col, "pos")
+    h = stable_hash64(F.col("para"))
+    firsts = (
+        paras.select(h.alias("_h"), F.struct(id_col, "pos").alias("_at"))
+        .groupBy("_h")
+        .agg(F.min("_at").alias("_first"))
     )
     kept = (
-        paras.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        paras.join(
+            firsts,
+            (h == F.col("_h"))
+            & (F.struct(id_col, "pos") == F.col("_first")),
+        )
+        .drop("_h", "_first")
     )
     return (
         kept.groupBy(id_col)
