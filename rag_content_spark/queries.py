@@ -2819,12 +2819,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     gated = docs.filter(gopher_rules("text")["keep"])
-    w = Window.partitionBy(stable_hash64(F.col("text"))).orderBy("doc_id")
-    deduped = (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # survivor selection via the exact_dedup aggregate (map-side combine,
+    # AQE-splittable join) rather than a hash-partitioned window — a
+    # boilerplate text repeated 10^9 times would serialize a window
+    survivors = dedup.exact_dedup(gated).select(
+        F.col("keep_id").alias("doc_id")
     )
+    deduped = gated.join(survivors, "doc_id", "leftsemi")
     balanced = rebalance_to_mix(deduped, _MIX)
     packed = pack_sequences(balanced, budget=500, shards=4)
     return packed.join(
