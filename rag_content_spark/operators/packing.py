@@ -8,6 +8,11 @@ packed WITHIN each shard — the window partitions by shard, so N shards
 give N-way parallel packing and shard boundaries are stable across runs
 (restartable, engine-portable). At 100 TB, shards map 1:1 to output
 files.
+
+Size ``shards`` with the corpus: each shard's cumsum runs in ONE window
+partition, so pick shards ≈ total_rows / (a few million) — e.g. 10k
+shards for 10B documents. More shards only changes which bucket a doc
+lands in, never correctness.
 """
 
 from __future__ import annotations
