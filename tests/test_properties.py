@@ -88,3 +88,37 @@ def test_filter_predicates_agree_with_python_model(spark):
     for r in got:
         assert r["ws"] == model_ws(r["text"]), repr(r["text"])
         assert r["content"] == got_content_py(r["text"]), repr(r["text"])
+
+
+def test_pack_sequences_budget_property(spark):
+    """Packing invariants on a randomized corpus: within every shard,
+    buckets are contiguous from 0, and a bucket's token total only
+    exceeds the budget by (at most) its last document's overflow —
+    greedy start-offset packing never leaves a gap."""
+    import random
+
+    rng = random.Random(7)
+    budget = 64
+    rows = [
+        (f"d{i:03d}", "w " * rng.randint(1, 40)) for i in range(100)
+    ]
+    from rag_content_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=budget, shards=4).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        buckets = sorted({r["seq_bucket"] for r in rs})
+        assert buckets == list(range(len(buckets))), (shard, buckets)
+        totals: dict = {}
+        last_doc: dict = {}
+        for r in rs:
+            totals[r["seq_bucket"]] = totals.get(r["seq_bucket"], 0) + r["n_tokens"]
+            last_doc[r["seq_bucket"]] = r["n_tokens"]
+        for b, tot in totals.items():
+            # each doc STARTS inside its bucket; only the final doc may
+            # run past the boundary
+            assert tot - last_doc[b] < budget, (shard, b, tot)
