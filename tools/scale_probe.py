@@ -57,6 +57,22 @@ def replicate(spark, src_dir: str, dst_dir: str, n: int) -> None:
         .write.mode("overwrite")
         .parquet(f"{dst_dir}/embeddings.parquet")
     )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("_rep") * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("_rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{dst_dir}/events.parquet")
+    )
 
 
 def main() -> None:
