@@ -125,7 +125,17 @@ def split_markdown(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
 
-    tagged = let(F.split(F.col(text_col), "\n"), _tag)
+    # fast path: no fence anywhere -> the O(lines^2) prefix count is
+    # pure overhead (measured +20% on the fence-free build pipeline);
+    # the regex tag is per-row conditional so only fence docs pay
+    tagged = F.when(
+        F.col(text_col).contains("```"),
+        let(F.split(F.col(text_col), "\n"), _tag),
+    ).otherwise(
+        F.regexp_replace(
+            F.col(text_col), r"(?m)^(#{1,6} )", _SENTINEL + "$1"
+        )
+    )
     # trim(col) strips only spaces in both Spark and DuckDB; pass the full
     # whitespace set explicitly so sections don't keep trailing newlines.
     sections = F.filter(
