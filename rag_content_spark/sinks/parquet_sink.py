@@ -10,7 +10,7 @@ store is Parquet with the ``chunks`` schema (SURVEY §1.4) because it:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_index(
@@ -92,3 +92,28 @@ def compact_index(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str | None = "shard",
+    order_col: str | None = "seq_bucket",
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: newline-delimited JSON, one directory per
+    shard (the format most training loaders consume).
+
+    When ``shard_col`` is set, output is partitioned by it and rows are
+    sorted WITHIN each partition by ``order_col`` (sortWithinPartitions
+    is a local sort — no extra shuffle beyond the partitioning), so a
+    loader streaming one shard file reads sequences in packed order.
+    """
+    writer = df
+    if shard_col is not None:
+        writer = writer.repartition(F.col(shard_col))
+        if order_col is not None:
+            writer = writer.sortWithinPartitions(shard_col, order_col)
+        writer.write.mode(mode).partitionBy(shard_col).json(path)
+    else:
+        writer.write.mode(mode).json(path)

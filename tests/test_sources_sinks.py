@@ -239,3 +239,33 @@ def test_export_faiss_gate_without_faiss(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         export_faiss(df, str(tmp_path / "x.faiss"))
+
+
+def test_write_jsonl_shards(spark, tmp_path):
+    """Training export: shard-partitioned JSONL, rows in packed order
+    within each shard file."""
+    import glob
+    import json as jsonlib
+
+    from rag_content_spark.operators.packing import pack_sequences
+    from rag_content_spark.sinks.parquet_sink import write_jsonl_shards
+
+    rows = [(f"d{i:02d}", "tok " * 30) for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_sequences(docs, budget=90, shards=2).join(
+        docs, "doc_id"
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(packed, out)
+
+    shard_dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(shard_dirs) >= 1
+    for d in shard_dirs:
+        lines = []
+        for f in sorted(glob.glob(d + "/part-*")):
+            lines += [jsonlib.loads(l) for l in open(f) if l.strip()]
+        assert lines, d
+        # packed order within the shard
+        buckets = [l["seq_bucket"] for l in lines]
+        assert buckets == sorted(buckets), d
+        assert all("text" in l and "doc_id" in l for l in lines)
