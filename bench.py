@@ -72,6 +72,7 @@ HEADLINE = [
     "ann_multiprobe",     # multi-probe LSH search (partition-pruned read)
     "chunk_bpe",          # tokenizer-pluggable chunking (regex tokenizer)
     "cohort_retention",   # first-active-week cohorts x week offset
+    "leakage_split",      # dup-cluster-keyed train/val split
 ]
 
 

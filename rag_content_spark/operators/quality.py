@@ -266,3 +266,45 @@ def rebalance_to_mix(
         .filter(bucket < F.col("_rate") * 10000)
         .drop("_rate")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    val_fraction: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_pairs: DataFrame | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/validation split that never separates duplicates (the
+    split-level contamination guard: a near-dup of a training doc in the
+    validation set inflates eval).
+
+    The split key is the document's CLUSTER representative, not the
+    document: exact duplicates share a content hash; when near-dup
+    ``dup_pairs`` (id_a, id_b) are supplied, connected components give
+    every near-dup cluster one representative. All members then hash to
+    the same side. Deterministic hash-mod selection, engine-portable.
+
+    Adds a ``split`` column ('train' | 'val').
+    """
+    if dup_pairs is None:
+        rep = stable_hash64(F.col(text_col)).cast("string")
+        keyed = df.withColumn("_rep", rep)
+    else:
+        from rag_content_spark.operators.dedup import connected_components
+
+        comps = connected_components(dup_pairs).withColumnsRenamed(
+            {"id": id_col, "component": "_comp"}
+        )
+        keyed = df.join(comps, id_col, "left").withColumn(
+            "_rep",
+            F.coalesce(F.col("_comp"), F.col(id_col)).cast("string"),
+        ).drop("_comp")
+    bucket = stable_hash64(F.col("_rep"), salt=salt) % 10000
+    return keyed.withColumn(
+        "split",
+        F.when(bucket < int(val_fraction * 10000), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    ).drop("_rep")

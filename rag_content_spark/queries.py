@@ -3097,3 +3097,35 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "leakage_split",
+    # Leakage-safe train/val split over the exact-dup-synthesized corpus:
+    # split key = content hash, so duplicates never straddle the split.
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CASE WHEN {stable_hash64_sql(
+               "CAST(" + stable_hash64_sql('text') + " AS VARCHAR)", salt="split"
+           )} % 10000 < 1000
+                THEN 'val' ELSE 'train' END AS split
+    FROM corpus
+    """,
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import leakage_safe_split
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return leakage_safe_split(corpus, val_fraction=0.1).select(
+        "doc_id", "split"
+    )

@@ -405,3 +405,29 @@ def test_bucketed_band_table_joins_without_corpus_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     assert joined.count() >= 4  # shared-shingle bands collide
     spark.sql("DROP TABLE corpus_bands_bucketed")
+
+
+def test_leakage_safe_split(spark):
+    from rag_content_spark.operators.quality import leakage_safe_split
+
+    # exact-dup mode: identical texts always land on the same side
+    rows = [(i, f"text {i % 20}") for i in range(200)]  # 20 clusters x 10
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(df, val_fraction=0.3).collect()
+    side = {}
+    for r in out:
+        key = r["text"]
+        assert side.setdefault(key, r["split"]) == r["split"], key
+    assert {r["split"] for r in out} == {"train", "val"}
+
+    # near-dup mode: supplied pairs glue clusters across different texts
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha variant"), (3, "unrelated")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, 0.5, dup_pairs=pairs).collect()
+    }
+    assert got[1] == got[2]  # the near-dup pair never straddles the split
