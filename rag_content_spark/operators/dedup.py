@@ -338,7 +338,7 @@ def embedding_neardup_pairs(
     bits: int = 8,
     bands: int = 2,
     dim: int = 64,
-    vectorized_signatures: bool = False,
+    vectorized_signatures: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-random-projection LSH
     with OR-amplification (a pair is a candidate if ANY of ``bands``
@@ -348,8 +348,10 @@ def embedding_neardup_pairs(
     Vectors are assumed L2-normalized (dot == cosine). At 100 TB the
     band-bucket join is the only shuffle; raise ``bits`` to shrink
     buckets, raise ``bands`` to raise recall. ``vectorized_signatures``
-    swaps the interpreted per-bit folds for the numpy-matmul twin
-    (lsh_signature_np — build path; oracle queries keep the exact fold).
+    (the default — the 100 TB build shape) swaps the interpreted per-bit
+    folds for the numpy-matmul twin (lsh_signature_np); pass False for
+    the exact-fold twin that oracle queries and the equality tests pin
+    against.
     """
     if vectorized_signatures:
         from rag_content_spark.operators.similarity import lsh_signature_np

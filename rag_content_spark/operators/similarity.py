@@ -74,11 +74,21 @@ def top_k_batch(
     dim: int | None = None,
 ) -> DataFrame:
     """Top-k for a batch of queries: broadcast the (small) query set
-    against the (huge) index, rank per query with a window.
+    against the (huge) index, rank per query with a TWO-PHASE top-k.
 
-    The shuffle is on query_id only (k rows per query survive the window);
-    the index is scanned exactly once regardless of query count. Pass
-    ``dim`` for codegen-unrolled scoring (see functions.vector.dot).
+    Phase 1 ranks locally per (query_id, input partition): the first
+    exchange hashes on (query_id, spark_partition_id()) — n_parts x
+    n_queries evenly-sized keys, never the skewed n_queries-partition
+    exchange a single global window would produce — and only k rows per
+    (query, partition) survive it. Phase 2's global window then sees at
+    most k x n_parts rows per query, so the query_id exchange is tiny at
+    any index size (the single-window plan shuffles the full
+    n_index x n_queries cross product into n_queries partitions: 20
+    queries x 1 B vectors = 20 B rows into 20 partitions — a
+    driver-killing skew at 100 TB). Because the per-query order
+    (score, id) is total, local-then-global top-k is exactly equal to
+    the global top-k. Pass ``dim`` for codegen-unrolled scoring (see
+    functions.vector.dot).
     """
     score = dot(F.col(embedding_col), F.col(query_vec_col), dim)
     if metric == "l2":
@@ -88,11 +98,20 @@ def top_k_batch(
         order = [F.desc("score"), F.asc(id_col)]
     if round_to is not None:
         score = F.round(score, round_to)
-    w = Window.partitionBy(query_id_col).orderBy(*order)
-    return (
+    scored = (
         index.crossJoin(F.broadcast(queries))
         .withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_part", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy(query_id_col, "_part").orderBy(*order)
+    local = (
+        scored.withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)
+        .drop("_lrank", "_part")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop(query_vec_col)
     )

@@ -67,6 +67,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with `ts` normalized to `ts_sec` (BIGINT epoch
+    seconds), robust to the parquet physical timestamp type: the driver
+    has shipped both TIMESTAMP(NANOS) (read as bigint nanos under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ). Naive timestamps mean UTC on both engines — the
+    session pins spark.sql.session.timeZone=UTC (session.py) so
+    unix_seconds(CAST(ntz AS TIMESTAMP)) equals DuckDB's
+    floor(epoch(ts)). All downstream time math is integer-seconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = dict(ev.dtypes)["ts"]
+    if t in ("bigint", "long"):
+        sec = F.expr("ts DIV 1000000000")
+    else:
+        sec = F.expr("unix_seconds(CAST(ts AS TIMESTAMP))")
+    return ev.withColumn("ts_sec", sec.cast("bigint"))
+
+
 # Synthesized markdown document (deterministic, same in both engines):
 # tokens grouped into sections of 40, each prefixed by '## Section j',
 # with a '# Doc <id>' H1 on top.
@@ -1294,11 +1313,8 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    hour = (F.expr("ts DIV 1000000000") - F.expr("ts DIV 1000000000") % 3600).alias(
-        "hour_start"
-    )
+    ev = _events(spark, sf_dir)
+    hour = (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("hour_start")
     return ev.groupBy(hour, "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -1335,10 +1351,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_id", F.expr("ts DIV 1000000000").alias("ts_sec")
-    )
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts_sec")
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     marked = ev.select(
         "user_id",
@@ -1641,8 +1654,7 @@ def q_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
@@ -1840,8 +1852,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
@@ -2258,10 +2269,7 @@ def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_type", F.expr("ts DIV 1000000000").alias("ts_sec")
-    )
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_sec")
     steps = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts_sec"))).alias("t_view"),
         F.min(F.when(F.col("event_type") == "click", F.col("ts_sec"))).alias(
@@ -2605,7 +2613,13 @@ def _ivf_pq_sql() -> str:
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ combined ANN (FAISS IVFPQ shape): data-derived coarse
     centroids (every 50th vector), demo PQ codebook, literal query —
-    probe 2 cells, ADC-score candidates, exact top-10 on the codes."""
+    probe 2 cells, ADC-score candidates, exact top-10 on the codes.
+
+    Runs the VECTORIZED assignment path (assign_ivf_cells_np: one numpy
+    distance matmul per Arrow batch) — the 100 TB build shape. The
+    interpreted exact fold stays as the oracle twin, equality-pinned in
+    tests/test_curation_ops.py::test_assign_ivf_cells_np_matches_exact
+    (measured 96 s -> <2 s at the 10x corpus, BASELINE.md)."""
     from rag_content_spark.functions.vector import pq_demo_codebook
     from rag_content_spark.operators.similarity import ivf_pq_topk
 
@@ -2616,7 +2630,7 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
     return ivf_pq_topk(
-        emb, centroids, cb, _PQ_QUERY, k=10, n_probe=2
+        emb, centroids, cb, _PQ_QUERY, k=10, n_probe=2, vectorized_assign=True
     )
 
 
@@ -3080,11 +3094,8 @@ def q_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    week = (
-        F.expr("ts DIV 1000000000") - F.expr("ts DIV 1000000000") % 604800
-    ).alias("week")
+    ev = _events(spark, sf_dir)
+    week = (F.col("ts_sec") - F.col("ts_sec") % 604800).alias("week")
     e = ev.select("user_id", week)
     cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (

@@ -35,6 +35,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # naive timestamps mean UTC everywhere (parquet TIMESTAMP_NTZ ->
+        # epoch math must not depend on the machine's zone)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # file sources: one task per ~128MB split at scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
