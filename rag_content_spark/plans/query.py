@@ -68,13 +68,19 @@ def lookup_node(index: DataFrame, node_id: str, id_col: str = "chunk_id") -> dic
 
 def detect_store_type(path: str) -> str:
     """Q5 (reference query_rag.py:306-316): pick the store flavor from
-    artifacts present in a directory."""
+    artifacts present in a directory, in the reference's dispatch order:
+    POSTGRES_DATABASE env -> llamastack-pgvector, metadata.json ->
+    faiss (llama-index), faiss_store.db -> llamastack-faiss. The
+    trailing parquet branch is this engine's extension (the canonical
+    distributed store has no reference counterpart)."""
     import os
 
-    if os.path.exists(os.path.join(path, "faiss_store.db")):
-        return "llamastack-faiss"
+    if os.environ.get("POSTGRES_DATABASE"):
+        return "llamastack-pgvector"
     if os.path.exists(os.path.join(path, "metadata.json")):
         return "faiss"
+    if os.path.exists(os.path.join(path, "faiss_store.db")):
+        return "llamastack-faiss"
     if any(f.endswith(".parquet") for f in os.listdir(path)) or any(
         os.path.isdir(os.path.join(path, f)) for f in os.listdir(path)
     ):
