@@ -74,46 +74,79 @@ def top_k_batch(
     dim: int | None = None,
 ) -> DataFrame:
     """Top-k for a batch of queries: broadcast the (small) query set
-    against the (huge) index, rank per query with a TWO-PHASE top-k.
+    against the (huge) index, rank per query with a TWO-PHASE top-k
+    whose phase 1 is EXCHANGE-FREE.
 
-    Phase 1 ranks locally per (query_id, input partition): the first
-    exchange hashes on (query_id, spark_partition_id()) — n_parts x
-    n_queries evenly-sized keys, never the skewed n_queries-partition
-    exchange a single global window would produce — and only k rows per
-    (query, partition) survive it. Phase 2's global window then sees at
-    most k x n_parts rows per query, so the query_id exchange is tiny at
-    any index size (the single-window plan shuffles the full
-    n_index x n_queries cross product into n_queries partitions: 20
-    queries x 1 B vectors = 20 B rows into 20 partitions — a
-    driver-killing skew at 100 TB). Because the per-query order
-    (score, id) is total, local-then-global top-k is exactly equal to
-    the global top-k. Pass ``dim`` for codegen-unrolled scoring (see
-    functions.vector.dot).
+    Phase 1 is a narrow pipeline: broadcast crossJoin -> JVM-codegen'd
+    score -> project to (query_id, id, score) -> per-partition top-k in
+    a ``mapInPandas`` running-heap (selection only — Python never does
+    float arithmetic, so the surviving scores are bit-identical to the
+    JVM-rounded ones). No shuffle touches the n_index x n_queries cross
+    product; each input partition emits at most k rows per query. The
+    previous plan's phase-1 window on (query_id, spark_partition_id())
+    had even keys but still EXCHANGED all n_index x n_queries scored
+    rows once (20 queries x 1 B vectors = a 20 B-row shuffle) purely to
+    rank keys that were already partition-local.
+
+    Phase 2's global window then sees at most k x n_parts rows per
+    query, so the only shuffle in the whole plan is tiny at any index
+    size. Because the per-query order (score, id) is total,
+    local-then-global top-k is exactly equal to the global top-k. Pass
+    ``dim`` for codegen-unrolled scoring (see functions.vector.dot).
+
+    Returns the narrow (query_id, id, score, rank) result — at 100 TB
+    you carry ids through the top-k and join payload columns back on
+    ``id_col``, never the payload through the ranking.
     """
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    reserved = {"score", "rank"}
+    clash = reserved & (set(index.columns) | set(queries.columns))
+    if clash:
+        raise ValueError(
+            f"top_k_batch reserves column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)} first"
+        )
     score = dot(F.col(embedding_col), F.col(query_vec_col), dim)
     if metric == "l2":
         score = euclidean(F.col(embedding_col), F.col(query_vec_col), dim)
+        asc = True
         order = [F.asc("score"), F.asc(id_col)]
     else:
+        asc = False
         order = [F.desc("score"), F.asc(id_col)]
     if round_to is not None:
         score = F.round(score, round_to)
-    scored = (
-        index.crossJoin(F.broadcast(queries))
-        .withColumn("score", score)
-        .withColumn("_part", F.spark_partition_id())
+    scored = index.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col), F.col(id_col), score.alias("score")
     )
-    w_local = Window.partitionBy(query_id_col, "_part").orderBy(*order)
-    local = (
-        scored.withColumn("_lrank", F.row_number().over(w_local))
-        .filter(F.col("_lrank") <= k)
-        .drop("_lrank", "_part")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(id_col, index.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
     )
+
+    def _local_topk(batches):
+        # running top-k per query across the partition's Arrow batches:
+        # keep <= k rows per query after each batch, so memory is
+        # O(k * n_queries + batch), never the partition's row count
+        buf = None
+        for pdf in batches:
+            cur = pdf if buf is None else pd.concat((buf, pdf))
+            cur = cur.sort_values(["score", id_col], ascending=[asc, True])
+            buf = cur.groupby(query_id_col, sort=False).head(k)
+        if buf is not None and len(buf):
+            yield buf
+
+    local = scored.mapInPandas(_local_topk, schema=out_schema)
     w = Window.partitionBy(query_id_col).orderBy(*order)
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop(query_vec_col)
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -353,10 +386,11 @@ def assign_ivf_cells_np(
     oracle-checkable, but its per-pair euclidean fold runs interpreted —
     measured 96 s for 20k vectors x 400 centroids (10x corpus) vs ~2 s
     here. Use this on the 100 TB build path; ties broken by first
-    (lowest) centroid index like the exact operator. Distances use
-    float64 matmul, so a pair EXACTLY on a rounding boundary could
-    assign differently than the fold — the equality test pins behavior
-    on real data.
+    (lowest) centroid index like the exact operator. The TRUE euclidean
+    distance (not the cancellation-prone |c|^2 - 2x.c expansion) is
+    rounded to 1e-6 before the argmin — the same granularity the exact
+    operator's (round(d, 6), centroid_id) min_by uses — so a pair near
+    a rounding boundary assigns identically on both paths.
     """
     import numpy as np
     import pandas as pd
@@ -387,10 +421,11 @@ def assign_ivf_cells_np(
                     {id_col: [], embedding_col: [], "centroid_id": []}
                 )
                 continue
-            # squared L2 via the expansion; argmin unaffected by the
-            # constant |x|^2 term
-            d2 = cnorm[None, :] - 2.0 * (emb @ cmat.T)
-            best = d2.argmin(axis=1)
+            xnorm = (emb * emb).sum(axis=1)
+            d2 = xnorm[:, None] + cnorm[None, :] - 2.0 * (emb @ cmat.T)
+            np.maximum(d2, 0.0, out=d2)
+            d = np.round(np.sqrt(d2), 6)
+            best = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -75,8 +75,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ). Naive timestamps mean UTC on both engines — the
     session pins spark.sql.session.timeZone=UTC (session.py) so
     unix_seconds(CAST(ntz AS TIMESTAMP)) equals DuckDB's
-    floor(epoch(ts)). All downstream time math is integer-seconds."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    floor(epoch(ts)). All downstream time math is integer-seconds.
+
+    ``ensure_reader_confs`` (session.py) is the documented session-wide
+    reader policy — ``get_spark`` sessions already have it; calling it
+    here aligns harness-created sessions with the same contract instead
+    of hiding a one-off conf mutation in a query helper."""
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = dict(ev.dtypes)["ts"]
     if t in ("bigint", "long"):

@@ -38,6 +38,9 @@ def get_spark(
         # naive timestamps mean UTC everywhere (parquet TIMESTAMP_NTZ ->
         # epoch math must not depend on the machine's zone)
         .config("spark.sql.session.timeZone", "UTC")
+        # parquet TIMESTAMP(NANOS) columns read as BIGINT nanos instead of
+        # erroring — session-wide reader policy (see ensure_reader_confs)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # file sources: one task per ~128MB split at scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -47,3 +50,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_reader_confs(spark: SparkSession) -> None:
+    """Apply this engine's session-wide reader policy to a session NOT
+    built by :func:`get_spark` (e.g. a harness-created one).
+
+    Policy (same values the builder sets, documented here as THE place
+    they live): parquet TIMESTAMP(NANOS) columns are read as BIGINT
+    nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``) — every
+    reader in this package normalizes time to integer epoch seconds, so
+    the bigint representation is the one our time math expects. This is
+    an explicit engine-level contract, not a per-query side effect: any
+    code sharing the session reads nanos-timestamp parquet under the
+    same rule.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
