@@ -15,6 +15,8 @@ names).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rag_content_spark.embedding.mock import mock_embedding_expr
@@ -3151,18 +3153,148 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate samples a prefix of the
-# registry, so queries that have not yet appeared in a CORRECTNESS_r*.json
-# rotate to the FRONT each round (round 3: the 24 queries registered after
-# the round-1 sample — all judge-verified green, but never driver-sampled).
+# registry, so the ordering policy is computed — not hardcoded — each
+# import:
+#   1. queries whose code changed since their last driver sample (the
+#      current-round diff: this round's edits must re-enter the gate),
+#   2. then ascending by last-sampled round (never-sampled first, then
+#      longest-unsampled), registration order within ties.
+# "Changed" is detected from git: files touched since the commit that
+# recorded the newest CORRECTNESS_r*.json, mapped to queries via (a) a
+# function-level AST diff of this file and (b) the import-symbol map for
+# changed rag_content_spark modules. Everything is best-effort — any
+# failure degrades to the pure recency ordering, and that to
+# registration order.
 
-_SAMPLE_FIRST = [
-    "pii_scrub", "repetition_stats", "contamination", "stratified_sample",
-    "lang_id_trigram", "conversion_funnel", "label_centroids",
-    "dedup_clusters", "gopher_quality", "rebalance_mix", "paragraph_dedup",
-    "top_bigrams", "seq_packing", "pq_topk", "ivf_pq_topk", "ann_recall",
-    "incremental_dedup", "curation_pipeline", "doc_entropy", "dedup_recall",
-    "ann_multiprobe", "chunk_bpe", "cohort_retention", "leakage_split",
-]
+
+def _last_sampled_rounds() -> dict[str, int]:
+    """query name -> highest round whose CORRECTNESS_r*.json has a row."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except Exception:
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def _changed_queries() -> set[str]:
+    """Names of registered queries whose code changed since the newest
+    CORRECTNESS snapshot commit (function-level for this file,
+    module-level via imported symbols for the rest of the package)."""
+    import ast as _ast
+    import glob as _glob
+    import subprocess as _sp
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snaps = sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not snaps:
+        return set()
+
+    def _git(*args: str) -> str:
+        return _sp.run(
+            ["git", *args], cwd=root, capture_output=True, text=True, timeout=20
+        ).stdout
+
+    base = _git("log", "-1", "--format=%H", "--", snaps[-1]).strip()
+    if not base:
+        return set()
+    # base vs WORKING TREE: includes this round's committed and
+    # uncommitted edits alike
+    changed_files = {p for p in _git("diff", "--name-only", base).splitlines() if p}
+    if not changed_files:
+        return set()
+
+    this_file = os.path.abspath(__file__)
+    rel_this = os.path.relpath(this_file, root)
+    with open(this_file) as f:
+        cur_src = f.read()
+
+    def _fn_sources(src: str) -> dict[str, str]:
+        try:
+            tree = _ast.parse(src)
+        except SyntaxError:
+            return {}
+        lines = src.splitlines()
+        return {
+            n.name: "\n".join(lines[n.lineno - 1 : n.end_lineno])
+            for n in tree.body
+            if isinstance(n, (_ast.FunctionDef, _ast.AsyncFunctionDef))
+        }
+
+    changed_syms: set[str] = set()
+
+    # (a) function-level diff of this file against the base revision
+    if rel_this in changed_files:
+        base_src = _git("show", f"{base}:{rel_this}")
+        cur_fns, base_fns = _fn_sources(cur_src), _fn_sources(base_src)
+        changed_syms |= {
+            name
+            for name in cur_fns
+            if base_fns.get(name) != cur_fns[name]
+        }
+
+    # (b) symbols imported here from changed rag_content_spark modules
+    try:
+        tree = _ast.parse(cur_src)
+    except SyntaxError:
+        return set()
+    for node in tree.body:
+        if isinstance(node, _ast.ImportFrom) and node.module:
+            pkg = node.module.replace(".", "/")
+            for a in node.names:
+                # `from pkg.mod import sym` (mod changed) or
+                # `from pkg import mod` (pkg/mod.py changed)
+                if pkg + ".py" in changed_files or (
+                    f"{pkg}/{a.name}.py" in changed_files
+                ):
+                    changed_syms.add(a.asname or a.name)
+
+    if not changed_syms:
+        return set()
+
+    # a query is changed if its own def changed or its body references a
+    # changed helper/operator symbol
+    import re as _re
+
+    pat = _re.compile(
+        r"\b(" + "|".join(_re.escape(s) for s in sorted(changed_syms)) + r")\b"
+    )
+    fns = _fn_sources(cur_src)
+    reg = {fn.__name__: name for name, fn in QUERIES.items()}
+    out: set[str] = set()
+    for fn_name, q_name in reg.items():
+        src = fns.get(fn_name, "")
+        if fn_name in changed_syms or pat.search(src):
+            out.add(q_name)
+    return out
+
+
+def _sample_order(names: list[str]) -> list[str]:
+    try:
+        last = _last_sampled_rounds()
+    except Exception:
+        last = {}
+    try:
+        changed = _changed_queries()
+    except Exception:
+        changed = set()
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names, key=lambda n: (n not in changed, last.get(n, -1), idx[n])
+    )
 
 
 def _rotate_front(d: dict, front: list[str]) -> dict:
@@ -3170,5 +3302,6 @@ def _rotate_front(d: dict, front: list[str]) -> dict:
     return head | {k: v for k, v in d.items() if k not in head}
 
 
-QUERIES = _rotate_front(QUERIES, _SAMPLE_FIRST)
-ORACLES = _rotate_front(ORACLES, _SAMPLE_FIRST)
+_ORDERED = _sample_order(list(QUERIES))
+QUERIES = _rotate_front(QUERIES, _ORDERED)
+ORACLES = _rotate_front(ORACLES, _ORDERED)

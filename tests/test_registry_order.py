@@ -1,0 +1,49 @@
+"""Sampling-order policy for the driver's prefix-sampled correctness gate.
+
+The registry orders queries so the driver's 50-entry prefix sample always
+re-verifies (1) queries whose code changed since their last driver row and
+(2) the longest-unsampled queries — no hardcoded rotation list to go stale
+(round-3 ADVICE).
+"""
+
+from rag_content_spark import queries as Q
+
+
+def test_registry_and_oracles_aligned():
+    names = list(Q.QUERIES)
+    assert len(names) == len(set(names))
+    # oracles (where present) follow the same order
+    oracle_names = [n for n in Q.ORACLES if n in Q.QUERIES]
+    assert oracle_names == [n for n in names if n in Q.ORACLES]
+
+
+def test_order_prefers_changed_then_longest_unsampled(monkeypatch):
+    names = ["a", "b", "c", "d"]
+    monkeypatch.setattr(Q, "_last_sampled_rounds", lambda: {"a": 3, "b": 1, "d": 2})
+    monkeypatch.setattr(Q, "_changed_queries", lambda: {"d"})
+    # changed first, then never-sampled (c, last=-1), then oldest round
+    assert Q._sample_order(names) == ["d", "c", "b", "a"]
+
+
+def test_order_degrades_to_recency_on_git_failure(monkeypatch):
+    names = ["a", "b"]
+    monkeypatch.setattr(Q, "_last_sampled_rounds", lambda: {"a": 5})
+
+    def _boom():
+        raise RuntimeError("no git")
+
+    monkeypatch.setattr(Q, "_changed_queries", _boom)
+    assert Q._sample_order(names) == ["b", "a"]
+
+
+def test_no_query_goes_long_unsampled():
+    # with >=50 sampled per round and this ordering, every query's last
+    # driver row is at most one round old or it sits in the next prefix
+    last = Q._last_sampled_rounds()
+    names = list(Q.QUERIES)
+    if not last:
+        return
+    newest = max(last.values())
+    stale = [n for n in names if last.get(n, -1) < newest - 1]
+    # every stale query must be ordered inside the next 50-entry sample
+    assert all(names.index(n) < 50 for n in stale)
