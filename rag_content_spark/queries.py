@@ -555,6 +555,146 @@ def q_markdown_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C1 REAL-PARITY chunker: the llama-index SentenceSplitter port
+# (operators/llama_chunking.py, golden-tested against hand-executed
+# llama-index-core 0.12.x semantics). Oracle: same recursive-CTE greedy
+# fold as chunk_sentences, but with the real library's item construction —
+# sentence SPANS retain trailing whitespace (Punkt-span extension),
+# over-budget spans refine to keep-separator word fragments (leading
+# space, possibly zero tokens), chunks join with '' and strip. On this
+# corpus the regex-then-separator refinement chain provably equals one
+# keep-sep space split of the span (single internal spaces, sentence-final
+# '.' only), which is what `pieces` builds.
+_CL_SIZE, _CL_OVERLAP = 14, 4
+_TRIM_WS = "' ' || chr(9) || chr(13) || chr(10)"
+
+_CHUNK_LLAMA_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, regexp_replace(text, '(scan|join|batch) ', '\\1. ', 'g') AS txt
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(regexp_replace(txt, '([.!?])(\\s+)', '\\1\\2' || chr(2), 'g'), chr(2)),
+      x -> x <> '') AS ss
+  FROM d
+),
+spans AS (
+  SELECT doc_id, CAST(r.range AS INT) AS si, ss[CAST(r.range AS INT) + 1] AS span
+  FROM s CROSS JOIN range(0, 10000) r WHERE r.range < len(ss)
+),
+sized AS (
+  SELECT doc_id, si, span,
+         CAST(len(list_filter(regexp_split_to_array(span, '\\s+'), x -> x <> '')) AS INT) AS ntok
+  FROM spans
+),
+pieces AS (
+  SELECT doc_id, si, 0 AS wi, span AS t, ntok AS k FROM sized WHERE ntok <= {_CL_SIZE}
+  UNION ALL
+  SELECT doc_id, si, wi, t,
+         CAST(len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) AS INT) AS k
+  FROM (
+    SELECT doc_id, si, CAST(w.range AS INT) AS wi,
+           CASE WHEN w.range = 0 THEN parts[1]
+                ELSE ' ' || parts[CAST(w.range AS INT) + 1] END AS t
+    FROM (SELECT doc_id, si, string_split(span, ' ') AS parts
+          FROM sized WHERE ntok > {_CL_SIZE}) pp
+    CROSS JOIN range(0, 10000) w
+    WHERE w.range < len(parts)
+  ) q WHERE t <> ''
+),
+items AS (
+  SELECT doc_id, t, k,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY si, wi) AS INT) AS idx
+  FROM pieces
+),
+ni AS (SELECT doc_id, CAST(max(idx) AS INT) AS n FROM items GROUP BY doc_id),
+pack AS (
+  SELECT i.doc_id, i.idx, CAST(NULL AS VARCHAR) AS closed, 0 AS closed_no,
+         [{{'t': i.t, 'k': i.k}}] AS cur, i.k AS cur_toks, 0 AS nclosed
+  FROM items i WHERE i.idx = 1
+  UNION ALL
+  SELECT doc_id, idx,
+         CASE WHEN close THEN array_to_string(list_transform(pcur, y -> y.t), '') END AS closed,
+         nclosed AS closed_no,
+         CASE WHEN close THEN list_concat(tail, [{{'t': it, 'k': ik}}])
+              ELSE list_append(pcur, {{'t': it, 'k': ik}}) END AS cur,
+         CASE WHEN close THEN CAST(coalesce(list_sum(list_transform(tail, y -> y.k)), 0) + ik AS INT)
+              ELSE cur_toks + ik END AS cur_toks,
+         nclosed + CASE WHEN close THEN 1 ELSE 0 END AS nclosed
+  FROM (
+    SELECT p.doc_id, i.idx, i.t AS it, i.k AS ik, p.cur AS pcur, p.cur_toks, p.nclosed,
+           (len(p.cur) > 0 AND p.cur_toks + i.k > {_CL_SIZE}) AS close,
+           CASE WHEN {_CL_OVERLAP} > 0 THEN
+             list_filter(p.cur, (y, j) ->
+               coalesce(list_sum(list_transform(p.cur[j:], z -> z.k)), 0) <= {_CL_OVERLAP})
+           ELSE CAST([] AS STRUCT(t VARCHAR, k INTEGER)[]) END AS tail
+    FROM pack p JOIN items i ON i.doc_id = p.doc_id AND i.idx = p.idx + 1
+  )
+),
+out AS (
+  SELECT doc_id, closed_no AS chunk_index, trim(closed, {_TRIM_WS}) AS chunk_text
+  FROM pack WHERE closed IS NOT NULL
+  UNION ALL
+  SELECT p.doc_id, p.nclosed AS chunk_index,
+         trim(array_to_string(list_transform(p.cur, y -> y.t), ''), {_TRIM_WS}) AS chunk_text
+  FROM pack p JOIN ni ON ni.doc_id = p.doc_id AND p.idx = ni.n
+  WHERE len(p.cur) > 0
+)
+SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index, chunk_text
+FROM out WHERE chunk_text <> ''
+"""
+
+
+@register("chunk_llama", _CHUNK_LLAMA_SQL)
+def q_chunk_llama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.llama_chunking import chunk_llama
+
+    d = _fan(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.regexp_replace("text", r"(scan|join|batch) ", "$1. ").alias("text"),
+    )
+    return chunk_llama(
+        d, chunk_size=_CL_SIZE, chunk_overlap=_CL_OVERLAP
+    ).select("doc_id", "chunk_index", "chunk_text")
+
+
+# C2 REAL-PARITY markdown parser: MarkdownNodeParser port with ancestor
+# header_path metadata. Oracle is constructive — the synthesized markdown
+# has a known section layout, so the expected (section, path) rows are
+# built directly from the token array.
+_MD_LLAMA_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+),
+n AS (
+  SELECT doc_id, tk, CAST(ceil(greatest(len(tk), 1) / 40.0) AS INT) AS nsec FROM t
+)
+SELECT doc_id, CAST(r.range AS INT) AS section_index,
+       CASE WHEN r.range = 0 THEN '# Doc ' || doc_id
+            ELSE trim('## Section ' || (r.range - 1) || chr(10) ||
+                 array_to_string(list_slice(tk, CAST((r.range - 1) * 40 + 1 AS INT),
+                                            CAST((r.range - 1) * 40 + 40 AS INT)), ' '),
+                 {_TRIM_WS}) END AS section_text,
+       CASE WHEN r.range = 0 THEN '/' ELSE '/Doc ' || doc_id || '/' END AS header_path
+FROM n CROSS JOIN range(0, 10000) r
+WHERE r.range < n.nsec + 1
+"""
+
+
+@register("markdown_llama", _MD_LLAMA_SQL)
+def q_markdown_llama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.llama_chunking import (
+        split_markdown_llama,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("text"))
+    return split_markdown_llama(d).select(
+        "doc_id", "section_index", "section_text", "header_path"
+    )
+
+
 # ============================== filters ====================================
 
 

@@ -1,0 +1,251 @@
+"""Golden tests pinning chunker parity to the REAL llama-index contract.
+
+Round-2/3 verdicts: node parity was only ever measured against
+builder-written shims (tools/baseline_ref/shims) — a closed loop. These
+goldens are hand-computed by executing llama-index-core 0.12.x's published
+algorithm on paper (sentence.py _split/_merge, text/utils.py split fns,
+file/markdown.py header walk — citations in
+rag_content_spark/operators/llama_chunking.py) and do NOT route through the
+shims or through the code under test.
+
+Divergences between the faithful port and the declarative Spark operators
+(chunk_sentences / split_markdown) are asserted explicitly at the bottom —
+they are documented behavior, not drift.
+"""
+
+from rag_content_spark.operators.llama_chunking import (
+    chunk_llama,
+    markdown_sections,
+    sentence_splitter,
+    split_by_sentence_spans,
+    split_markdown_llama,
+    split_text_metadata_aware,
+)
+
+# ---------------------------------------------------------------------------
+# SentenceSplitter goldens (whitespace tokenizer unless stated)
+
+
+def test_empty_text_passes_through():
+    assert sentence_splitter(4, 0)("") == [""]
+
+
+def test_short_text_single_chunk_stripped():
+    # fits the budget -> one _Split, merge, postprocess strip
+    assert sentence_splitter(10, 0)("  Hello world. Bye.  ") == [
+        "Hello world. Bye."
+    ]
+
+
+def test_paragraph_separator_keep_sep():
+    # 6 tokens > 4 -> split_by_sep("\n\n\n") with the separator PREPENDED
+    # to the second fragment; merge closes between paragraphs; strip
+    got = sentence_splitter(4, 0)("aa bb cc\n\n\ndd ee ff")
+    assert got == ["aa bb cc", "dd ee ff"]
+
+
+def test_sentence_overlap_walkback():
+    # 3 sentences x 2 tokens, size 4, overlap 2: the closed chunk's last
+    # sentence seeds the next chunk (merge's overlap walk-back)
+    got = sentence_splitter(4, 2)("One two. Three four. Five six.")
+    assert got == ["One two. Three four.", "Three four. Five six."]
+
+
+def test_secondary_regex_subsentence_split():
+    # no sentence boundary -> secondary regex "[^,.;。？！]+[,.;。？！]?"
+    # fragments keep their trailing comma and leading space
+    got = sentence_splitter(3, 0)("a1, b2, c3, d4")
+    assert got == ["a1, b2, c3,", "d4"]
+
+
+def test_separator_word_split():
+    # no commas either -> split_by_sep(" ") word fragments
+    got = sentence_splitter(2, 0)("alpha beta gamma delta")
+    assert got == ["alpha beta", "gamma delta"]
+
+
+def test_char_split_last_resort():
+    # char tokenizer: a single 4-token "word" > size -> split_by_char
+    got = sentence_splitter(3, 0, tokenizer=list)("abcd")
+    assert got == ["abc", "d"]
+
+
+def test_recursive_paragraph_then_sentence():
+    text = (
+        "One two three four five. Six seven eight nine ten.\n\n\n"
+        "Eleven twelve."
+    )
+    got = sentence_splitter(6, 0)(text)
+    assert got == [
+        "One two three four five.",
+        "Six seven eight nine ten.",
+        "Eleven twelve.",
+    ]
+
+
+def test_metadata_aware_budget():
+    # effective = 8 - tokens("k1 v1")=2 - 2 = 4 -> same as size-4 golden
+    got = split_text_metadata_aware(
+        "aa bb cc\n\n\ndd ee ff", "k1 v1", chunk_size=8, chunk_overlap=0
+    )
+    assert got == ["aa bb cc", "dd ee ff"]
+
+
+def test_overlap_larger_than_size_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        sentence_splitter(4, 5)
+
+
+def test_sentence_spans_extend_over_whitespace():
+    # Punkt-span extension: inter-sentence whitespace stays with the
+    # PRECEDING sentence, so "".join(spans) reconstructs the text
+    text = "First one.   Second!  Third?"
+    spans = split_by_sentence_spans(text)
+    assert spans == ["First one.   ", "Second!  ", "Third?"]
+    assert "".join(spans) == text
+
+
+def test_no_content_loss():
+    # chunks are strips of contiguous original slices: rejoining them and
+    # collapsing whitespace reproduces the document
+    text = "Alpha beta gamma. Delta epsilon zeta, eta theta; iota.\n\n\nKappa."
+    got = sentence_splitter(4, 0)(text)
+    assert " ".join(" ".join(c.split()) for c in got) == " ".join(text.split())
+
+
+# ---------------------------------------------------------------------------
+# MarkdownNodeParser goldens
+
+
+def test_markdown_basic_sections_and_paths():
+    text = "intro line\n# A\nbody a\n## B\nbody b"
+    assert markdown_sections(text) == [
+        ("intro line", "/"),
+        ("# A\nbody a", "/"),
+        ("## B\nbody b", "/A/"),
+    ]
+
+
+def test_markdown_sibling_pops_stack():
+    text = "# A\nx\n## B\ny\n## C\nz\n# D\nw"
+    assert markdown_sections(text) == [
+        ("# A\nx", "/"),
+        ("## B\ny", "/A/"),
+        ("## C\nz", "/A/"),
+        ("# D\nw", "/"),
+    ]
+
+
+def test_markdown_fence_hides_headers():
+    text = "# A\n```\n# not a header\n```\ntail"
+    assert markdown_sections(text) == [
+        ("# A\n```\n# not a header\n```\ntail", "/")
+    ]
+
+
+def test_markdown_header_only_section_kept():
+    # "# A" has no body but is non-blank after strip -> emitted
+    text = "# A\n## B\ncontent"
+    assert markdown_sections(text) == [
+        ("# A", "/"),
+        ("## B\ncontent", "/A/"),
+    ]
+
+
+def test_markdown_leading_space_header_is_content():
+    # the header regex is anchored: "   # H" does not break sections
+    text = "# A\n   # not a break\nmore"
+    assert markdown_sections(text) == [("# A\n   # not a break\nmore", "/")]
+
+
+def test_markdown_deep_header_levels_unbounded():
+    # llama-index matches "#+" — seven hashes still a header
+    text = "####### deep\nbody"
+    assert markdown_sections(text) == [("####### deep\nbody", "/")]
+
+
+# ---------------------------------------------------------------------------
+# Spark faces equal their Python twins (narrow mapInPandas plan)
+
+
+def test_chunk_llama_matches_python(spark):
+    rows = [
+        (1, "One two. Three four. Five six."),
+        (2, "aa bb cc\n\n\ndd ee ff"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["chunk_index"]): r["chunk_text"]
+        for r in chunk_llama(df, chunk_size=4, chunk_overlap=2).collect()
+    }
+    split = sentence_splitter(4, 2)
+    want = {
+        (d, i): c for d, t in rows for i, c in enumerate(split(t or ""))
+    }
+    assert got == want
+
+
+def test_split_markdown_llama_matches_python(spark):
+    text = "intro\n# A\nbody\n## B\nmore"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [
+        (r["section_index"], r["section_text"], r["header_path"])
+        for r in split_markdown_llama(df).orderBy("section_index").collect()
+    ]
+    want = [
+        (i, s, p) for i, (s, p) in enumerate(markdown_sections(text))
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DOCUMENTED divergences: declarative operators vs the faithful port
+
+
+def test_divergence_declarative_agrees_on_plain_prose():
+    # on single-space prose with sentence-granularity packing the
+    # declarative chunk_sentences matches the real-library semantics
+    from rag_content_spark.operators.chunking import chunk_sentences_py
+
+    text = "One two. Three four. Five six."
+    assert chunk_sentences_py(text, 4, 0) == sentence_splitter(4, 0)(text)
+    assert chunk_sentences_py(text, 4, 2) == sentence_splitter(4, 2)(text)
+
+
+def test_divergence_subsentence_whitespace_retention():
+    # DIVERGENCE (documented): below sentence granularity llama-index
+    # splits by separator fragments that RETAIN original spacing (the
+    # double space survives); the declarative splitter windows whitespace
+    # tokens and rejoins with single spaces. Same token budgets,
+    # different surface text.
+    from rag_content_spark.operators.chunking import chunk_sentences_py
+
+    text = "alpha  beta gamma"
+    assert sentence_splitter(2, 0)(text) == ["alpha  beta", "gamma"]
+    assert chunk_sentences_py(text, 2, 0) == ["alpha beta", "gamma"]
+
+
+def test_divergence_paragraph_separator():
+    # DIVERGENCE (documented): once a document exceeds the budget,
+    # "\n\n\n" is a hard split point for llama-index (chunks never cross
+    # a paragraph break); the declarative splitter token-windows straight
+    # across it.
+    from rag_content_spark.operators.chunking import chunk_sentences_py
+
+    text = "aa bb cc\n\n\ndd ee"
+    assert sentence_splitter(4, 0)(text) == ["aa bb cc", "dd ee"]
+    assert chunk_sentences_py(text, 4, 0) == ["aa bb cc dd", "ee"]
+
+
+def test_divergence_markdown_header_depth():
+    # DIVERGENCE (documented): llama-index splits on any "#+" header
+    # (a 7-hash line starts a section and lands on the header stack);
+    # the declarative split_markdown caps at H6 (CommonMark) and treats
+    # it as content. Both agree fences hide headers.
+    assert markdown_sections("# A\nx\n####### B\ny") == [
+        ("# A\nx", "/"),
+        ("####### B\ny", "/A/"),
+    ]
