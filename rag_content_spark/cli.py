@@ -70,11 +70,38 @@ def cmd_build(args: argparse.Namespace) -> int:
         index_dir = os.path.join(args.output, "index")
         write_index(chunks, index_dir)
         n_docs = chunks.select("document_id").distinct().count()
+    if args.vector_store == "llamastack-faiss":
+        # W4: the reference CLI's DEFAULT artifact (generate_embeddings.py:28,
+        # document_processor.py:360-361,739-761). Gated on faiss like W1.
+        from rag_content_spark.sinks.llamastack_store import (
+            DB_FILENAME,
+            write_llamastack_faiss,
+        )
+
+        try:
+            out = write_llamastack_faiss(
+                chunks,
+                os.path.join(args.output, DB_FILENAME),
+                vector_store_id=f"vs_{args.index}",
+                index_name=args.index,
+                embedding_model=cfg.embedding_model,
+                text_col="text",
+            )
+            print(json.dumps({"llamastack_faiss": out}), file=sys.stderr)
+        except NotImplementedError as exc:
+            print(f"warning: skipping faiss_store.db: {exc}", file=sys.stderr)
+    elif args.vector_store == "faiss":
+        from rag_content_spark.sinks.exports import export_faiss
+
+        try:
+            export_faiss(chunks, os.path.join(args.output, "index.faiss"))
+        except NotImplementedError as exc:
+            print(f"warning: skipping index.faiss: {exc}", file=sys.stderr)
     meta = build_metadata_json(
         execution_time_s=timer.seconds,
         embedding_model=cfg.embedding_model,
         index_id=args.index,
-        vector_db="parquet",  # canonical store (exports: faiss/pgvector)
+        vector_db=args.vector_store,
         embedding_dimension=cfg.embedding_dimension,
         chunk=cfg.chunk_size,
         overlap=cfg.chunk_overlap,
@@ -183,6 +210,12 @@ def main(argv: list[str] | None = None) -> int:
         default="warn",
     )
     b.add_argument("--check-urls", action="store_true")
+    b.add_argument(
+        "--vector-store",
+        choices=["parquet", "faiss", "llamastack-faiss"],
+        default="llamastack-faiss",  # reference generate_embeddings.py:28
+        help="store artifact to export beside the canonical parquet index",
+    )
     b.set_defaults(func=cmd_build)
 
     q = sub.add_parser("query", help="query a built index")
