@@ -2474,10 +2474,47 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    # Connected components over the minhash near-dup pairs (iterative
-    # label propagation — genuinely non-SQL-expressible per the driver
-    # contract, so no oracle: rows-only check). Returns (id, component).
-    None,
+    # Connected components over the minhash near-dup pairs. The Spark
+    # operator is iterative min-label propagation; the oracle reaches the
+    # same fixpoint declaratively — component(id) = min(reachable ids)
+    # via a recursive transitive-closure CTE over the symmetric edge set
+    # (set-semantics UNION terminates it; the pair CTEs are the
+    # minhash_pairs oracle verbatim). Returns (id, component).
+    f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
