@@ -12,7 +12,10 @@ files.
 Size ``shards`` with the corpus: each shard's cumsum runs in ONE window
 partition, so pick shards ≈ total_rows / (a few million) — e.g. 10k
 shards for 10B documents. More shards only changes which bucket a doc
-lands in, never correctness.
+lands in, never correctness. The default (``shards=None``) derives the
+count from the input's own partitioning — one shard per input split,
+floored at 32 — so packing parallelism scales with the corpus instead of
+capping at a literal.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from rag_content_spark.functions.text import tokens
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,
-    shards: int = 8,
+    shards: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "pack",
@@ -36,10 +39,15 @@ def pack_sequences(
     Documents are ordered by id within their hash-shard; the running
     token total places each doc in bucket ``floor(start_offset /
     budget)`` — contiguous greedy packing. Integer window arithmetic
-    only, so the assignment is exactly reproducible.
+    only, so the assignment is exactly reproducible for a given shard
+    count. Pass ``shards`` explicitly when the layout must be stable
+    across differently-partitioned reruns (e.g. oracle-pinned tests);
+    the derived default tracks input splits (>=32) for parallelism.
 
     Output: ``id, shard, n_tokens, seq_bucket``.
     """
+    if shards is None:
+        shards = max(32, docs.rdd.getNumPartitions())
     shard = (
         stable_hash64(F.col(id_col).cast("string"), salt=salt) % shards
     ).alias("shard")

@@ -99,12 +99,18 @@ def contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """Benchmark-contamination score: fraction of a document's distinct
     shingles that appear anywhere in the benchmark set.
 
-    Shape: explode doc shingles -> left SEMI join the (deduplicated,
-    typically broadcastable) benchmark shingle set -> per-doc ratio.
+    Shape: explode doc shingles -> left SEMI join the deduplicated
+    benchmark shingle set -> per-doc ratio. Real benchmarks are small, so
+    the semi join broadcasts — but a forced broadcast of an arbitrarily
+    large "benchmark" OOMs every executor, so the hint is applied only
+    when the benchmark has at most ``max_broadcast_rows`` rows (one cheap
+    count); above that the semi join shuffles on the shingle key (AQE can
+    still pick broadcast at runtime if the built side turns out tiny).
     """
     from rag_content_spark.operators.dedup import hashed_shingles
 
@@ -117,9 +123,11 @@ def contamination(
         )
         .distinct()
     )
+    if benchmark.count() <= max_broadcast_rows:
+        bench_sh = F.broadcast(bench_sh)
     totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
     hits = (
-        doc_sh.join(F.broadcast(bench_sh), "sh", "leftsemi")
+        doc_sh.join(bench_sh, "sh", "leftsemi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_hits"))
     )

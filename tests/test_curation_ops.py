@@ -93,6 +93,17 @@ def test_top_ngrams(spark):
     assert all(g != "w" for g, _ in got)
 
 
+def test_pack_sequences_default_shards_scale(spark):
+    # shards=None derives >= 32 shards from the input partitioning, so
+    # the per-shard cumsum never serializes on a handful of windows
+    from rag_content_spark.operators.packing import pack_sequences
+
+    rows = [(f"d{i:03d}", "tok tok tok") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=6).collect()
+    assert len({r["shard"] for r in out}) >= 20  # hash-spread over >=32 shards
+
+
 def test_pack_sequences(spark):
     from rag_content_spark.operators.packing import pack_sequences
 

@@ -42,6 +42,30 @@ def test_contamination_detects_benchmark_overlap(spark):
     assert got[1] > 0.3 and got[2] == 0.0
 
 
+def test_contamination_broadcast_guard(spark):
+    # small benchmark -> broadcast hint in the plan; over-threshold
+    # benchmark -> shuffle semi join, identical results (the guard only
+    # changes the physical strategy, never the answer)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content with other words"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox jumps over")], ["doc_id", "text"]
+    )
+    small = contamination(docs, bench)
+    assert "Broadcast" in small._jdf.queryExecution().executedPlan().toString()
+    big = contamination(docs, bench, max_broadcast_rows=0)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert {r["doc_id"]: r["contamination"] for r in big.collect()} == {
+        r["doc_id"]: r["contamination"] for r in small.collect()
+    }
+
+
 def test_stratified_sample_rates(spark):
     df = spark.range(0, 4000).selectExpr(
         "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zz' END AS lang"
