@@ -62,6 +62,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         embedding_dimension=args.dim,
         unreachable_action=args.unreachable_action,
         hermetic=not args.check_urls,
+        chunker=args.chunker,
     )
     docs = read_text_documents(spark, args.folder)
     embedder = _get_embedder(args.model_path, args.dim)
@@ -210,6 +211,13 @@ def main(argv: list[str] | None = None) -> int:
         default="warn",
     )
     b.add_argument("--check-urls", action="store_true")
+    b.add_argument(
+        "--chunker",
+        choices=["fixed", "llama"],
+        default="fixed",
+        help="token-window chunker (default) or the llama-index "
+        "SentenceSplitter real-parity port",
+    )
     b.add_argument(
         "--vector-store",
         choices=["parquet", "faiss", "llamastack-faiss"],

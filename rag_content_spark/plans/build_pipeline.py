@@ -41,6 +41,11 @@ class BuildConfig:
     ignore_list: list[str] = field(default_factory=list)
     hermetic: bool = True
     markdown_aware: bool = True
+    # "fixed" = declarative token-window chunker (oracle-pinned default);
+    # "llama" = the real-parity llama-index SentenceSplitter port
+    # (operators/llama_chunking.py, golden-tested) for users who need
+    # node-for-node agreement with the reference's chunk boundaries
+    chunker: str = "fixed"
 
 
 def build_chunks(
@@ -71,14 +76,25 @@ def build_chunks(
     # would see every section as one '# ...' line and drop it.
     units = units.filter(valid_chunk("unit_text", "doc_type"))
 
-    chunked = chunk_fixed(
-        units.withColumn("_orig_text", F.col("text")).withColumn(
-            "text", F.col("unit_text")
-        ),
-        text_col="text",
-        size=cfg.chunk_size,
-        overlap=cfg.chunk_overlap,
+    unit_docs = units.withColumn("_orig_text", F.col("text")).withColumn(
+        "text", F.col("unit_text")
     )
+    if cfg.chunker == "llama":
+        from rag_content_spark.operators.llama_chunking import chunk_llama
+
+        chunked = chunk_llama(
+            unit_docs,
+            text_col="text",
+            chunk_size=cfg.chunk_size,
+            chunk_overlap=cfg.chunk_overlap,
+        )
+    else:
+        chunked = chunk_fixed(
+            unit_docs,
+            text_col="text",
+            size=cfg.chunk_size,
+            overlap=cfg.chunk_overlap,
+        )
 
     chunks = (
         chunked.filter(has_whitespace("chunk_text"))

@@ -18,6 +18,25 @@ def _build(docs_df):
     return build_chunks(docs_df, cfg, embedder=_embedder)
 
 
+def test_llama_chunker_mode_same_schema_and_budget(docs_df):
+    # chunker="llama" swaps in the real-parity SentenceSplitter port;
+    # same output schema, every chunk within the token budget
+    cfg = BuildConfig(
+        chunk_size=16, chunk_overlap=0, embedding_dimension=32, chunker="llama"
+    )
+    chunks = build_chunks(docs_df, cfg, embedder=_embedder)
+    assert set(chunks.columns) == set(_build(docs_df).columns)
+    rows = chunks.collect()
+    assert rows
+    assert all(len(r["text"].split()) <= 16 for r in rows)
+    # markdown sections never merge across heading boundaries: a chunk
+    # holds at most one '#' heading line
+    assert all(
+        sum(1 for ln in r["text"].split("\n") if ln.startswith("#")) <= 1
+        for r in rows
+    )
+
+
 def test_chunks_schema_and_metadata(docs_df):
     chunks = _build(docs_df)
     cols = set(chunks.columns)
