@@ -73,6 +73,9 @@ HEADLINE = [
     "chunk_bpe",          # tokenizer-pluggable chunking (regex tokenizer)
     "cohort_retention",   # first-active-week cohorts x week offset
     "leakage_split",      # dup-cluster-keyed train/val split
+    "chunk_llama",        # real-parity llama-index SentenceSplitter port
+    "markdown_llama",     # real-parity MarkdownNodeParser port
+    "dedup_clusters",     # connected components (iterative label prop)
 ]
 
 
