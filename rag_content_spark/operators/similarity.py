@@ -373,6 +373,58 @@ def ivf_pq_topk(
     )
 
 
+def pq_rerank_topk(
+    index: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist_factor: int = 4,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-stage PQ search with exact refinement (the FAISS
+    IndexRefineFlat shape: ADC shortlist, full-precision re-rank).
+
+    Stage 1 ADC-scores the compact m-byte codes and reduces with
+    TakeOrderedAndProject to a ``k * shortlist_factor`` shortlist — the
+    scan touches only the code columns (~dim*4/m smaller than raw
+    vectors) and nothing shuffles. Stage 2 broadcast-joins the tiny
+    shortlist back and scores the TRUE vectors exactly — full-precision
+    embeddings are fetched for a handful of rows, never the corpus.
+    Quantization error can only cost shortlist membership; the returned
+    ordering is exact. Returns (id, adc, exact) rows, best first.
+    """
+    from rag_content_spark.functions.vector import (
+        pq_adc_score,
+        pq_adc_table,
+        pq_encode,
+    )
+
+    table = pq_adc_table(query_vec, codebook)
+    coded = index.select(
+        id_col, pq_encode(embedding_col, codebook).alias("_codes")
+    )
+    short = (
+        coded.select(
+            F.col(id_col),
+            F.round(pq_adc_score("_codes", table), round_to).alias("adc"),
+        )
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k * shortlist_factor)
+    )
+    q = _vec_lit(query_vec)
+    exact = F.round(
+        euclidean(F.col(embedding_col), q, len(query_vec)), round_to
+    )
+    return (
+        index.join(F.broadcast(short), id_col)
+        .select(F.col(id_col), F.col("adc"), exact.alias("exact"))
+        .orderBy(F.asc("exact"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def assign_ivf_cells_np(
     index: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -2820,6 +2820,37 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_rerank_sql() -> str:
+    from rag_content_spark.functions.vector import pq_adc_table, pq_demo_codebook
+
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    table = pq_adc_table(_PQ_QUERY, cb)
+    qlit = "list_value(" + ", ".join(repr(v) for v in _PQ_QUERY) + ")"
+    return f"""
+    WITH c AS (SELECT vec_id, {_pq_code_cols_sql(cb)} FROM embeddings),
+    short AS (
+      SELECT vec_id, round({_pq_adc_sql(table)}, 6) AS adc
+      FROM c ORDER BY adc ASC, vec_id ASC LIMIT 40
+    )
+    SELECT s.vec_id, s.adc, round({euclidean_sql('e.embedding', qlit)}, 6) AS exact
+    FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+    ORDER BY exact ASC, s.vec_id ASC LIMIT 10
+    """
+
+
+@register("pq_rerank", _pq_rerank_sql())
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: PQ ADC shortlist (40) -> exact re-rank to top-10
+    (FAISS IndexRefineFlat shape; operators/similarity.py pq_rerank_topk
+    docstring has the 100 TB scan/shuffle analysis)."""
+    from rag_content_spark.functions.vector import pq_demo_codebook
+    from rag_content_spark.operators.similarity import pq_rerank_topk
+
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return pq_rerank_topk(emb, cb, _PQ_QUERY, k=10, shortlist_factor=4)
+
+
 @register(
     "ann_recall",
     # ANN quality evaluation: recall@10 of the single-probe IVF scan vs

@@ -81,3 +81,23 @@ def test_bucket_partitioned_index_prunes(spark, tmp_path):
     assert set(
         r["bucket"] for r in probed.select("bucket").distinct().collect()
     ) <= {0, 1, 2}
+
+
+def test_pq_rerank_exact_refinement(spark):
+    # two-stage refine: the exact re-rank can only improve on ADC order,
+    # and the self-match (vec_id 5's own vector) must rank first with
+    # exact distance 0; stage 2 joins via broadcast (plan check)
+    from rag_content_spark.functions.vector import pq_demo_codebook
+    from rag_content_spark.operators.similarity import pq_rerank_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qv = list(emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"])
+    cb = pq_demo_codebook(4, 8, 16)
+    out = pq_rerank_topk(emb, cb, qv, k=5, shortlist_factor=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 5 and rows[0]["exact"] == 0.0
+    assert [r["exact"] for r in rows] == sorted(r["exact"] for r in rows)
