@@ -93,6 +93,77 @@ def repetition_stats(
     )
 
 
+def dup_ngram_fracs(
+    docs: DataFrame,
+    top_n: int = 3,
+    dup_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The rest of the Gopher repetition-rule family (Rae et al. 2021,
+    Table A1): per document,
+
+    - ``top{top_n}_frac``: occurrences of the most frequent top_n-gram x
+      top_n / token count (Gopher gates n=2..4 on this),
+    - ``dup{dup_n}_frac``: token mass inside dup_n-grams that occur more
+      than once (sum of counts over duplicated grams x dup_n / tokens,
+      Gopher gates n=5..10).
+
+    Shape: one explode + (id, gram) groupBy per n — the per-doc histogram
+    computed with a shuffle that partitions evenly by (doc, gram), never
+    an O(len^2) in-array scan. Fractions can exceed 1 for pathological
+    repetition (overlapping grams) exactly as in the paper's definition.
+    """
+    tok = tokens(text_col)
+    base = docs.select(F.col(id_col), F.size(tok).alias("_n_tok"))
+
+    def _gram_counts(n: int, out: str) -> DataFrame:
+        m = F.size(tok) - (n - 1)
+        # sequence(1, 0) would run DESCENDING ([1, 0]); guard short docs
+        grams = F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice(tok, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        exploded = docs.select(
+            F.col(id_col), F.explode(grams).alias("_gram")
+        )
+        return (
+            exploded.groupBy(id_col, "_gram")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .groupBy(id_col)
+            .agg(
+                F.max("_cnt").alias(f"_top{n}"),
+                F.sum(F.when(F.col("_cnt") >= 2, F.col("_cnt"))).alias(
+                    f"_dupmass{n}"
+                ),
+            )
+        )
+    t = _gram_counts(top_n, "top")
+    d = _gram_counts(dup_n, "dup")
+    return (
+        base.join(t, id_col, "left")
+        .join(d, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.coalesce(F.col(f"_top{top_n}"), F.lit(0))
+                * top_n
+                / F.greatest(F.col("_n_tok"), F.lit(1)),
+                6,
+            ).alias(f"top{top_n}_frac"),
+            F.round(
+                F.coalesce(F.col(f"_dupmass{dup_n}"), F.lit(0))
+                * dup_n
+                / F.greatest(F.col("_n_tok"), F.lit(1)),
+                6,
+            ).alias(f"dup{dup_n}_frac"),
+        )
+    )
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2289,6 +2289,186 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_ngrams",
+    # The rest of the Gopher repetition family (Rae et al. 2021 Table A1):
+    # top-3-gram token fraction + duplicated-5-gram token mass, both via
+    # exploded gram histograms (the shuffle-even shape).
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    base AS (SELECT doc_id, len(tk) AS n_tok FROM toks),
+    g3 AS (
+      SELECT doc_id, array_to_string(list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 3 AS INT)), ' ') AS gram
+      FROM toks CROSS JOIN range(0, 100000) r WHERE r.range < len(tk) - 2
+    ),
+    h3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+    a3 AS (SELECT doc_id, max(cnt) AS top3 FROM h3 GROUP BY doc_id),
+    g5 AS (
+      SELECT doc_id, array_to_string(list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 5 AS INT)), ' ') AS gram
+      FROM toks CROSS JOIN range(0, 100000) r WHERE r.range < len(tk) - 4
+    ),
+    h5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+    a5 AS (SELECT doc_id, sum(cnt) FILTER (WHERE cnt >= 2) AS dupmass5 FROM h5 GROUP BY doc_id)
+    SELECT b.doc_id,
+           round(coalesce(a3.top3, 0) * 3.0 / greatest(b.n_tok, 1), 6) AS top3_frac,
+           round(coalesce(a5.dupmass5, 0) * 5.0 / greatest(b.n_tok, 1), 6) AS dup5_frac
+    FROM base b LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+    """,
+)
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import dup_ngram_fracs
+
+    return dup_ngram_fracs(_docs(spark, sf_dir), top_n=3, dup_n=5)
+
+
+# Deterministic messy-URL synthesis (same construction both engines; the
+# operator under test is the NORMALIZATION, implemented independently as
+# Spark parse_url expressions vs DuckDB regexes).
+_RAW_URL_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'HTTPS://' || upper(source) || '.Example.COM:443/Docs/' || doc_id || '/?utm_source=feed&b=2&a=1#frag'
+  WHEN 1 THEN 'http://' || source || '.example.com:80/docs/' || doc_id
+  WHEN 2 THEN 'https://www.' || source || '.example.com/docs/' || doc_id || '/index.html?z=1&y=2'
+  ELSE 'http://' || source || '.example.com:8080/api?q=' || doc_id || '&utm_medium=x'
+END
+"""
+
+_URL_NORM_SQL_BODY = """
+    norm AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+             regexp_extract(u, '://([^#]*)', 1) AS rest
+      FROM raw
+    ),
+    parts AS (
+      SELECT doc_id, proto,
+             regexp_extract(rest, '^([^/?]+)', 1) AS authhost,
+             regexp_extract(rest, '^[^/?]+(/[^?]*)', 1) AS rawpath,
+             regexp_extract(rest, '\\?(.*)$', 1) AS rawq
+      FROM norm
+    ),
+    built AS (
+      SELECT doc_id, proto,
+             lower(regexp_extract(authhost, '^([^:]+)', 1)) AS host,
+             regexp_extract(authhost, ':([0-9]+)$', 1) AS port,
+             regexp_replace(rawpath, '/+$', '') AS path,
+             list_sort(list_filter(string_split(rawq, '&'),
+               p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))) AS params
+      FROM parts
+    )
+"""
+
+
+def _messy_url() -> F.Column:
+    c = (F.col("doc_id") % 4).cast("int")
+    sid = F.col("doc_id").cast("string")
+    return (
+        F.when(
+            c == 0,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper("source"),
+                F.lit(".Example.COM:443/Docs/"),
+                sid,
+                F.lit("/?utm_source=feed&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            c == 1,
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com:80/docs/"),
+                sid,
+            ),
+        )
+        .when(
+            c == 2,
+            F.concat(
+                F.lit("https://www."),
+                F.col("source"),
+                F.lit(".example.com/docs/"),
+                sid,
+                F.lit("/index.html?z=1&y=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com:8080/api?q="),
+                sid,
+                F.lit("&utm_medium=x"),
+            )
+        )
+    )
+
+
+@register(
+    "url_normalize",
+    # URL canonicalization (functions/url.py contract): lowercase
+    # scheme/host, drop fragment + default ports + utm_* params, sort
+    # remaining params, strip trailing slashes.
+    f"""
+    WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents),
+    {_URL_NORM_SQL_BODY}
+    SELECT doc_id,
+           proto || '://' || host ||
+           CASE WHEN port <> '' AND NOT ((proto = 'http' AND port = '80')
+                                         OR (proto = 'https' AND port = '443'))
+                THEN ':' || port ELSE '' END ||
+           path ||
+           CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                ELSE '' END AS url_norm,
+           regexp_replace(host, '^www\\.', '') AS domain
+    FROM built
+    """,
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.url import url_domain, url_normalize
+
+    raw = _docs(spark, sf_dir).select("doc_id", _messy_url().alias("u"))
+    return raw.select(
+        "doc_id",
+        url_normalize("u").alias("url_norm"),
+        url_domain("u").alias("domain"),
+    )
+
+
+@register(
+    "domain_counts",
+    # Per-domain corpus stats with a blocklist — the web-pipeline
+    # pre-dedup grouping (drop blocked domains, count docs + chars).
+    f"""
+    WITH raw AS (SELECT doc_id, n_chars, {_RAW_URL_SQL} AS u FROM documents),
+    d AS (
+      SELECT n_chars,
+             regexp_replace(
+               lower(regexp_extract(regexp_extract(u, '://([^#]*)', 1), '^([^:/?]+)', 1)),
+               '^www\\.', '') AS domain
+      FROM raw
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM d WHERE domain <> 'src0.example.com'
+    GROUP BY domain
+    """,
+)
+def q_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.url import url_domain
+
+    raw = _docs(spark, sf_dir).select("n_chars", _messy_url().alias("u"))
+    return (
+        raw.select(url_domain("u").alias("domain"), "n_chars")
+        .filter(F.col("domain") != "src0.example.com")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "contamination",
     # Shingle containment against a benchmark subset (doc_id % 100 == 0).
     f"""
