@@ -2469,6 +2469,87 @@ def q_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof",
+    # As-of join: each purchase picks up the latest prior-or-same click
+    # per user (operators/temporal.py asof_join — union + one window,
+    # one key shuffle). Oracle: DuckDB's NATIVE ASOF LEFT JOIN.
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             event_type, value
+      FROM events
+    ),
+    p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts_sec, value FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts_sec,
+           c.ts_sec AS asof_ts,
+           round(c.value, 6) AS click_value,
+           p.ts_sec - c.ts_sec AS gap
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+    """,
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_sec", "value"
+    )
+    return asof_join(p, c, on="user_id", ts="ts_sec", right_cols=("value",)).select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        "asof_ts",
+        F.round("value", 6).alias("click_value"),
+        (F.col("ts_sec") - F.col("asof_ts")).alias("gap"),
+    )
+
+
+@register(
+    "events_range",
+    # Banded range join: clicks within the 30 min before each purchase,
+    # aggregated per purchase (operators/temporal.py range_join — bucket
+    # banding, equi-shuffle on (user, bucket), never an inequality cross
+    # join). Oracle: plain inequality join in DuckDB.
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             event_type, value
+      FROM events
+    ),
+    p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts_sec, value FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts_sec,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           round(max(c.value), 6) AS max_click
+    FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.ts_sec BETWEEN p.ts_sec - 1800 AND p.ts_sec
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_sec", "value"
+    )
+    pairs = range_join(
+        p, c, on="user_id", ts="ts_sec", lo=-1800, hi=0, right_cols=("value",)
+    )
+    return pairs.groupBy("event_id", "user_id", "ts_sec").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.max("r_value"), 6).alias("max_click"),
+    )
+
+
+@register(
     "contamination",
     # Shingle containment against a benchmark subset (doc_id % 100 == 0).
     f"""
