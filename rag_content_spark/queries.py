@@ -2549,6 +2549,61 @@ def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_const(p: int = 8) -> float:
+    m = 1 << p
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << (60 - p + 1))
+
+
+@register(
+    "hll_distinct",
+    # Deterministic cross-engine HyperLogLog over corpus shingle hashes
+    # (operators/sketches.py): integer register table + integer harmonic
+    # sum (order-independent), ONE final float division from identical
+    # literals; small-range branch uses ln (rounded output absorbs libm
+    # ulp differences). Exact distinct alongside for comparison.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    -- shingle hashes are 31-bit (mod P); re-hash to the full 60-bit
+    -- space the register/rank split assumes
+    vals AS (SELECT {stable_hash64_sql("CAST(u.s AS VARCHAR)")} AS h
+             FROM sh, unnest(sh.sh) AS u(s)),
+    regs AS (
+      SELECT h & 255 AS reg,
+             max(CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END) AS max_rank
+      FROM vals GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*) AS n_regs,
+             CAST(sum(1::BIGINT << (53 - max_rank)) AS BIGINT) AS s_data
+      FROM regs
+    ),
+    ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact FROM vals),
+    calc AS (
+      SELECT CAST(256 - n_regs AS BIGINT) AS n_zero,
+             {_hll_const(8)!r} / CAST(s_data + (256 - n_regs) * (1::BIGINT << 53) AS DOUBLE) AS raw
+      FROM agg
+    )
+    SELECT 256 AS m, n_zero,
+           round(CASE WHEN n_zero > 0 AND raw <= 640.0
+                      THEN 256.0 * ln(256.0 / n_zero) ELSE raw END, 2) AS est,
+           exact
+    FROM calc, ex
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.dedup import hashed_shingles
+    from rag_content_spark.operators.sketches import hll_estimate
+
+    vals = _docs(spark, sf_dir).select(
+        F.explode(hashed_shingles("text", n=3)).alias("sh31")
+    ).select(stable_hash64(F.col("sh31").cast("string")).alias("h"))
+    est = hll_estimate(vals, "h", p=8)
+    exact = vals.agg(F.countDistinct("h").cast("bigint").alias("exact"))
+    return est.crossJoin(exact)
+
+
 @register(
     "contamination",
     # Shingle containment against a benchmark subset (doc_id % 100 == 0).
