@@ -347,6 +347,41 @@ def rebalance_to_mix(
     )
 
 
+def temperature_rebalance(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    base: float = 0.3,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened stratum sampling (the multilingual-mix
+    move: downweight head languages toward sqrt parity, alpha = 0.5).
+
+    keep_p(s) = min(1, base * sqrt(n_max / n_s)) — rare strata keep more
+    of their mass, the largest keeps ``base``. The rate uses only the
+    integer counts, one sqrt and one multiply, so it is bit-deterministic
+    across engines (no cross-stratum float SUM, whose accumulation order
+    Spark does not fix). Selection is the usual hash-mod; same
+    one-groupBy + broadcast-rate-join shape as :func:`rebalance_to_mix`.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_max = counts.agg(F.max("_n").alias("_n_max"))
+    rates = counts.join(F.broadcast(n_max)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(base)
+            * F.sqrt(F.col("_n_max").cast("double") / F.col("_n")),
+        ).alias("_keep_p"),
+    )
+    bucket = stable_hash64(F.col(id_col).cast("string"), salt=salt) % 1000000
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.floor(F.col("_keep_p") * 1000000))
+        .drop("_keep_p")
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     val_fraction: float = 0.1,

@@ -2549,6 +2549,32 @@ def q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temperature_mix",
+    # alpha=0.5 temperature flattening of the language mix
+    # (operators/quality.py temperature_rebalance): keep_p uses only
+    # integer counts + sqrt + one multiply — bit-deterministic floats.
+    f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    mx AS (SELECT max(n) AS n_max FROM c),
+    r AS (
+      SELECT lang, least(1.0, 0.3 * sqrt(CAST(n_max AS DOUBLE) / n)) AS keep_p
+      FROM c, mx
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE ({stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="tmix")} % 1000000)
+          < CAST(floor(keep_p * 1000000) AS BIGINT)
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import temperature_rebalance
+
+    return temperature_rebalance(
+        _docs(spark, sf_dir).select("doc_id", "lang")
+    ).select("doc_id", "lang")
+
+
 def _hll_const(p: int = 8) -> float:
     m = 1 << p
     return (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << (60 - p + 1))
