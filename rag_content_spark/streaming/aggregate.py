@@ -111,6 +111,98 @@ def stateful_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+ASOF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_sec", T.LongType()),
+        T.StructField("asof_ts", T.LongType()),
+        T.StructField("asof_value", T.DoubleType()),
+    ]
+)
+
+
+def _asof_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key as-of state machine: reference rows ('r') update the
+    carried (ts, value); probe rows ('p') emit with whatever reference
+    state precedes them in event-time order. Within a batch, rows are
+    processed time-sorted (reference before probe at equal ts — the
+    non-strict contract of operators.temporal.asof_join)."""
+    last_ts, last_value = state.get if state.exists else (None, None)
+    rows = []
+    for pdf in pdfs:
+        recs = pdf.sort_values(["ts_sec", "_side"]).to_dict("records")
+        for rec in recs:
+            if rec["_side"] == 0:
+                last_ts, last_value = rec["ts_sec"], rec["value"]
+            else:
+                rows.append(
+                    (
+                        key[0],
+                        rec["event_id"],
+                        rec["ts_sec"],
+                        last_ts,
+                        last_value,
+                    )
+                )
+    state.update((last_ts if last_ts is not None else -1, last_value))
+    state.setTimeoutDuration(24 * 60 * 60 * 1000)
+    yield pd.DataFrame(rows, columns=[f.name for f in ASOF_OUTPUT_SCHEMA])
+
+
+def stateful_asof_enrich(
+    probes: DataFrame, references: DataFrame
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.asof_join``: enrich each
+    probe event with the latest prior reference value per user, carrying
+    only (last_ts, last_value) per key as state — O(keys) state however
+    long the stream runs.
+
+    Both inputs are streams (or stream-shaped unions): they are tagged
+    and unioned, then a single applyInPandasWithState group per user
+    resolves order. Correct under micro-batch ordering as long as a
+    batch's rows are time-sortable (event-time ordering inside the
+    batch; cross-batch late data would need event-time timers, which
+    applyInPandasWithState does not expose — documented limitation vs
+    the batch operator)."""
+    p = probes.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("_side"),
+    )
+    r = references.select(
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        "ts_sec",
+        "value",
+        F.lit(0).alias("_side"),
+    )
+    return (
+        p.unionByName(r)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     key_cols: list[str],

@@ -133,3 +133,55 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_stream").collect())
     assert got == ["a", "b"]
+
+
+def test_stateful_asof_enrich_stream(spark, tmp_path):
+    from rag_content_spark.streaming.aggregate import stateful_asof_enrich
+
+    src = tmp_path / "asof_in"
+    src.mkdir()
+    base = 1704067200
+    rows = [
+        # user 1: click@base (0.5), purchase@base+100, click@base+200 (0.9),
+        # purchase@base+300; user 2: purchase with no prior click
+        {"user_id": 1, "event_id": None, "ts_sec": base, "value": 0.5, "_side": 0},
+        {"user_id": 1, "event_id": 10, "ts_sec": base + 100, "value": None, "_side": 1},
+        {"user_id": 1, "event_id": None, "ts_sec": base + 200, "value": 0.9, "_side": 0},
+        {"user_id": 1, "event_id": 11, "ts_sec": base + 300, "value": None, "_side": 1},
+        {"user_id": 2, "event_id": 20, "ts_sec": base, "value": None, "_side": 1},
+    ]
+    with open(src / "e.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_sec", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_side", T.IntegerType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    probes = stream.filter(F.col("_side") == 1).select(
+        "user_id", "event_id", "ts_sec"
+    )
+    refs = stream.filter(F.col("_side") == 0).select(
+        "user_id", "ts_sec", "value"
+    )
+    q = (
+        stateful_asof_enrich(probes, refs)
+        .writeStream.format("memory")
+        .queryName("asof_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in spark.sql("SELECT * FROM asof_out").collect()
+    }
+    assert got[10] == (base, 0.5)
+    assert got[11] == (base + 200, 0.9)
+    assert got[20] == (None, None)
