@@ -76,6 +76,14 @@ HEADLINE = [
     "chunk_llama",        # real-parity llama-index SentenceSplitter port
     "markdown_llama",     # real-parity MarkdownNodeParser port
     "dedup_clusters",     # connected components (iterative label prop)
+    "pq_rerank",          # ADC shortlist -> exact refine (two-stage ANN)
+    "dup_ngrams",         # Gopher dup-n-gram fraction family
+    "url_normalize",      # URL canonicalization (parse_url exprs)
+    "domain_counts",      # per-domain stats + blocklist
+    "events_asof",        # as-of join (union + one window)
+    "events_range",       # banded range join
+    "hll_distinct",       # deterministic cross-engine HyperLogLog
+    "temperature_mix",    # alpha=0.5 language-mix flattening
 ]
 
 
