@@ -42,6 +42,13 @@ DOCUMENTED DIVERGENCES (everything else is semantics-exact):
    tokens. Pass the embedding model's tokenizer for model-exact budgets
    (same swap point the reference uses via ``Settings``).
 
+Known upstream quirk, reproduced faithfully: the secondary split uses
+``re.findall`` on ``[^,.;。？！]+[,.;。？！]?`` — characters no match
+consumes are silently DROPPED, so runs of consecutive punctuation
+(",,", "?.," …) can lose characters when a chunk is refined below
+sentence granularity. That is the published library behavior, not a
+porting error (property tests pin it).
+
 The Spark face of both parsers is :func:`chunk_llama` /
 :func:`split_markdown_llama` — Arrow-batched ``mapInPandas``, a narrow
 (shuffle-free) stage: 100 TB of documents chunk partition-parallel with

@@ -122,3 +122,80 @@ def test_pack_sequences_budget_property(spark):
             # each doc STARTS inside its bucket; only the final doc may
             # run past the boundary
             assert tot - last_doc[b] < budget, (shard, b, tot)
+
+
+# pure-Python properties of the llama-index SentenceSplitter port — no
+# Spark job per example, so these run with full hypothesis budgets
+LLAMA_TEXTS = st.text(
+    alphabet=st.sampled_from("abc .!?,\n"), min_size=0, max_size=200
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(LLAMA_TEXTS, st.integers(min_value=1, max_value=12))
+def test_llama_splitter_budget_no_overlap(text, size):
+    """With overlap=0 every emitted chunk fits the token budget and the
+    whitespace-collapsed concatenation loses no content."""
+    from rag_content_spark.operators.llama_chunking import (
+        sentence_splitter,
+        whitespace_tokenizer,
+    )
+
+    from hypothesis import assume
+
+    # consecutive punctuation triggers llama-index's documented
+    # findall-drop quirk (see llama_chunking.py module docstring) — the
+    # no-loss property holds only outside it
+    assume(not re.search(r"[.!?,][.!?,]", text))
+    chunks = sentence_splitter(size, 0)(text)
+    for c in chunks:
+        assert len(whitespace_tokenizer(c)) <= size
+    # whitespace-insensitive: the char-level fallback may cut INSIDE a
+    # token (real llama-index behavior), so compare non-space characters
+    strip = lambda s: "".join(s.split())  # noqa: E731
+    assert "".join(strip(c) for c in chunks) == strip(text)
+
+
+def test_llama_splitter_findall_drop_quirk():
+    """Pin the upstream quirk itself: consecutive punctuation below
+    sentence granularity loses the unmatched characters (re.findall in
+    split_by_regex), exactly like llama-index."""
+    from rag_content_spark.operators.llama_chunking import sentence_splitter
+
+    assert sentence_splitter(1, 0)("?., ?") == ["?.", "?"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(LLAMA_TEXTS, st.integers(min_value=2, max_value=12))
+def test_llama_splitter_overlap_is_suffix_of_previous(text, size):
+    """Overlap seeds repeat trailing content of the previous chunk: every
+    chunk's tokens minus the previous chunk's tokens appear in original
+    order (no fabricated tokens)."""
+    from rag_content_spark.operators.llama_chunking import (
+        sentence_splitter,
+        whitespace_tokenizer,
+    )
+
+    overlap = size // 2
+    chunks = sentence_splitter(size, overlap)(text)
+    strip = lambda s: "".join(s.split())  # noqa: E731
+    for c in chunks:
+        # every chunk (overlap seed included) is a contiguous run of the
+        # original's non-space characters — nothing fabricated
+        assert strip(c) in strip(text)
+        assert len(whitespace_tokenizer(c)) <= size + overlap
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.sampled_from("ab#` \n"), min_size=0, max_size=150))
+def test_llama_markdown_sections_cover_content(text):
+    """Section texts preserve all non-blank lines outside of nothing —
+    the parser only regroups lines, never drops non-whitespace ones."""
+    from rag_content_spark.operators.llama_chunking import markdown_sections
+
+    sections = markdown_sections(text)
+    sec_lines = [
+        ln.strip() for s, _ in sections for ln in s.split("\n") if ln.strip()
+    ]
+    orig_lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    assert sorted(sec_lines) == sorted(orig_lines)
