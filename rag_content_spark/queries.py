@@ -3778,11 +3778,16 @@ def _changed_queries() -> set[str]:
         except SyntaxError:
             return {}
         lines = src.splitlines()
-        return {
-            n.name: "\n".join(lines[n.lineno - 1 : n.end_lineno])
-            for n in tree.body
-            if isinstance(n, (_ast.FunctionDef, _ast.AsyncFunctionDef))
-        }
+        out = {}
+        for n in tree.body:
+            if isinstance(n, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+                # include decorators: @register(ORACLE_SQL) changes are
+                # query changes even when the def body is untouched
+                start = min(
+                    [n.lineno] + [d.lineno for d in n.decorator_list]
+                )
+                out[n.name] = "\n".join(lines[start - 1 : n.end_lineno])
+        return out
 
     changed_syms: set[str] = set()
 
@@ -3796,12 +3801,13 @@ def _changed_queries() -> set[str]:
             if base_fns.get(name) != cur_fns[name]
         }
 
-    # (b) symbols imported here from changed rag_content_spark modules
+    # (b) symbols imported here from changed rag_content_spark modules —
+    # walk the WHOLE tree (most query fns import their operator locally)
     try:
         tree = _ast.parse(cur_src)
     except SyntaxError:
         return set()
-    for node in tree.body:
+    for node in _ast.walk(tree):
         if isinstance(node, _ast.ImportFrom) and node.module:
             pkg = node.module.replace(".", "/")
             for a in node.names:
