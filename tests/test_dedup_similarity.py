@@ -85,6 +85,34 @@ def test_top_k_batch_per_query(spark):
     assert best == {100: 0, 200: 3}
 
 
+def test_top_k_batch_plan_is_exchange_free_in_phase_1(spark):
+    # the scale contract: the n_index x n_queries cross product is never
+    # shuffled — one broadcast of the query set, the per-partition top-k
+    # in a narrow MapInPandas, and exactly ONE hash exchange (tiny,
+    # <= k rows per (query, partition)) before the final window
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], ["query_id", "query_vec"]
+    )
+    plan = (
+        top_k_batch(_vectors(spark), qs, k=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+
+
+def test_top_k_batch_reserved_column_clash(spark):
+    import pytest
+
+    qs = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0], 1)], ["query_id", "query_vec", "rank"]
+    )
+    with pytest.raises(ValueError, match="reserves column names"):
+        top_k_batch(_vectors(spark), qs, k=1)
+
+
 def test_embedding_neardup_pairs(spark):
     # operator contract: vectors are L2-normalized (dot == cosine)
     n = math.sqrt(0.9**2 + 0.1**2)
