@@ -452,24 +452,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
+        # the convergence flag rides the same select, so each round is
+        # ONE materialization (the checkpoint) + a cheap count over it —
+        # not a second old-vs-new join
+        stepped = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("n_comp"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("_changed")).limit(1).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return labels
