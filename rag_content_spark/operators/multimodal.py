@@ -213,3 +213,88 @@ def probe_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_probe, schema=MEDIA_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: PCM16 WAV needs only struct + numpy — no external
+# audio library — so the audio feature stage is NOT a stub. Compressed
+# formats (mp3/ogg) would gate on a decoder lib like the pixel path.
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.ArrayType(T.DoubleType())),
+        T.StructField("zcr", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_wav_pcm16(content: bytes):
+    """(samples float64 in [-1, 1] mono-mixed, sample_rate) from a PCM16
+    RIFF/WAVE blob, or (None, None) if it isn't one."""
+    import numpy as np
+
+    b = content or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None
+    i, rate, channels, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = struct.unpack("<H", b[i + 10 : i + 12])[0]
+            rate = struct.unpack("<I", b[i + 12 : i + 16])[0]
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)
+    if rate is None or data is None or bits != 16 or not channels:
+        return None, None
+    pcm = np.frombuffer(data[: len(data) - len(data) % (2 * channels)], dtype="<i2")
+    pcm = pcm.reshape(-1, channels).mean(axis=1) / 32768.0
+    return pcm, rate
+
+
+def extract_audio_features(
+    media: DataFrame, frame_s: float = 0.5
+) -> DataFrame:
+    """Per-frame RMS energy + zero-crossing rate over real decoded PCM16
+    WAV audio (frame = ``frame_s`` seconds). Non-WAV / non-PCM16 rows
+    yield an empty feature row (n_samples 0) — route them to a gated
+    decoder stage. Same narrow Arrow-batched shape as the image path."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_wav_pcm16(
+                    bytes(content) if content is not None else b""
+                )
+                rows["media_id"].append(media_id)
+                if samples is None or not len(samples):
+                    rows["n_samples"].append(0)
+                    rows["duration_s"].append(0.0)
+                    rows["rms"].append([])
+                    rows["zcr"].append([])
+                    continue
+                hop = max(1, int(rate * frame_s))
+                n = len(samples)
+                rms, zcr = [], []
+                for s in range(0, n, hop):
+                    fr = samples[s : s + hop]
+                    rms.append(float(np.sqrt((fr * fr).mean())))
+                    zcr.append(
+                        float((np.diff(np.signbit(fr)) != 0).mean())
+                        if len(fr) > 1
+                        else 0.0
+                    )
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / rate)
+                rows["rms"].append(rms)
+                rows["zcr"].append(zcr)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)

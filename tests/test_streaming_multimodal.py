@@ -258,3 +258,59 @@ def test_streaming_dedup_against_corpus(spark, tmp_path):
     q.awaitTermination(120)
     kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
     assert kept == ["new.md"]
+
+
+def _make_wav(freq=440.0, rate=8000, seconds=1.0, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(rate * seconds)
+        frames = b"".join(
+            struct.pack(
+                "<" + "h" * channels,
+                *([int(20000 * math.sin(2 * math.pi * freq * i / rate))] * channels),
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_pcm16_real():
+    from rag_content_spark.operators.multimodal import decode_wav_pcm16
+
+    samples, rate = decode_wav_pcm16(_make_wav(rate=8000, seconds=0.5))
+    assert rate == 8000 and len(samples) == 4000
+    assert abs(float(samples.max()) - 20000 / 32768) < 0.01
+    assert decode_wav_pcm16(b"not audio") == (None, None)
+
+
+def test_extract_audio_features_real_decode(spark):
+    from rag_content_spark.operators.multimodal import extract_audio_features
+
+    rows = [
+        ("a1", "audio", bytearray(_make_wav(seconds=1.0)), 0, {}),
+        ("a2", "audio", bytearray(b"garbage"), 0, {}),
+        ("a3", "audio", bytearray(_make_wav(seconds=1.0, channels=2)), 0, {}),
+    ]
+    from rag_content_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    # 1 s @ 8 kHz, 0.5 s frames -> 2 frames; a 440 Hz tone has high ZCR
+    assert got["a1"]["n_samples"] == 8000
+    assert got["a1"]["duration_s"] == 1.0
+    assert len(got["a1"]["rms"]) == 2
+    assert all(r > 0.3 for r in got["a1"]["rms"])
+    assert all(z > 0.05 for z in got["a1"]["zcr"])
+    # stereo mixes down identically for identical channels
+    assert got["a3"]["n_samples"] == 8000
+    # non-WAV routes to the empty row, not an error
+    assert got["a2"]["n_samples"] == 0 and got["a2"]["rms"] == []
