@@ -143,10 +143,11 @@ def test_llama_splitter_budget_no_overlap(text, size):
 
     from hypothesis import assume
 
-    # consecutive punctuation triggers llama-index's documented
-    # findall-drop quirk (see llama_chunking.py module docstring) — the
-    # no-loss property holds only outside it
-    assume(not re.search(r"[.!?,][.!?,]", text))
+    # llama-index's documented findall-drop quirk (see llama_chunking.py
+    # module docstring) fires when punctuation has no preceding run to
+    # attach to: consecutive punctuation, or punctuation at text start —
+    # the no-loss property holds only outside those
+    assume(not re.search(r"^[.!?,]|[.!?,][.!?,]", text))
     chunks = sentence_splitter(size, 0)(text)
     for c in chunks:
         assert len(whitespace_tokenizer(c)) <= size
@@ -176,6 +177,12 @@ def test_llama_splitter_overlap_is_suffix_of_previous(text, size):
         whitespace_tokenizer,
     )
 
+    from hypothesis import assume
+
+    # same findall-drop quirk exclusion as the no-loss property: a
+    # dropped punctuation char glues its neighbors into a chunk that is
+    # no longer a contiguous run of the original
+    assume(not re.search(r"^[.!?,]|[.!?,][.!?,]", text))
     overlap = size // 2
     chunks = sentence_splitter(size, overlap)(text)
     strip = lambda s: "".join(s.split())  # noqa: E731
