@@ -254,9 +254,11 @@ def cmd_sql(args: argparse.Namespace) -> int:
     from rag_content_spark.session import get_spark
     from rag_content_spark.sinks.parquet_sink import read_index
 
+    from rag_content_spark.session import ensure_reader_confs
+
     spark = get_spark("rag-spark-sql")
-    # some corpora store nanosecond timestamps (read them as long nanos)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # engine-wide reader policy (nanos timestamps as long) — session.py
+    ensure_reader_confs(spark)
     if args.db_path:
         read_index(spark, os.path.join(args.db_path, "index")).createOrReplaceTempView(
             "chunks"
