@@ -1447,6 +1447,123 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ts_sec_col(df: DataFrame, col: str) -> F.Column:
+    """Timestamp column -> BIGINT epoch seconds, robust to the parquet
+    physical type under the session reader policy (TIMESTAMP(NANOS) read
+    as bigint nanos, MICROS as TIMESTAMP_NTZ) — same contract as
+    ``_events``."""
+    t = dict(df.dtypes)[col]
+    if t in ("bigint", "long"):
+        return F.expr(f"{col} DIV 1000000000")
+    return F.expr(f"unix_seconds(CAST({col} AS TIMESTAMP))")
+
+
+_Q3_CUTOFF = 896659200  # 1998-06-01 UTC
+
+
+@register(
+    "shipping_priority",
+    # TPC-H Q3 shape: segment-filtered customer x orders x lineitem with
+    # date predicates on both fact tables, revenue agg, deterministic
+    # top-10. Date math on integer epoch seconds (timezone/precision
+    # proof); money through DECIMAL.
+    f"""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_ts
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND floor(epoch(o.o_orderdate)) < {_Q3_CUTOFF}
+      AND floor(epoch(l.l_shipdate)) > {_Q3_CUTOFF}
+    GROUP BY l.l_orderkey, order_ts
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.withColumn("order_ts", _ts_sec_col(o, "o_orderdate")).filter(
+        F.col("order_ts") < _Q3_CUTOFF
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.filter(_ts_sec_col(li, "l_shipdate") > _Q3_CUTOFF)
+    return (
+        li.join(
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+                "o_orderkey", "order_ts"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "order_ts")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_ts")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "readability",
+    # Flesch-style readability over punctuation-injected documents:
+    # words / sentence-marks / vowel-group syllable proxy — integer
+    # counts into one fixed-literal float formula.
+    """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(text, '(scan|join|batch) ', '\\1. ', 'g') AS txt
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> '')) AS words,
+             greatest(len(regexp_extract_all(txt, '[.!?]+')), 1) AS sentences,
+             greatest(len(regexp_extract_all(lower(txt), '[aeiou]+')), 1) AS vgroups
+      FROM d
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS words, CAST(sentences AS BIGINT) AS sentences,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                         - 84.6 * (CAST(vgroups AS DOUBLE) / words), 4) AS flesch
+    FROM m WHERE words > 0
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txt = F.regexp_replace("text", r"(scan|join|batch) ", "$1. ")
+    d = _docs(spark, sf_dir).select("doc_id", txt.alias("txt"))
+    words = F.size(tokens(F.col("txt")))
+    sentences = F.greatest(F.regexp_count("txt", F.lit(r"[.!?]+")), F.lit(1))
+    vgroups = F.greatest(
+        F.regexp_count(F.lower("txt"), F.lit(r"[aeiou]+")), F.lit(1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            words.cast("bigint").alias("words"),
+            sentences.cast("bigint").alias("sentences"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (words.cast("double") / sentences)
+                - F.lit(84.6) * (vgroups.cast("double") / words),
+                4,
+            ).alias("flesch"),
+        )
+        .filter(F.col("words") > 0)
+    )
+
+
 @register(
     "events_windowed",
     # Tumbling 1-hour windows per event_type. All time math on integer
