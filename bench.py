@@ -84,6 +84,10 @@ HEADLINE = [
     "events_range",       # banded range join
     "hll_distinct",       # deterministic cross-engine HyperLogLog
     "temperature_mix",    # alpha=0.5 language-mix flattening
+    "shipping_priority",  # TPC-H Q3 shape (date-filtered 3-way join)
+    "local_supplier_volume",  # TPC-H Q5 shape (6-way, dims broadcast)
+    "promo_revenue",      # TPC-H Q14 shape (part broadcast, ratio agg)
+    "readability",        # Flesch-style scoring (narrow regexp counts)
 ]
 
 
