@@ -1613,6 +1613,64 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_shipment_priority",
+    # TPC-H Q4 shape: EXISTS -> LEFT SEMI join; orders with any line
+    # shipped > 30 days after the order date, counted by priority.
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND floor(epoch(l.l_shipdate)) > floor(epoch(o.o_orderdate)) + 2592000
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.withColumn("_ots", _ts_sec_col(o, "o_orderdate"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.select("l_orderkey", _ts_sec_col(li, "l_shipdate").alias("_sts"))
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["_sts"] > o["_ots"] + 2592000
+    )
+    return (
+        o.join(li, cond, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_DORMANT_CUTOFF = 978307200  # 2001-01-01 UTC
+
+
+@register(
+    "dormant_customers",
+    # NOT EXISTS -> LEFT ANTI join: customers with no order on/after the
+    # cutoff (the re-engagement-list shape).
+    f"""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND floor(epoch(o.o_orderdate)) >= {_DORMANT_CUTOFF}
+    )
+    """,
+)
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    recent = o.filter(_ts_sec_col(o, "o_orderdate") >= _DORMANT_CUTOFF).select(
+        "o_custkey"
+    )
+    return c.join(
+        recent, c["c_custkey"] == recent["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
     "readability",
     # Flesch-style readability over punctuation-injected documents:
     # words / sentence-marks / vowel-group syllable proxy — integer
