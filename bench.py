@@ -88,6 +88,8 @@ HEADLINE = [
     "local_supplier_volume",  # TPC-H Q5 shape (6-way, dims broadcast)
     "promo_revenue",      # TPC-H Q14 shape (part broadcast, ratio agg)
     "readability",        # Flesch-style scoring (narrow regexp counts)
+    "late_shipment_priority",  # EXISTS -> left-semi with date condition
+    "dormant_customers",  # NOT EXISTS -> left-anti
 ]
 
 
