@@ -51,3 +51,42 @@ def test_register_merge_is_max(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, both.collect())
     )
+
+
+def test_hll_registers_on_stream(spark, tmp_path):
+    # the register table is a bounded streaming aggregate: <= 2^p keys of
+    # state no matter how long the stream runs (max is the merge)
+    import json
+
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    with open(src / "v.json", "w") as fh:
+        for i in range(5000):
+            fh.write(json.dumps({"v": str(i)}) + "\n")
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    stream = spark.readStream.schema(schema).json(str(src)).select(
+        stable_hash64(F.col("v")).alias("h")
+    )
+    q = (
+        hll_registers(stream, "h")
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_regs = {
+        (r["reg"], r["max_rank"])
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    batch_regs = {
+        (r["reg"], r["max_rank"])
+        for r in hll_registers(_vals(spark, 5000), "h").collect()
+    }
+    # identical register state to the batch sketch over the same values,
+    # and state stays within the 2^p bound
+    assert len(stream_regs) <= 256
+    assert stream_regs == batch_regs
