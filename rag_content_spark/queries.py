@@ -3463,6 +3463,54 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(emb, cb, _PQ_QUERY, k=10, shortlist_factor=4)
 
 
+def _pq_rerank_recall_sql() -> str:
+    from rag_content_spark.functions.vector import pq_adc_table, pq_demo_codebook
+
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    table = pq_adc_table(_PQ_QUERY, cb)
+    qlit = "list_value(" + ", ".join(repr(v) for v in _PQ_QUERY) + ")"
+    return f"""
+    WITH c AS (SELECT vec_id, {_pq_code_cols_sql(cb)} FROM embeddings),
+    short AS (
+      SELECT vec_id, round({_pq_adc_sql(table)}, 6) AS adc
+      FROM c ORDER BY adc ASC, vec_id ASC LIMIT 40
+    ),
+    refined AS (
+      SELECT s.vec_id FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+      ORDER BY round({euclidean_sql('e.embedding', qlit)}, 6) ASC, s.vec_id ASC LIMIT 10
+    ),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY round({euclidean_sql('embedding', qlit)}, 6) ASC, vec_id ASC LIMIT 10
+    )
+    SELECT 10 AS k,
+      CAST((SELECT count(*) FROM refined WHERE vec_id IN (SELECT vec_id FROM exact)) AS BIGINT) AS n_hits,
+      round((SELECT count(*) FROM refined WHERE vec_id IN (SELECT vec_id FROM exact)) / 10.0, 6) AS recall
+    """
+
+
+@register("pq_rerank_recall", _pq_rerank_recall_sql())
+def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the ADC-shortlist + exact-refine path vs the exact
+    scan — the metric that sizes shortlist_factor (quantization error
+    only costs recall through shortlist membership)."""
+    from rag_content_spark.functions.vector import pq_demo_codebook
+    from rag_content_spark.operators.similarity import pq_rerank_topk
+
+    cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    refined = pq_rerank_topk(
+        emb, cb, _PQ_QUERY, k=10, shortlist_factor=4
+    ).select("vec_id")
+    exact = top_k(emb, _PQ_QUERY, k=10, metric="l2").select("vec_id")
+    hits = refined.join(exact, "vec_id")
+    return hits.agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
+    )
+
+
 @register(
     "ann_recall",
     # ANN quality evaluation: recall@10 of the single-probe IVF scan vs
