@@ -3493,7 +3493,14 @@ def _pq_rerank_recall_sql() -> str:
 def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the ADC-shortlist + exact-refine path vs the exact
     scan — the metric that sizes shortlist_factor (quantization error
-    only costs recall through shortlist membership)."""
+    only costs recall through shortlist membership).
+
+    NB: the registered run uses the UNTRAINED demo codebook (the oracle
+    must be a static SQL string, so it cannot embed a data-trained one),
+    and its low recall is the eval working as intended — quantifying how
+    bad an untrained quantizer's shortlists are.
+    tests/test_ann.py::test_trained_codebook_improves_rerank_recall shows
+    train_pq_codebook lifting the same metric on the same data."""
     from rag_content_spark.functions.vector import pq_demo_codebook
     from rag_content_spark.operators.similarity import pq_rerank_topk
 

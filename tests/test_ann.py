@@ -101,3 +101,32 @@ def test_pq_rerank_exact_refinement(spark):
     rows = out.collect()
     assert rows[0]["vec_id"] == 5 and rows[0]["exact"] == 0.0
     assert [r["exact"] for r in rows] == sorted(r["exact"] for r in rows)
+
+
+def test_trained_codebook_improves_rerank_recall(spark):
+    # the pq_rerank_recall eval is meaningful: training the codebook on
+    # the corpus lifts shortlist recall well above the untrained demo one
+    from rag_content_spark.functions.vector import (
+        pq_demo_codebook,
+        train_pq_codebook,
+    )
+    from rag_content_spark.operators.similarity import pq_rerank_topk, top_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    qv = list(emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"])
+    exact = {r["vec_id"] for r in top_k(emb, qv, k=10, metric="l2").collect()}
+
+    def recall(cb):
+        got = {
+            r["vec_id"]
+            for r in pq_rerank_topk(emb, cb, qv, k=10, shortlist_factor=4).collect()
+        }
+        return len(got & exact) / 10.0
+
+    trained = train_pq_codebook(emb, m=4, k=8)
+    r_demo = recall(pq_demo_codebook(4, 8, 16))
+    r_trained = recall(trained)
+    assert r_trained > r_demo
+    assert r_trained >= 0.5
