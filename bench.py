@@ -90,6 +90,9 @@ HEADLINE = [
     "readability",        # Flesch-style scoring (narrow regexp counts)
     "late_shipment_priority",  # EXISTS -> left-semi with date condition
     "dormant_customers",  # NOT EXISTS -> left-anti
+    "crossdoc_dup",       # cross-document duplicate-passage fraction
+    "cms_heavy_hitters",  # count-min sketch + exact top-20 comparison
+    "bloom_prune",        # bloom-filter semi-join pruning stats
 ]
 
 

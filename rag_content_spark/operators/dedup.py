@@ -631,3 +631,59 @@ def dedup_against_corpus(
         .distinct()
     )
     return new_docs.join(dup_new_ids, id_col, "left_anti")
+
+
+def crossdoc_dup_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicate-passage signal: per document, the
+    fraction of its n-token shingle positions whose shingle also occurs
+    in at least one OTHER document.
+
+    This is the boilerplate / copied-passage detector of large-corpus
+    curation (the passage-level complement of ``dup_ngram_fracs``, which
+    measures WITHIN-document repetition): headers, license blocks and
+    syndicated text show up as long runs of cross-document shingles, and
+    pipelines drop or trim documents above a dup-fraction threshold.
+
+    Shape at 100 TB: explode to positions, collapse to distinct
+    (doc, shingle) pairs with their occurrence counts (map-side partial
+    agg), count docs per shingle (partial agg on the shingle hash), one
+    shuffle join back on the shingle hash, then a per-doc aggregate.
+    Everything before the final division is integer arithmetic, so the
+    result is bit-deterministic and oracle-checkable. Never all-pairs.
+    """
+    tok = tokens(text_col)
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(F.col(id_col), F.explode(grams).alias("shingle")).select(
+        id_col, stable_hash64("shingle").alias("sh")
+    )
+    pairs = pos.groupBy(id_col, "sh").agg(F.count(F.lit(1)).alias("n_occ"))
+    freq = pairs.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = pairs.join(freq, "sh")
+    stats = joined.groupBy(id_col).agg(
+        F.sum("n_occ").alias("n_shingles"),
+        F.round(
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_occ")).otherwise(0))
+            / F.sum("n_occ").cast("double"),
+            6,
+        ).alias("crossdoc_dup_frac"),
+    )
+    return docs.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_shingles"), F.lit(0).cast("bigint")).alias(
+            "n_shingles"
+        ),
+        F.coalesce(F.col("crossdoc_dup_frac"), F.lit(0.0)).alias(
+            "crossdoc_dup_frac"
+        ),
+    )

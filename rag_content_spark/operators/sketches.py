@@ -1,5 +1,7 @@
-"""Distributed cardinality sketch: a deterministic, cross-engine
-HyperLogLog (Flajolet et al. 2007) over the stable 60-bit hash.
+"""Distributed sketches, all deterministic and cross-engine: a
+HyperLogLog cardinality sketch (Flajolet et al. 2007), a count-min
+frequency sketch (Cormode & Muthukrishnan 2005), and a bloom-filter
+semi-join reducer (Bloom 1970) — each over the stable 60-bit hash.
 
 Spark's built-in ``approx_count_distinct`` (HLL++) and DuckDB's
 ``approx_distinct`` use different internals, so they can't oracle-check
@@ -31,6 +33,8 @@ the whole corpus's cardinality costs one tiny aggregation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from rag_content_spark.functions.hashing import stable_hash64
 
 HLL_ALPHA_NUM = 0.7213
 HLL_ALPHA_DEN = 1.079
@@ -90,4 +94,126 @@ def hll_estimate(
         F.lit(m).alias("m"),
         n_zero.alias("n_zero"),
         F.round(est, 2).alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): fixed-size frequency
+# sketch. Like the HLL above it is built only from cross-engine-stable
+# primitives (stable_hash64 with per-row salts), so a DuckDB oracle
+# computes the identical sketch.
+
+
+def cms_sketch(
+    items: DataFrame, col: str = "token", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(r, c, cnt) count-min sketch of a value stream.
+
+    Cell (r, c) counts items with stable_hash64(item, salt=f"cms{r}")
+    mod width == c. The sketch is ``depth * width`` rows regardless of
+    input size; cnt sums combine map-side (sum is the CMS merge), so at
+    100 TB the shuffle carries at most depth*width rows per partition
+    and per-day sketches union+re-aggregate into monthly ones for free.
+    """
+    c = F.col(col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (stable_hash64(c, salt=f"cms{r}") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(cells).alias("cell"))
+        .select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: est = min over rows of the candidate's
+    cell counts (the classic one-sided overestimate: est >= true count).
+
+    The sketch is <= depth*width rows — broadcast, so estimating any
+    number of candidates is shuffle-free up to the final per-candidate
+    min aggregate.
+    """
+    c = F.col(col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (stable_hash64(c, salt=f"cms{r}") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    expanded = candidates.select(c.alias(col), F.explode(cells).alias("cell")).select(
+        col, "cell.r", "cell.c"
+    )
+    return (
+        expanded.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) as a semi-join reducer: the standard
+# big-data trick for pruning a huge probe side before an expensive
+# shuffle join (Spark's own runtime bloom-join does this inside the
+# optimizer — spark.sql.optimizer.runtime.bloomFilter.enabled; this
+# operator is the explicit, cross-engine-checkable version for when the
+# build side is computed in a previous job, e.g. yesterday's key set).
+
+
+def bloom_bits(
+    keys: DataFrame, col: str, m: int = 4096, k: int = 5
+) -> DataFrame:
+    """The filter itself: the DISTINCT set bit positions (<= m rows).
+
+    Represented as a position table instead of a packed bitset so it
+    stays a DataFrame (mergeable by union+distinct, broadcastable,
+    persistable as a tiny parquet)."""
+    c = F.col(col).cast("string")
+    bits = F.array(*[(stable_hash64(c, salt=f"bf{i}") % m) for i in range(k)])
+    return keys.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_member(
+    probe: DataFrame,
+    col: str,
+    bits: DataFrame,
+    m: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """Distinct probe keys with a ``bloom_pass`` flag (true iff all k
+    bit positions are set — i.e. key is PROBABLY in the build set; false
+    is certain absence).
+
+    The bit table is <= m rows -> broadcast; the probe side never
+    shuffles except the per-key count aggregate on already-distinct
+    keys. Semi-join usage: filter on bloom_pass, then (optionally)
+    verify survivors with the exact join — the bloom cuts the exact
+    join's probe input by the true-negative fraction.
+    """
+    c = F.col(col)
+    arr = F.array(
+        *[(stable_hash64(c.cast("string"), salt=f"bf{i}") % m) for i in range(k)]
+    )
+    pk = probe.select(c.alias(col)).distinct()
+    return (
+        pk.select(col, F.explode(arr).alias("bit"))
+        .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(col)
+        .agg((F.count("_set") == k).alias("bloom_pass"))
     )

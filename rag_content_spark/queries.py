@@ -4026,6 +4026,172 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "crossdoc_dup",
+    # Cross-document duplicate-passage fraction (operators/dedup.py
+    # crossdoc_dup_stats): per doc, share of its 8-token shingle
+    # positions whose shingle occurs in >=1 OTHER document.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents),
+    g AS (
+      SELECT doc_id,
+             {stable_hash64_sql(
+                 "array_to_string(list_slice(tok, CAST(r.range AS INT) + 1,"
+                 " CAST(r.range AS INT) + 8), ' ')"
+             )} AS sh
+      FROM t CROSS JOIN range(0, 100000) r
+      WHERE len(tok) >= 8 AND r.range <= len(tok) - 8
+    ),
+    pairs AS (
+      SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS n_occ
+      FROM g GROUP BY doc_id, sh
+    ),
+    freq AS (SELECT sh, count(*) AS n_docs FROM pairs GROUP BY sh),
+    s AS (
+      SELECT p.doc_id,
+             CAST(sum(p.n_occ) AS BIGINT) AS n_shingles,
+             round(sum(CASE WHEN f.n_docs > 1 THEN p.n_occ ELSE 0 END)
+                   / CAST(sum(p.n_occ) AS DOUBLE), 6) AS crossdoc_dup_frac
+      FROM pairs p JOIN freq f USING (sh) GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_shingles, 0) AS n_shingles,
+           coalesce(s.crossdoc_dup_frac, 0.0) AS crossdoc_dup_frac
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.dedup import crossdoc_dup_stats
+
+    return crossdoc_dup_stats(_docs(spark, sf_dir), n=8)
+
+
+_CMS_CELL_SQL = (
+    "CAST(('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || ':' || token),"
+    " 1, 15)) AS BIGINT) % 256"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    # Count-min sketch (operators/sketches.py): deterministic 4x256
+    # sketch over the corpus token stream; the registered result pins
+    # both the exact top-20 and the sketch's (overestimating) answers.
+    f"""
+    WITH t AS (SELECT {_TOKENS_SQL} AS tok FROM documents),
+    tk AS (SELECT unnest(tok) AS token FROM t),
+    cells AS (
+      SELECT token, r.range AS r, {_CMS_CELL_SQL} AS c
+      FROM tk CROSS JOIN range(0, 4) r
+    ),
+    sketch AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+               FROM cells GROUP BY r, c),
+    exact AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM tk GROUP BY token
+              ORDER BY freq DESC, token ASC LIMIT 20),
+    cand AS (
+      SELECT token, r.range AS r, {_CMS_CELL_SQL} AS c
+      FROM exact CROSS JOIN range(0, 4) r
+    ),
+    est AS (
+      SELECT cand.token, min(coalesce(s.cnt, 0)) AS est
+      FROM cand LEFT JOIN sketch s USING (r, c) GROUP BY cand.token
+    )
+    SELECT e.token, e.freq, est.est
+    FROM exact e JOIN est USING (token)
+    ORDER BY e.freq DESC, e.token ASC
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sketches import cms_estimate, cms_sketch
+    from rag_content_spark.functions.text import tokens
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(tokens("text")).alias("token")
+    )
+    sketch = cms_sketch(tok, "token", depth=4, width=256)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, exact.select("token"), "token", depth=4, width=256)
+    return exact.join(est, "token").orderBy(F.desc("freq"), F.asc("token"))
+
+
+@register(
+    "bloom_prune",
+    # Bloom-filter semi-join pruning (operators/sketches.py): build the
+    # filter from urgent-order customer keys, probe all customers; the
+    # one-row result pins probe size, bloom passes, true members and
+    # the (deterministic) false-positive count.
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT
+        {stable_hash64_sql(
+            "('bf' || CAST(i.range AS VARCHAR) || ':' || CAST(key AS VARCHAR))"
+        )} % 4096 AS bit
+      FROM keys CROSS JOIN range(0, 5) i
+    ),
+    probe AS (SELECT DISTINCT c_custkey AS key FROM customer),
+    pb AS (
+      SELECT key,
+        {stable_hash64_sql(
+            "('bf' || CAST(i.range AS VARCHAR) || ':' || CAST(key AS VARCHAR))"
+        )} % 4096 AS bit
+      FROM probe CROSS JOIN range(0, 5) i
+    ),
+    hits AS (
+      SELECT pb.key, count(b.bit) AS nb
+      FROM pb LEFT JOIN bits b USING (bit) GROUP BY pb.key
+    )
+    SELECT
+      CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe,
+      CAST((SELECT count(*) FROM hits WHERE nb = 5) AS BIGINT) AS n_pass,
+      CAST((SELECT count(*) FROM probe WHERE key IN (SELECT key FROM keys))
+           AS BIGINT) AS n_true,
+      CAST((SELECT count(*) FROM hits WHERE nb = 5) AS BIGINT)
+        - CAST((SELECT count(*) FROM probe WHERE key IN (SELECT key FROM keys))
+               AS BIGINT) AS n_false_pos
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sketches import bloom_bits, bloom_member
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bits = bloom_bits(keys, "key", m=4096, k=5)
+    member = bloom_member(
+        customer.select(F.col("c_custkey").alias("key")), "key", bits, m=4096, k=5
+    )
+    truth = customer.select(F.col("c_custkey").alias("key")).distinct().join(
+        keys, "key", "left_semi"
+    )
+    return (
+        member.agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.col("bloom_pass").cast("bigint")).alias("n_pass"),
+        )
+        .join(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_true"))))
+        .select(
+            "n_probe",
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each

@@ -177,3 +177,24 @@ def test_resolve_duplicates_keeps_best_quality(spark):
     }
     # cluster {1,2,3} -> highest quality (2) survives; solo 7 passes through
     assert kept == {2, 7}
+
+
+def test_crossdoc_dup_stats(spark):
+    from rag_content_spark.operators.dedup import crossdoc_dup_stats
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail a b c"),             # shares the 8-gram with doc 2
+        (2, "lead x y " + shared),               # shares with doc 1
+        (3, "totally unique words here that repeat nowhere else at all"),
+        (4, "short doc"),                        # < 8 tokens -> no shingles
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in crossdoc_dup_stats(df, n=8).collect()}
+    assert out[1]["crossdoc_dup_frac"] > 0
+    assert out[2]["crossdoc_dup_frac"] > 0
+    assert out[3]["crossdoc_dup_frac"] == 0.0
+    assert out[4]["n_shingles"] == 0 and out[4]["crossdoc_dup_frac"] == 0.0
+    # doc 1: 12 tokens -> 5 positions, exactly one ("one..eight") in doc 2
+    assert out[1]["n_shingles"] == 5
+    assert abs(out[1]["crossdoc_dup_frac"] - 0.2) < 1e-9

@@ -90,3 +90,81 @@ def test_hll_registers_on_stream(spark, tmp_path):
     # and state stays within the 2^p bound
     assert len(stream_regs) <= 256
     assert stream_regs == batch_regs
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+
+def _token_df(spark, words):
+    return spark.createDataFrame([(w,) for w in words], ["token"])
+
+
+def test_cms_never_underestimates(spark):
+    from rag_content_spark.operators.sketches import cms_estimate, cms_sketch
+
+    words = ["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5 + [f"w{i}" for i in range(200)]
+    tok = _token_df(spark, words)
+    sketch = cms_sketch(tok, "token", depth=4, width=64)
+    exact = tok.groupBy("token").count()
+    est = cms_estimate(sketch, exact.select("token"), "token", depth=4, width=64)
+    rows = {r["token"]: r["est"] for r in est.collect()}
+    for r in exact.collect():
+        assert rows[r["token"]] >= r["count"], r["token"]
+    # heavy hitter in a sparse sketch stays near-exact
+    assert rows["alpha"] >= 50
+
+
+def test_cms_bounded_and_mergeable(spark):
+    from rag_content_spark.operators.sketches import cms_sketch
+
+    a = _token_df(spark, [f"a{i % 7}" for i in range(100)])
+    b = _token_df(spark, [f"b{i % 11}" for i in range(100)])
+    sa, sb = cms_sketch(a, width=32), cms_sketch(b, width=32)
+    assert sa.count() <= 4 * 32
+    # CMS merge = cell-wise sum: sketch(a ∪ b) == re-agg of the two sketches
+    import pyspark.sql.functions as F
+
+    merged = (
+        sa.unionAll(sb).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(a.unionAll(b), width=32)
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+
+
+def test_bloom_no_false_negatives(spark):
+    from rag_content_spark.operators.sketches import bloom_bits, bloom_member
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 500, 5)], ["key"])
+    probe = spark.createDataFrame([(i,) for i in range(500)], ["key"])
+    bits = bloom_bits(keys, "key", m=2048, k=5)
+    out = bloom_member(probe, "key", bits, m=2048, k=5).collect()
+    passed = {r["key"] for r in out if r["bloom_pass"]}
+    members = set(range(0, 500, 5))
+    assert members <= passed  # NEVER a false negative
+    # and the filter actually prunes: false positives well under the
+    # non-member count at this density (100 keys in 2048 bits)
+    assert len(passed - members) < 100
+
+
+def test_bloom_semi_join_reduction(spark):
+    from rag_content_spark.operators.sketches import bloom_bits, bloom_member
+    import pyspark.sql.functions as F
+
+    keys = spark.createDataFrame([(i,) for i in (3, 7, 11)], ["key"])
+    probe = spark.createDataFrame([(i,) for i in range(1000)], ["key"])
+    bits = bloom_bits(keys, "key", m=4096, k=5)
+    member = bloom_member(probe, "key", bits, m=4096, k=5)
+    kept = probe.join(
+        member.filter("bloom_pass").select("key"), "key", "left_semi"
+    )
+    survivors = {r["key"] for r in kept.collect()}
+    assert {3, 7, 11} <= survivors
+    assert len(survivors) < 50  # 3 keys x 5 bits in 4096 -> tiny fp rate
