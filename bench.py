@@ -93,6 +93,7 @@ HEADLINE = [
     "crossdoc_dup",       # cross-document duplicate-passage fraction
     "cms_heavy_hitters",  # count-min sketch + exact top-20 comparison
     "bloom_prune",        # bloom-filter semi-join pruning stats
+    "srp_rerank",         # JL reduced-space shortlist -> exact re-rank
 ]
 
 

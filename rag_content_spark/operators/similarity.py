@@ -533,3 +533,88 @@ def lsh_signature_np(
             yield pdf
 
     return df.mapInPandas(_sig, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+# project d-dim embeddings onto out_dim deterministic pseudo-random
+# hyperplanes (the real-valued cousin of the sign-only lsh_signature).
+# Inner products are preserved in expectation, so a reduced-space scan
+# is a cheap shortlist stage: at 100 TB, a 64->8 reduction cuts the
+# first-pass scan's compute and (for a materialized reduced column)
+# its I/O by 8x, and the exact re-rank touches only the shortlist.
+
+
+def srp_reduce(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    seed: str = "red",
+    embedding_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Adds ``out_col``: ARRAY<DOUBLE> of ``out_dim`` projections onto
+    the deterministic :func:`srp_plane` hyperplanes (literal plane
+    arrays in the plan; one fold per component — narrow, shuffle-free)."""
+    c = F.col(embedding_col)
+    comps = []
+    for j in range(out_dim):
+        plane = F.array(*[F.lit(v) for v in srp_plane(seed, j, dim)])
+        comps.append(
+            F.aggregate(
+                F.zip_with(c, plane, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def reduce_query(
+    query_vec: list[float], out_dim: int = 8, seed: str = "red"
+) -> list[float]:
+    """Driver-side projection of one query vector (same planes/order as
+    :func:`srp_reduce`, so scores are comparable)."""
+    dim = len(query_vec)
+    out = []
+    for j in range(out_dim):
+        plane = srp_plane(seed, j, dim)
+        acc = 0.0
+        for x, r in zip(query_vec, plane):
+            acc = acc + float(x) * r
+        out.append(acc)
+    return out
+
+
+def srp_rerank_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    out_dim: int = 8,
+    seed: str = "red",
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage exact-quality ANN: reduced-space shortlist (TakeOrdered,
+    no shuffle) -> exact inner-product re-rank of the shortlist only.
+
+    One lazy plan; the full-dimension dot runs on ``shortlist`` rows,
+    not the corpus. Deterministic total order at both stages."""
+    rq = reduce_query(query_vec, out_dim, seed)
+    dim = len(query_vec)
+    red = srp_reduce(index, out_dim, dim, seed, embedding_col, "_red")
+    rscore = F.round(dot(F.col("_red"), F.array(*[F.lit(v) for v in rq]), out_dim), 6)
+    short = (
+        red.select(id_col, embedding_col, rscore.alias("rscore"))
+        .orderBy(F.desc("rscore"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    exact = F.round(
+        dot(F.col(embedding_col), F.array(*[F.lit(float(v)) for v in query_vec]), dim), 6
+    )
+    return (
+        short.select(id_col, exact.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

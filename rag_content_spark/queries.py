@@ -4026,6 +4026,50 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_rerank_sql() -> str:
+    from rag_content_spark.operators.similarity import srp_plane
+
+    out_dim, dim = 16, 64
+    planes = [
+        "list_value(" + ", ".join(repr(v) for v in srp_plane("red", j, dim)) + ")"
+        for j in range(out_dim)
+    ]
+    # query reduced components from the SAME parquet floats Spark collects
+    rq = ", ".join(f"({dot_sql('embedding', p)}) AS r{j}" for j, p in enumerate(planes))
+    rscore = " + ".join(
+        f"({dot_sql('e.embedding', p)}) * q.r{j}" for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH q AS (SELECT {rq}, embedding AS qv FROM embeddings WHERE vec_id = 0),
+    red AS (
+      SELECT e.vec_id, e.embedding, round({rscore}, 6) AS rscore
+      FROM embeddings e CROSS JOIN q
+    ),
+    short AS (
+      SELECT vec_id, embedding FROM red
+      ORDER BY rscore DESC, vec_id ASC LIMIT 100
+    )
+    SELECT s.vec_id, round({dot_sql('s.embedding', 'q.qv')}, 6) AS score
+    FROM short s CROSS JOIN q ORDER BY score DESC, vec_id ASC LIMIT 10
+    """
+
+
+@register("srp_rerank", _srp_rerank_sql())
+def q_srp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (JL) shortlist -> exact re-rank: a 16-dim
+    reduced scan shortlists 100 candidates, the 64-dim dot runs only on
+    those (operators/similarity.py srp_reduce / srp_rerank_topk).
+    Measured on sf0.01 with the vec_id-0 query: shortlist recall@10 =
+    7/10 at (16, 100), 10/10 at (24, 200) — the out_dim/shortlist knobs
+    trade first-pass scan cost against recall; PQ/IVF remain the
+    production ANN paths, this is the model-free cheap-scan variant."""
+    from rag_content_spark.operators.similarity import srp_rerank_topk
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    return srp_rerank_topk(emb, qvec, k=10, shortlist=100, out_dim=16)
+
+
 @register(
     "crossdoc_dup",
     # Cross-document duplicate-passage fraction (operators/dedup.py

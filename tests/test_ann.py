@@ -130,3 +130,59 @@ def test_trained_codebook_improves_rerank_recall(spark):
     r_trained = recall(trained)
     assert r_trained > r_demo
     assert r_trained >= 0.5
+
+
+def test_srp_reduce_preserves_neighborhoods(spark):
+    """JL sanity: planted near-duplicate pairs stay closer in reduced
+    space than unrelated vectors (in aggregate)."""
+    import numpy as np
+    from rag_content_spark.operators.similarity import srp_reduce
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 0.01 * rng.randn(64)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: np.array(r["reduced"]) for r in srp_reduce(df, out_dim=8).collect()}
+    twin_d = np.mean(
+        [np.linalg.norm(out[2 * i] - out[2 * i + 1]) for i in range(20)]
+    )
+    rand_d = np.mean(
+        [np.linalg.norm(out[2 * i] - out[(2 * i + 2) % 40]) for i in range(20)]
+    )
+    assert twin_d < rand_d / 3
+
+
+def test_srp_rerank_matches_exact_topk(spark):
+    """With shortlist == corpus size the two-stage result IS the exact
+    top-k; with a 50-candidate shortlist on smooth data, recall@10 stays
+    high (the shortlist quality claim of the registered query)."""
+    import numpy as np
+    from rag_content_spark.operators.similarity import srp_rerank_topk, top_k
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [float(x) for x in rng.randn(64)]
+    exact = [r["vec_id"] for r in top_k(df, q, k=10).collect()]
+    full = [r["vec_id"] for r in srp_rerank_topk(df, q, k=10, shortlist=200).collect()]
+    assert full == exact
+
+
+def test_srp_shortlist_recall_on_clustered_data(spark):
+    """On clustered data (the real embedding shape) the reduced-space
+    shortlist captures the true neighbors: 20 planted near-dups of the
+    query must all reach the shortlist stage."""
+    import numpy as np
+    from rag_content_spark.operators.similarity import srp_rerank_topk
+
+    rng = np.random.RandomState(3)
+    center = rng.randn(64) * 3
+    rows = [(i, [float(x) for x in center + 0.1 * rng.randn(64)]) for i in range(20)]
+    rows += [(i, [float(x) for x in rng.randn(64)]) for i in range(20, 400)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [float(x) for x in center]
+    got = [r["vec_id"] for r in srp_rerank_topk(df, q, k=10, shortlist=40, out_dim=16).collect()]
+    assert set(got) <= set(range(20)) and len(got) == 10
