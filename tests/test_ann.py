@@ -157,8 +157,7 @@ def test_srp_reduce_preserves_neighborhoods(spark):
 
 def test_srp_rerank_matches_exact_topk(spark):
     """With shortlist == corpus size the two-stage result IS the exact
-    top-k; with a 50-candidate shortlist on smooth data, recall@10 stays
-    high (the shortlist quality claim of the registered query)."""
+    top-k (the re-rank stage is exact)."""
     import numpy as np
     from rag_content_spark.operators.similarity import srp_rerank_topk, top_k
 
@@ -186,3 +185,16 @@ def test_srp_shortlist_recall_on_clustered_data(spark):
     q = [float(x) for x in center]
     got = [r["vec_id"] for r in srp_rerank_topk(df, q, k=10, shortlist=40, out_dim=16).collect()]
     assert set(got) <= set(range(20)) and len(got) == 10
+
+
+def test_srp_reduce_np_matches_fold(spark):
+    import numpy as np
+    from rag_content_spark.operators.similarity import srp_reduce, srp_reduce_np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {r["vec_id"]: r["reduced"] for r in srp_reduce(df, out_dim=8).collect()}
+    b = {r["vec_id"]: r["reduced"] for r in srp_reduce_np(df, out_dim=8).collect()}
+    for i in a:
+        assert max(abs(x - y) for x, y in zip(a[i], b[i])) < 1e-9

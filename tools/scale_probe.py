@@ -57,6 +57,50 @@ def replicate(spark, src_dir: str, dst_dir: str, n: int) -> None:
         .write.mode("overwrite")
         .parquet(f"{dst_dir}/embeddings.parquet")
     )
+    # relational tables: replicate the big three with shifted keys
+    # (fact growth), copy the small dims verbatim
+    ords = spark.read.parquet(f"{src_dir}/orders.parquet")
+    (
+        ords.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("_rep") * 10_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("_rep") * 1_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{dst_dir}/orders.parquet")
+    )
+    cust = spark.read.parquet(f"{src_dir}/customer.parquet")
+    (
+        cust.crossJoin(reps)
+        .select(
+            (F.col("c_custkey") + F.col("_rep") * 1_000_000).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{dst_dir}/customer.parquet")
+    )
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("_rep") * 10_000_000).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{dst_dir}/lineitem.parquet")
+    )
+    for small in ("part", "supplier", "nation", "region"):
+        shutil.copy(f"{src_dir}/{small}.parquet", f"{dst_dir}/{small}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{src_dir}/events.parquet")
     (
