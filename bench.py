@@ -94,6 +94,7 @@ HEADLINE = [
     "cms_heavy_hitters",  # count-min sketch + exact top-20 comparison
     "bloom_prune",        # bloom-filter semi-join pruning stats
     "srp_rerank",         # JL reduced-space shortlist -> exact re-rank
+    "crossdoc_scrub",     # duplicate-passage removal transform
 ]
 
 

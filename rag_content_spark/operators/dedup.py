@@ -687,3 +687,67 @@ def crossdoc_dup_stats(
             "crossdoc_dup_frac"
         ),
     )
+
+
+def remove_crossdoc_passages(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The transform counterpart of :func:`crossdoc_dup_stats`: REMOVE
+    every token position covered by a cross-document duplicate n-shingle
+    (boilerplate scrubbing — headers, license blocks, syndicated
+    passages get cut while unique prose stays).
+
+    A token at position i is dropped iff some duplicate shingle starts
+    in [i-n+1, i]. Returns (id, clean_text, n_tokens, n_removed);
+    clean_text is the kept tokens joined by single spaces (whitespace is
+    normalized — the tokenizer's view is what downstream chunking and
+    dedup see anyway).
+
+    Scale shape: the duplicated-start positions per doc come back as ONE
+    small collect_set per document (dup starts are rare by definition —
+    a doc that is mostly duplicate should be dropped by the
+    crossdoc_dup_frac gate instead); the rebuild is then a narrow
+    filter-with-index over the token array, no second explode.
+    """
+    tok = tokens(text_col)
+    grams = F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("p", "shingle")
+    ).select(id_col, "p", stable_hash64("shingle").alias("sh"))
+    dup = (
+        pos.select(id_col, "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    covered = (
+        pos.join(dup.select("sh"), "sh")
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        tok,
+        lambda t, i: ~F.exists(
+            cov, lambda p: (p <= i) & (i <= p + F.lit(n - 1))
+        ),
+    )
+    return (
+        docs.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size(tok).cast("bigint").alias("n_tokens"),
+            (F.size(tok) - F.size(kept)).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -4110,6 +4110,58 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_stats(_docs(spark, sf_dir), n=8)
 
 
+@register(
+    "crossdoc_scrub",
+    # Passage scrubbing (operators/dedup.py remove_crossdoc_passages):
+    # drop every token position covered by a cross-document duplicate
+    # 8-shingle; clean_text = kept tokens joined by ' '.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents),
+    g AS (
+      SELECT doc_id, CAST(r.range AS INT) AS p,
+             {stable_hash64_sql(
+                 "array_to_string(list_slice(tok, CAST(r.range AS INT) + 1,"
+                 " CAST(r.range AS INT) + 8), ' ')"
+             )} AS sh
+      FROM t CROSS JOIN range(0, 100000) r
+      WHERE len(tok) >= 8 AND r.range <= len(tok) - 8
+    ),
+    dup AS (
+      SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM g)
+      GROUP BY sh HAVING count(*) > 1
+    ),
+    ds AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (sh)),
+    tokpos AS (
+      SELECT doc_id, CAST(r.range AS INT) AS i,
+             tok[CAST(r.range AS INT) + 1] AS token
+      FROM t CROSS JOIN range(0, 100000) r
+      WHERE r.range < len(tok)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.i, tp.token FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ds
+        WHERE ds.doc_id = tp.doc_id AND ds.p <= tp.i AND tp.i <= ds.p + 7
+      )
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY i) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(t.tok) AS BIGINT) AS n_tokens,
+           CAST(len(t.tok) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_crossdoc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.dedup import remove_crossdoc_passages
+
+    return remove_crossdoc_passages(_docs(spark, sf_dir), n=8)
+
+
 _CMS_CELL_SQL = (
     "CAST(('0x' || substr(md5('cms' || CAST(r.range AS VARCHAR) || ':' || token),"
     " 1, 15)) AS BIGINT) % 256"

@@ -198,3 +198,25 @@ def test_crossdoc_dup_stats(spark):
     # doc 1: 12 tokens -> 5 positions, exactly one ("one..eight") in doc 2
     assert out[1]["n_shingles"] == 5
     assert abs(out[1]["crossdoc_dup_frac"] - 0.2) < 1e-9
+
+
+def test_remove_crossdoc_passages(spark):
+    from rag_content_spark.operators.dedup import remove_crossdoc_passages
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, "intro words here then " + shared + " and a tail"),
+        (2, shared + " leading a different document entirely okay"),
+        (3, "totally unique words that repeat nowhere else at all ever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_crossdoc_passages(df, n=8).collect()}
+    # every token covered by the shared 8-gram is gone from both docs
+    for w in shared.split():
+        assert w not in out[1]["clean_text"].split()
+        assert w not in out[2]["clean_text"].split()
+    # unique prose survives
+    assert "intro" in out[1]["clean_text"] and "tail" in out[1]["clean_text"]
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[1]["n_removed"] == 8 and out[1]["n_tokens"] == 15
