@@ -95,6 +95,7 @@ HEADLINE = [
     "bloom_prune",        # bloom-filter semi-join pruning stats
     "srp_rerank",         # JL reduced-space shortlist -> exact re-rank
     "crossdoc_scrub",     # duplicate-passage removal transform
+    "training_manifest",  # weighted-interleave data-mixing schedule
 ]
 
 

@@ -65,3 +65,55 @@ def pack_sequences(
     return with_counts.withColumn(
         "seq_bucket", F.floor(start_offset / budget).cast("bigint")
     )
+
+
+def interleave_manifest(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Weighted-interleave training manifest: a deterministic global
+    ordering in which source s appears with frequency proportional to
+    ``weights[s]`` — the data-mixing schedule of a pretraining run
+    (e.g. web:3, code:1 yields w,w,w,c,w,w,w,c,...).
+
+    Classic weighted round-robin: document #rn of source s gets
+    ``order_key = rn / weights[s]``; sorting by (order_key, source, id)
+    interleaves sources at their weight ratios from step one (not in
+    blocks). Pure integer ranks and one literal-double division — the
+    same arithmetic renders exactly in any engine.
+
+    Scale: a GLOBAL manifest is inherently a total order; at 100 TB pass
+    ``shard_col`` to scope both windows per shard — each shard computes
+    its own interleaved manifest in parallel (training jobs consume
+    shards round-robin, preserving the mix in aggregate). Sources absent
+    from ``weights`` are dropped (weight 0).
+
+    Output: ``position, id, source`` (+ shard when scoped).
+    """
+    w_col = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(float(w)))
+            for s, w in sorted(weights.items())
+        ]
+    )
+    part = [shard_col] if shard_col else []
+    rn_w = Window.partitionBy(*part, source_col).orderBy(id_col)
+    pos_w = Window.partitionBy(*part).orderBy(
+        "order_key", source_col, id_col
+    )
+    kept = docs.filter(F.col(source_col).isin(list(weights)))
+    ranked = kept.select(
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        F.col(source_col),
+        (F.row_number().over(rn_w).cast("double") / w_col).alias("order_key"),
+    )
+    return ranked.select(
+        F.row_number().over(pos_w).cast("bigint").alias("position"),
+        *( [F.col(shard_col)] if shard_col else [] ),
+        F.col(id_col),
+        F.col(source_col),
+    )

@@ -4111,6 +4111,34 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_manifest",
+    # Weighted-interleave data-mixing manifest (operators/packing.py
+    # interleave_manifest): src0 at weight 3.0, src1 at 1.0, src2 at
+    # 0.5 — position order interleaves sources at those ratios.
+    """
+    WITH kept AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+                         WHEN 'src2' THEN 0.5 END AS w,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT row_number() OVER (
+             ORDER BY CAST(rn AS DOUBLE) / w, source, doc_id
+           ) AS position,
+           doc_id, source
+    FROM kept
+    """,
+)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.packing import interleave_manifest
+
+    return interleave_manifest(
+        _docs(spark, sf_dir), {"src0": 3.0, "src1": 1.0, "src2": 0.5}
+    )
+
+
+@register(
     "crossdoc_scrub",
     # Passage scrubbing (operators/dedup.py remove_crossdoc_passages):
     # drop every token position covered by a cross-document duplicate

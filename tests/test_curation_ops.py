@@ -442,3 +442,40 @@ def test_leakage_safe_split(spark):
         for r in leakage_safe_split(docs, 0.5, dup_pairs=pairs).collect()
     }
     assert got[1] == got[2]  # the near-dup pair never straddles the split
+
+
+def test_interleave_manifest_ratios(spark):
+    from rag_content_spark.operators.packing import interleave_manifest
+
+    rows = [(i, "web") for i in range(30)] + [(100 + i, "code") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = interleave_manifest(df, {"web": 3.0, "code": 1.0}).collect()
+    order = [r["source"] for r in sorted(out, key=lambda r: r["position"])]
+    assert len(order) == 40
+    # every prefix holds web:code close to 3:1 (weighted round-robin,
+    # not blocks): after any 4k steps, exactly 3k web and k code
+    for k in (4, 8, 20, 40):
+        prefix = order[:k]
+        assert abs(prefix.count("web") - 3 * k / 4) <= 1
+    # sources not in the weight map are dropped
+    df2 = df.unionByName(
+        spark.createDataFrame([(999, "junk")], ["doc_id", "source"])
+    )
+    out2 = interleave_manifest(df2, {"web": 3.0, "code": 1.0}).collect()
+    assert all(r["source"] != "junk" for r in out2) and len(out2) == 40
+
+
+def test_interleave_manifest_sharded(spark):
+    from rag_content_spark.operators.packing import interleave_manifest
+
+    rows = [(i, "a" if i % 2 else "b", i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "shard"])
+    out = interleave_manifest(
+        df, {"a": 1.0, "b": 1.0}, shard_col="shard"
+    ).collect()
+    # positions restart per shard -> parallel windows, no global order
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))

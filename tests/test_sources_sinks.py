@@ -269,3 +269,54 @@ def test_write_jsonl_shards(spark, tmp_path):
         buckets = [l["seq_bucket"] for l in lines]
         assert buckets == sorted(buckets), d
         assert all("text" in l and "doc_id" in l for l in lines)
+
+
+def test_webdataset_shards_roundtrip(spark, tmp_path):
+    import tarfile
+
+    from rag_content_spark.sinks.webdataset import write_webdataset_shards
+
+    rows = [
+        (i, f"caption {i}", bytes([i % 256]) * (10 + i)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["sample_id", "caption", "img"])
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset_shards(
+        df, out, "sample_id", {"txt": "caption", "img": "img"}, n_shards=4
+    ).collect()
+    assert sum(r["n_samples"] for r in manifest) == 40
+    # every sample reassembles: .txt and .img members pair under one key
+    seen = {}
+    for r in manifest:
+        path = f"{out}/shard-{r['shard']:05d}.tar"
+        with tarfile.open(path) as tar:
+            names = tar.getnames()
+            assert names == sorted(names)  # deterministic member order
+            for n in names:
+                key, ext = n.rsplit(".", 1)
+                seen.setdefault(key, set()).add(ext)
+                if ext == "txt":
+                    assert tar.extractfile(n).read().decode() == f"caption {key}"
+    assert len(seen) == 40 and all(v == {"txt", "img"} for v in seen.values())
+
+
+def test_webdataset_shards_deterministic_bytes(spark, tmp_path):
+    from rag_content_spark.sinks.webdataset import write_webdataset_shards
+
+    rows = [(i, f"text {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["sample_id", "caption"])
+    digests = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        write_webdataset_shards(
+            df, out, "sample_id", {"txt": "caption"}, n_shards=2
+        ).collect()
+        import hashlib, os
+
+        digests.append(
+            {
+                f: hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+                for f in sorted(os.listdir(out))
+            }
+        )
+    assert digests[0] == digests[1]
