@@ -96,6 +96,7 @@ HEADLINE = [
     "srp_rerank",         # JL reduced-space shortlist -> exact re-rank
     "crossdoc_scrub",     # duplicate-passage removal transform
     "training_manifest",  # weighted-interleave data-mixing schedule
+    "cdc_chunks",         # content-defined chunking (rolling-hash bounds)
 ]
 
 

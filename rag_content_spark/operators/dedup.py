@@ -751,3 +751,84 @@ def remove_crossdoc_passages(
             (F.size(tok) - F.size(kept)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+# Rolling-window coefficients for content-defined chunking: 4 coeffs
+# < 2^19 over token hashes < P=2^31 keep every product < 2^50 and the
+# 4-term sum < 2^52 — no int64 overflow, same bound argument as
+# _SHINGLE_COEFFS.
+_CDC_COEFFS = (131071, 262139, 524287, 65599)
+_CDC_W = 4
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    mask: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary trick, token
+    granularity): a chunk boundary opens at position i whenever the
+    rolling hash of tokens [i, i+4) satisfies ``g % mask == 0`` —
+    boundaries follow CONTENT, not offsets, so inserting a paragraph
+    shifts every byte offset but leaves all other chunk hashes intact.
+    That makes ``chunk_hash`` the dedup key for partially-edited /
+    shifted documents (delta storage, CDC-level near-dedup), where
+    fixed-offset chunking would see every chunk change.
+
+    Expected chunk length == mask tokens. Everything is a narrow
+    Column expression (token hash -> rolling hash -> boundary list ->
+    slice per span) — one explode, no shuffle, and the same integer
+    arithmetic renders exactly in DuckDB.
+
+    Output: ``id, chunk_idx, start, n_tokens, chunk_hash`` (hash of the
+    space-joined chunk tokens).
+    """
+    tok = tokens(text_col)
+    th = F.transform(tok, lambda t: stable_hash64(t) % MINHASH_P)
+    base = docs.filter(F.size(tok) > 0).select(
+        F.col(id_col), tok.alias("_tok"), th.alias("_th")
+    )
+    h = F.col("_th")
+    n = F.size("_tok")
+    g = lambda i: (  # noqa: E731 - rolling hash of the window at i
+        F.get(h, i) * _CDC_COEFFS[0]
+        + F.get(h, i + 1) * _CDC_COEFFS[1]
+        + F.get(h, i + 2) * _CDC_COEFFS[2]
+        + F.get(h, i + 3) * _CDC_COEFFS[3]
+    ) % MINHASH_P
+    # boundary candidates: i in [1, n - W]; bounds = [0, *boundaries, n]
+    bpos = F.when(
+        n >= _CDC_W + 1,
+        F.filter(
+            F.sequence(F.lit(1), n - _CDC_W),
+            lambda i: g(i) % mask == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(bounds) - 2),
+        lambda c: F.struct(
+            c.alias("chunk_idx"),
+            F.get(bounds, c).alias("start"),
+            (F.get(bounds, c + 1) - F.get(bounds, c)).alias("n_tokens"),
+        ),
+    )
+    exploded = base.select(
+        id_col, "_tok", F.explode(spans).alias("_s")
+    ).select(
+        F.col(id_col),
+        F.col("_s.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("_s.start").cast("bigint").alias("start"),
+        F.col("_s.n_tokens").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.slice("_tok", F.col("_s.start") + 1, F.col("_s.n_tokens")), " "
+        ).alias("_chunk"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "start",
+        "n_tokens",
+        stable_hash64("_chunk").alias("chunk_hash"),
+    )

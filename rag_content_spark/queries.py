@@ -4110,6 +4110,57 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_stats(_docs(spark, sf_dir), n=8)
 
 
+def _cdc_sql() -> str:
+    from rag_content_spark.operators.dedup import _CDC_COEFFS, MINHASH_P
+
+    c0, c1, c2, c3 = _CDC_COEFFS
+    g = (
+        f"((th[r.range + 1] * {c0} + th[r.range + 2] * {c1} + "
+        f"th[r.range + 3] * {c2} + th[r.range + 4] * {c3}) % {MINHASH_P})"
+    )
+    return f"""
+    WITH t0 AS (SELECT doc_id, {_TOKENS_SQL} AS tok FROM documents),
+    t AS (SELECT * FROM t0 WHERE len(tok) > 0),
+    h AS (
+      SELECT doc_id, tok,
+             list_transform(tok, x -> {stable_hash64_sql('x')} % {MINHASH_P}) AS th
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, CAST(r.range AS INT) AS i
+      FROM h CROSS JOIN range(1, 100000) r
+      WHERE r.range <= len(tok) - 4 AND {g} % 64 = 0
+    ),
+    tokpos AS (
+      SELECT doc_id, CAST(r.range AS INT) AS i,
+             tok[CAST(r.range AS INT) + 1] AS token
+      FROM h CROSS JOIN range(0, 100000) r
+      WHERE r.range < len(tok)
+    ),
+    marked AS (
+      SELECT tp.doc_id, tp.i, tp.token,
+             SUM(CASE WHEN b.i IS NULL THEN 0 ELSE 1 END) OVER (
+               PARTITION BY tp.doc_id ORDER BY tp.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_idx
+      FROM tokpos tp LEFT JOIN b ON b.doc_id = tp.doc_id AND b.i = tp.i
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(min(i) AS BIGINT) AS start,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {stable_hash64_sql("string_agg(token, ' ' ORDER BY i)")} AS chunk_hash
+    FROM marked GROUP BY doc_id, chunk_idx
+    """
+
+
+@register("cdc_chunks", _cdc_sql())
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.py cdc_chunks):
+    rolling-hash boundaries, insertion-robust chunk hashes."""
+    from rag_content_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir), mask=64)
+
+
 @register(
     "training_manifest",
     # Weighted-interleave data-mixing manifest (operators/packing.py

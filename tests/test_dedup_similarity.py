@@ -220,3 +220,36 @@ def test_remove_crossdoc_passages(spark):
     assert out[3]["n_removed"] == 0
     assert out[3]["clean_text"] == rows[2][1]
     assert out[1]["n_removed"] == 8 and out[1]["n_tokens"] == 15
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """The CDC property: inserting tokens mid-document changes only the
+    chunks overlapping the edit — every other chunk hash survives
+    (offset-based chunking would lose all downstream hashes)."""
+    import random
+
+    from rag_content_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(42)
+    words = [f"w{rng.randint(0, 5000)}" for _ in range(600)]
+    original = " ".join(words)
+    edited = " ".join(words[:300] + ["inserted", "new", "paragraph"] + words[300:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], ["doc_id", "text"]
+    )
+    out = cdc_chunks(df, mask=32).collect()
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    assert len(h1) >= 8  # 600 tokens / mask 32 -> many chunks
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.7  # edit disturbs only the local chunk(s)
+    # and chunks tile the document exactly
+    for doc, text in ((1, original), (2, edited)):
+        spans = sorted(
+            (r["start"], r["n_tokens"]) for r in out if r["doc_id"] == doc
+        )
+        pos = 0
+        for start, n in spans:
+            assert start == pos
+            pos += n
+        assert pos == len(text.split())
