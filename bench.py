@@ -97,6 +97,7 @@ HEADLINE = [
     "crossdoc_scrub",     # duplicate-passage removal transform
     "training_manifest",  # weighted-interleave data-mixing schedule
     "cdc_chunks",         # content-defined chunking (rolling-hash bounds)
+    "snapshot_diff",      # crawl-to-crawl content change set
 ]
 
 

@@ -83,3 +83,42 @@ def salted_aggregate(
         F.sum("_cnt").alias("n_rows"),
         F.sum("_sum").cast("double").alias("sum_value"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Change set between two corpus snapshots (what a recurring crawl
+    logs per run): every id classified added / removed / changed /
+    unchanged by CONTENT hash, not timestamps.
+
+    One full-outer hash join on the id; content comparison is on the
+    64-bit stable hash so the join carries (id, hash) pairs, never two
+    copies of the text — at 100 TB the diff costs one co-partitioned
+    join of two slim columns (and is free of shuffles entirely when
+    both snapshots are bucketed by id, the layout write_bucketed_index
+    produces).
+
+    Output: ``id, status, old_hash, new_hash``.
+    """
+    from rag_content_spark.functions.hashing import stable_hash64
+
+    o = old.select(
+        F.col(id_col), stable_hash64(text_col).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col), stable_hash64(text_col).alias("new_hash")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col(id_col), status.alias("status"), "old_hash", "new_hash"
+    )

@@ -4110,6 +4110,47 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_stats(_docs(spark, sf_dir), n=8)
 
 
+@register(
+    "snapshot_diff",
+    # Crawl-to-crawl change set (operators/rollup.py snapshot_diff):
+    # old = doc_id < 450, new = doc_id >= 50 with every 7th doc edited.
+    f"""
+    WITH old AS (
+      SELECT doc_id, {stable_hash64_sql('text')} AS old_hash
+      FROM documents WHERE doc_id < 450
+    ),
+    new AS (
+      SELECT doc_id,
+             {stable_hash64_sql(
+                 "CASE WHEN doc_id % 7 = 0 THEN text || ' (edited)' ELSE text END"
+             )} AS new_hash
+      FROM documents WHERE doc_id >= 50
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_hash, n.new_hash
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.rollup import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 450).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 50).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" (edited)"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
 def _cdc_sql() -> str:
     from rag_content_spark.operators.dedup import _CDC_COEFFS, MINHASH_P
 

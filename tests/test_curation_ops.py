@@ -479,3 +479,16 @@ def test_interleave_manifest_sharded(spark):
         by_shard.setdefault(r["shard"], []).append(r["position"])
     for shard, positions in by_shard.items():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_snapshot_diff_statuses(spark):
+    from rag_content_spark.operators.rollup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
