@@ -98,3 +98,86 @@ def rebalance_by_bytes(df: DataFrame, target_partition_bytes: int = 64 << 20) ->
     total = df.agg(F.sum("n_bytes")).collect()[0][0] or 1
     n_parts = max(int(total // target_partition_bytes) + 1, 1)
     return df.repartition(n_parts, F.md5("file_path"))
+
+
+def list_text_files(
+    folder: str, glob: str | None = None
+) -> list[str]:
+    """Driver-side recursive listing (sorted for determinism). At real
+    scale with millions of files, shard the listing itself: build a
+    DataFrame of subdirectories first and run this walk inside
+    mapInPandas per shard — the reader below consumes either manifest."""
+    import fnmatch
+    import os
+
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(folder):
+        for name in filenames:
+            if glob is None or fnmatch.fnmatch(name, glob):
+                out.append(os.path.join(dirpath, name))
+    return sorted(out)
+
+
+def read_text_documents_fast(
+    spark: SparkSession,
+    folder: str,
+    glob: str | None = None,
+    paths: list[str] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Manifest-based small-files reader: same output contract as
+    :func:`read_text_documents`, ~100x faster on many-small-file
+    corpora.
+
+    Hadoop's per-file open path (stream + codec + checksum probing)
+    costs ~50 ms per file regardless of size — the classic small-files
+    problem; 5 000 four-KB markdown files cost 8 s of pure overhead
+    (measured, BASELINE.md). This reader instead parallelizes a PATH
+    MANIFEST and opens files with plain ``open()`` inside an
+    Arrow-batched ``mapInPandas`` (~10 us per small file). Requires the
+    corpus to be visible from every executor — the same assumption any
+    Spark file source makes.
+
+    Parity with the wholetext reader (identical rows) is pinned in
+    tests/test_sources_sinks.py.
+    """
+    import pandas as pd
+
+    if paths is None:
+        paths = list_text_files(folder, glob)
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    manifest = spark.createDataFrame(
+        [(p,) for p in paths], "file_path string"
+    ).repartition(max(1, min(partitions, len(paths) or 1)))
+
+    def _read(batches):
+        for pdf in batches:
+            texts = []
+            for p in pdf["file_path"]:
+                with open(p, encoding="utf-8", errors="replace") as f:
+                    texts.append(f.read())
+            yield pd.DataFrame(
+                {"file_path": pdf["file_path"], "value": texts}
+            )
+
+    raw = manifest.mapInPandas(_read, schema="file_path string, value string")
+    # normalize to the URI form input_file_name() produces, so doc_ids
+    # (md5 of path) are identical whichever reader built the corpus
+    path = F.when(
+        F.col("file_path").startswith("/"),
+        F.concat(F.lit("file://"), F.col("file_path")),
+    ).otherwise(F.col("file_path"))
+    return raw.select(
+        path.alias("file_path"),
+        F.element_at(F.split(path, "/"), -1).alias("file_name"),
+        F.coalesce(
+            *[
+                F.when(_ext(path) == ext, F.lit(t))
+                for ext, t in TEXT_EXTENSIONS.items()
+            ],
+            F.lit("text"),
+        ).alias("doc_type"),
+        F.md5(path).alias("doc_id"),
+        F.col("value").alias("text"),
+    )

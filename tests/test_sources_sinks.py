@@ -320,3 +320,41 @@ def test_webdataset_shards_deterministic_bytes(spark, tmp_path):
             }
         )
     assert digests[0] == digests[1]
+
+
+def test_fast_reader_parity_with_wholetext(spark, tmp_path):
+    """The manifest reader's rows are IDENTICAL to the Hadoop wholetext
+    reader's (paths, doc_ids, doc_type routing, content) — it is a
+    drop-in small-files fast path, not a different source."""
+    from rag_content_spark.sources.directory import (
+        read_text_documents,
+        read_text_documents_fast,
+    )
+
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.md").write_text("# A\n\nalpha doc")
+    (d / "b.txt").write_text("plain bravo")
+    (d / "sub" / "c.md").write_text("# C\n\nnested charlie")
+    slow = {r["file_path"]: r for r in read_text_documents(spark, str(d)).collect()}
+    fast = {
+        r["file_path"]: r
+        for r in read_text_documents_fast(spark, str(d)).collect()
+    }
+    assert set(slow) == set(fast) and len(slow) == 3
+    for p in slow:
+        for col in ("file_name", "doc_type", "doc_id", "text"):
+            assert slow[p][col] == fast[p][col], (p, col)
+
+
+def test_fast_reader_glob_and_partitions(spark, tmp_path):
+    from rag_content_spark.sources.directory import read_text_documents_fast
+
+    d = tmp_path / "c"
+    d.mkdir()
+    for i in range(10):
+        (d / f"{i}.md").write_text(f"doc {i}")
+    (d / "skip.txt").write_text("not matched")
+    out = read_text_documents_fast(spark, str(d), glob="*.md", partitions=4)
+    assert out.count() == 10
+    assert out.rdd.getNumPartitions() == 4

@@ -131,7 +131,7 @@ import json, os, sys, time
 sys.path.insert(0, os.environ["BASELINE_REPO"])
 
 from rag_content_spark.session import get_spark
-from rag_content_spark.sources.directory import read_text_documents
+from rag_content_spark.sources.directory import read_text_documents_fast
 from rag_content_spark.plans.build_pipeline import BuildConfig, build_chunks
 from rag_content_spark.embedding.mock import mock_embed_udf
 from rag_content_spark.sinks.exports import build_metadata_json, write_metadata_json
@@ -141,7 +141,9 @@ spark = get_spark("baseline-bench")
 t0 = time.time()
 corpus = os.environ["BASELINE_CORPUS"]
 out = os.environ["BASELINE_OUT"]
-docs = read_text_documents(spark, corpus, glob="*.md")
+# manifest reader: the wholetext path costs ~50 ms/file of Hadoop
+# per-file overhead on small-file corpora (parity-tested drop-in)
+docs = read_text_documents_fast(spark, corpus, glob="*.md")
 chunks = build_chunks(
     docs,
     BuildConfig(hermetic=True, markdown_aware=True),
