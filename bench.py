@@ -143,14 +143,14 @@ def main() -> None:
                 "queries": timings,
                 "cold_total_s": cold_total,
                 "sf": sf,
-                # Measured 2026-08-13 by tools/baseline_ref/run_baseline.py
+                # Measured 2026-08-14 by tools/baseline_ref/run_baseline.py
                 # (reference document_processor.py runs unmodified over
                 # shims; identical mock embedder both sides; see
-                # BASELINE.md "Round-2 measured baseline"):
+                # BASELINE.md "Round-4 continuation measured baseline"):
                 "baseline": {
                     "protocol": "tools/baseline_ref/run_baseline.py",
-                    "sf0.1": {"reference_s": 20.8, "spark_s": 17.4, "ratio": 1.19},
-                    "sf0.1x10": {"reference_s": 218.8, "spark_s": 88.0, "ratio": 2.49},
+                    "sf0.1": {"reference_s": 11.6, "spark_s": 16.6, "ratio": 0.70},
+                    "sf0.1x10": {"reference_s": 124.6, "spark_s": 27.0, "ratio": 4.61},
                     "node_count_parity": True,
                 },
             }

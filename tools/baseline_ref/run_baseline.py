@@ -150,10 +150,12 @@ chunks = build_chunks(
     embedder=mock_embed_udf(768, True),
 )
 chunks.write.mode("overwrite").parquet(os.path.join(out, "chunks.parquet"))
+write_s = time.time() - t0
 written = spark.read.parquet(os.path.join(out, "chunks.parquet"))
 n = written.count()
 n_docs = written.select("document_id").distinct().count()
 pipeline_s = time.time() - t0
+sys.stderr.write(f"write_s={write_s:.2f} pipeline_s={pipeline_s:.2f}\n")
 write_metadata_json(
     os.path.join(out, "metadata.json"),
     build_metadata_json(
