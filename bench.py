@@ -98,6 +98,8 @@ HEADLINE = [
     "training_manifest",  # weighted-interleave data-mixing schedule
     "cdc_chunks",         # content-defined chunking (rolling-hash bounds)
     "snapshot_diff",      # crawl-to-crawl content change set
+    "retrieval_metrics",  # MRR / NDCG@10 index evaluation
+    "score_drift",        # PSI drift monitor between corpus halves
 ]
 
 

@@ -422,3 +422,61 @@ def leakage_safe_split(
             F.lit("train")
         ),
     ).drop("_rep")
+
+
+def psi_drift(
+    a,
+    b,
+    score_col: str = "score",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+):
+    """Population Stability Index between two score distributions — the
+    standard production-monitoring alarm for feature/score drift
+    between corpus snapshots (rule of thumb: < 0.1 stable, 0.1–0.25
+    shifting, > 0.25 drifted).
+
+    Scores bucket into ``bins`` fixed-width bins over [lo, hi]
+    (clamped); bin fractions are Laplace-smoothed with integer
+    arithmetic — (2*cnt + 1) / (2*n + bins) — so no bin is empty and
+    the whole computation up to the final ln/sum is exact. One tiny
+    aggregate per side (<= bins rows), broadcast-joined: at 100 TB the
+    shuffle carries <= bins rows per partition per side.
+
+    Returns one row: (psi, n_a, n_b).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    def _bins(df, cnt_name):
+        s = F.col(score_col).cast("double")
+        bin_ = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((s - lo) / (hi - lo) * bins).cast("int"),
+            ),
+        )
+        return df.select(bin_.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(cnt_name)
+        )
+
+    ca, cb = _bins(a, "ca"), _bins(b, "cb")
+    na = a.agg(F.count(F.lit(1)).alias("na"))
+    nb = b.agg(F.count(F.lit(1)).alias("nb"))
+    grid = ca.join(cb, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    pa = (2 * F.col("ca") + 1).cast("double") / (2 * F.col("na") + bins)
+    pb = (2 * F.col("cb") + 1).cast("double") / (2 * F.col("nb") + bins)
+    return (
+        grid.join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .agg(
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+        )
+    )

@@ -177,3 +177,92 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum("_term_score"), round_to).alias("bm25"))
     )
+
+
+def retrieval_eval(
+    index,
+    queries,
+    k: int = 10,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    label_col: str = "label",
+) -> "DataFrame":
+    """IR evaluation of the vector index: per query, MRR and NDCG@k of
+    the exact cosine/IP ranking, with same-label items as the relevance
+    set (the standard planted-relevance eval for embedding quality /
+    index regression tests).
+
+    ``queries`` carries (query_id, query_vec, query_label); the query
+    item itself is excluded from its ranking. IDCG uses the true
+    relevant count capped at k, so NDCG is 1.0 for a perfect ranking
+    regardless of label frequency.
+
+    Shape: queries broadcast against the index scan (the top_k_batch
+    phase-1 shape), one rank window per query, then per-query folds —
+    the only shuffle carries <= k rows per query plus one tiny
+    label-count aggregate.
+    """
+    from pyspark.sql import Window
+    from rag_content_spark.functions.vector import dot
+
+    q = F.broadcast(queries.select("query_id", "query_vec", "query_label"))
+    scored = (
+        index.select(id_col, embedding_col, label_col)
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col(id_col),
+            F.col(label_col),
+            F.round(dot(F.col(embedding_col), F.col("query_vec")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    rel = F.when(F.col(label_col) == F.col("query_label"), 1).otherwise(0)
+    per_q = ranked.groupBy("query_id").agg(
+        F.min(F.when(rel == 1, F.col("rank"))).alias("_first_rel"),
+        F.sum(
+            rel.cast("double") / F.log2(F.col("rank").cast("double") + 1.0)
+        ).alias("_dcg"),
+    )
+    # true relevant count per query (capped at k) -> IDCG
+    n_rel = (
+        index.select(id_col, F.col(label_col).alias("query_label"))
+        .join(
+            F.broadcast(queries.select("query_id", "query_label")),
+            "query_label",
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(k)).alias("_m"))
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("_m")),
+        F.lit(0.0),
+        lambda acc, p: acc + F.lit(1.0) / F.log2(p.cast("double") + 1.0),
+    )
+    return (
+        per_q.join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first_rel").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.when(F.coalesce(F.col("_m"), F.lit(0)) > 0,
+                       F.col("_dcg") / idcg).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -4110,6 +4110,114 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_stats(_docs(spark, sf_dir), n=8)
 
 
+def _score_drift_sql() -> str:
+    quality = ORACLES["quality_score"]
+    return f"""
+    WITH scores AS ({quality}),
+    a AS (SELECT quality AS score FROM scores WHERE doc_id < 250),
+    b AS (SELECT quality AS score FROM scores WHERE doc_id >= 250),
+    ca AS (
+      SELECT least(9, greatest(0, CAST(floor(score * 10) AS INT))) AS bin,
+             CAST(count(*) AS BIGINT) AS ca
+      FROM a GROUP BY 1
+    ),
+    cb AS (
+      SELECT least(9, greatest(0, CAST(floor(score * 10) AS INT))) AS bin,
+             CAST(count(*) AS BIGINT) AS cb
+      FROM b GROUP BY 1
+    ),
+    grid AS (
+      SELECT coalesce(ca.bin, cb.bin) AS bin,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin
+    ),
+    n AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
+    SELECT
+      round(sum(((2 * ca + 1) / CAST(2 * na + 10 AS DOUBLE)
+                 - (2 * cb + 1) / CAST(2 * nb + 10 AS DOUBLE))
+                * ln(((2 * ca + 1) / CAST(2 * na + 10 AS DOUBLE))
+                     / ((2 * cb + 1) / CAST(2 * nb + 10 AS DOUBLE)))), 6)
+        AS psi,
+      CAST(max(na) AS BIGINT) AS n_a,
+      CAST(max(nb) AS BIGINT) AS n_b
+    FROM grid CROSS JOIN n
+    """
+
+
+@register("score_drift", _score_drift_sql())
+def q_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between the quality-score distributions of two corpus
+    halves (operators/quality.py psi_drift)."""
+    from rag_content_spark.operators import text_analysis
+    from rag_content_spark.operators.quality import psi_drift
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", text_analysis.quality_score("text").alias("score")
+    )
+    return psi_drift(
+        scored.filter(F.col("doc_id") < 250),
+        scored.filter(F.col("doc_id") >= 250),
+        bins=10,
+    )
+
+
+@register(
+    "retrieval_metrics",
+    # IR eval of the index (operators/search.py retrieval_eval):
+    # per-query MRR and NDCG@10 of the exact IP ranking, same-label
+    # relevance, self-match excluded, IDCG capped at k.
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+      FROM embeddings WHERE vec_id % 20 = 1
+    ),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id, e.label,
+             round({dot_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= 10),
+    perq AS (
+      SELECT query_id,
+             min(CASE WHEN label = query_label THEN rank END) AS first_rel,
+             sum(CASE WHEN label = query_label
+                      THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+      FROM top GROUP BY query_id
+    ),
+    nrel AS (
+      SELECT q.query_id, least(count(*), 10) AS m
+      FROM embeddings e
+      JOIN q ON e.label = q.query_label AND e.vec_id <> q.query_id
+      GROUP BY q.query_id
+    )
+    SELECT p.query_id,
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+           round(CASE WHEN coalesce(n.m, 0) > 0
+                      THEN p.dcg / list_sum(list_transform(
+                             generate_series(1, n.m),
+                             x -> 1.0 / log2(x + 1)))
+                      ELSE 0.0 END, 6) AS ndcg
+    FROM perq p LEFT JOIN nrel n USING (query_id)
+    """,
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import retrieval_eval
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 20 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return retrieval_eval(emb, queries, k=10)
+
+
 @register(
     "snapshot_diff",
     # Crawl-to-crawl change set (operators/rollup.py snapshot_diff):

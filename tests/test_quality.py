@@ -130,3 +130,19 @@ def test_check_urls_distinct_ping_and_join_back(spark):
 
     got = {r["doc_id"]: r["url_reachable"] for r in check_urls(df, prober=fake_prober).collect()}
     assert got == {"d1": True, "d2": True, "d3": False, "d4": False}
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from rag_content_spark.operators.quality import psi_drift
+
+    same = spark.createDataFrame([(i / 100,) for i in range(100)], ["score"])
+    r = psi_drift(same, same).collect()[0]
+    assert r["psi"] == 0.0 and r["n_a"] == 100 and r["n_b"] == 100
+    # a strong shift (low scores vs high scores) must alarm (> 0.25)
+    lo = spark.createDataFrame([(0.05 + (i % 10) / 100,) for i in range(100)], ["score"])
+    hi = spark.createDataFrame([(0.85 + (i % 10) / 100,) for i in range(100)], ["score"])
+    r2 = psi_drift(lo, hi).collect()[0]
+    assert r2["psi"] > 0.25
+    # symmetric: psi(a,b) == psi(b,a)
+    r3 = psi_drift(hi, lo).collect()[0]
+    assert abs(r2["psi"] - r3["psi"]) < 1e-9

@@ -97,3 +97,46 @@ def test_hybrid_all_zero_keyword_scores(spark):
         for r in hybrid_scores(docs, ["common"], [1.0, 0.0]).collect()
     }
     assert got == {1: 0.5, 2: 0.5}
+
+
+def test_retrieval_eval_perfect_and_absent(spark):
+    from rag_content_spark.operators.search import retrieval_eval
+
+    # index: 3 of label 1 clustered near the label-1 query, 6 of label 2
+    rows = [
+        (1, [1.0, 0.0, 0.0], 1),
+        (2, [0.99, 0.01, 0.0], 1),
+        (3, [0.98, 0.02, 0.0], 1),
+    ] + [(10 + i, [0.0, 1.0, float(i) / 10], 2) for i in range(6)]
+    idx = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 1), (99, [0.0, 0.0, -1.0], 3)],
+        ["query_id", "query_vec", "query_label"],
+    )
+    out = {r["query_id"]: r for r in retrieval_eval(idx, queries, k=10).collect()}
+    # query 1: its two label-1 mates rank 1-2 (self excluded) -> perfect
+    assert out[1]["mrr"] == 1.0 and out[1]["ndcg"] == 1.0
+    # query 99: label 3 has no relevant items -> both metrics 0
+    assert out[99]["mrr"] == 0.0 and out[99]["ndcg"] == 0.0
+
+
+def test_retrieval_eval_mrr_rank(spark):
+    from rag_content_spark.operators.search import retrieval_eval
+
+    # relevant item ranks 2nd -> MRR = 0.5, NDCG = (1/log2(3)) / (1/log2(2))
+    import math
+
+    idx = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 2),   # irrelevant but closest
+            (2, [0.9, 0.1], 1),   # relevant, second
+            (3, [0.0, 1.0], 2),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    queries = spark.createDataFrame(
+        [(99, [1.0, 0.0], 1)], ["query_id", "query_vec", "query_label"]
+    )
+    r = retrieval_eval(idx, queries, k=10).collect()[0]
+    assert r["mrr"] == 0.5
+    assert abs(r["ndcg"] - (1 / math.log2(3))) < 1e-6
