@@ -244,8 +244,89 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("-e", "--execute", required=True, help="SQL text")
     e.set_defaults(func=cmd_sql)
 
+    c = sub.add_parser(
+        "curate",
+        help="training-data curation: quality gate -> dedup -> pack",
+    )
+    c.add_argument("-i", "--input", required=True, help="documents parquet (doc_id, text[, lang])")
+    c.add_argument("-o", "--output", required=True, help="output directory")
+    c.add_argument("--near-dedup", action="store_true", help="also MinHash-LSH near-dedup (within batch)")
+    c.add_argument("--jaccard", type=float, default=0.7, help="near-dup verify threshold")
+    c.add_argument("--mix", default=None, help="target language mix, e.g. en=0.5,es=0.25,fr=0.25")
+    c.add_argument("--pack-budget", type=int, default=2048, help="tokens per training sequence")
+    c.add_argument("--scrub-passages", action="store_true", help="remove cross-document duplicate passages first")
+    c.set_defaults(func=cmd_curate)
+
     args = parser.parse_args(argv)
     return args.func(args)
+
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Curation pipeline as one lazy plan: (optional passage scrub) ->
+    Gopher gate -> exact dedup -> (optional MinHash near-dedup) ->
+    (optional mix rebalance) -> sequence packing -> shard-partitioned
+    parquet + a stats.json of per-stage counts."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.dedup import (
+        apply_dedup,
+        exact_dedup,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        remove_crossdoc_passages,
+    )
+    from rag_content_spark.operators.packing import pack_sequences
+    from rag_content_spark.operators.quality import gopher_rules, rebalance_to_mix
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-curate")
+    ensure_reader_confs(spark)
+    docs = spark.read.parquet(args.input)
+    stats = {"input": docs.count()}
+
+    if args.scrub_passages:
+        scrubbed = remove_crossdoc_passages(docs)
+        docs = docs.drop("text").join(
+            scrubbed.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
+
+    gated = docs.filter(gopher_rules("text")["keep"])
+    stats["after_quality_gate"] = gated.count()
+
+    survivors = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    deduped = gated.join(survivors, "doc_id", "leftsemi")
+    stats["after_exact_dedup"] = deduped.count()
+
+    if args.near_dedup:
+        cand = minhash_lsh_candidates(deduped)
+        pairs = jaccard_pairs(deduped, cand, threshold=args.jaccard)
+        deduped = apply_dedup(deduped, pairs)
+        stats["after_near_dedup"] = deduped.count()
+
+    if args.mix:
+        mix = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.mix.split(","))
+        }
+        deduped = rebalance_to_mix(deduped, mix)
+        stats["after_rebalance"] = deduped.count()
+
+    packed = pack_sequences(deduped, budget=args.pack_budget)
+    out_cols = [c for c in deduped.columns if c != "doc_id"]
+    (
+        packed.join(deduped.select("doc_id", *out_cols), "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(args.output, "curated"))
+    )
+    stats["output"] = spark.read.parquet(
+        os.path.join(args.output, "curated")
+    ).count()
+    with open(os.path.join(args.output, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+    return 0
 
 
 def cmd_sql(args: argparse.Namespace) -> int:

@@ -92,3 +92,42 @@ def test_cli_sql_over_index_and_tables(spark, tmp_path, capsys):
     assert rc == 0
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["n_chunks"] > 0 and row["n_docs"] == 500
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.cli import main
+
+    # corpus with: a good doc, its exact dup, a degenerate doc (gate
+    # drops), in two languages for the mix stage
+    base = (
+        "The quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest while the morning light rises slowly. "
+    ) * 6
+    rows = [
+        (1, base + "alpha", "en"),
+        (2, base + "alpha", "en"),            # exact dup of 1
+        (3, base + "beta variation", "en"),
+        (4, "!!!! ???? ....", "en"),          # degenerate -> gate drops
+        (5, base + "gamma", "es"),
+        (6, base + "delta", "es"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main([
+        "curate", "-i", src, "-o", out,
+        "--near-dedup", "--mix", "en=0.5,es=0.5", "--pack-budget", "64",
+    ])
+    assert rc == 0
+    stats = json.load(open(f"{out}/stats.json"))
+    assert stats["input"] == 6
+    assert stats["after_quality_gate"] == 5          # degenerate dropped
+    assert stats["after_exact_dedup"] == 4           # dup of 1 dropped
+    assert stats["output"] == stats[list(stats)[-2]]  # final == last stage
+    curated = spark.read.parquet(f"{out}/curated")
+    assert {"doc_id", "text", "lang", "shard", "seq_bucket"} <= set(curated.columns)
+    assert 2 not in {r["doc_id"] for r in curated.select("doc_id").collect()}
