@@ -298,3 +298,102 @@ def extract_audio_features(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: 24-bit uncompressed BMP needs only struct + numpy
+# (fixed header + raw BGR rows, bottom-up, 4-byte row padding) — so like
+# PCM16 WAV, the uncompressed-image feature path is NOT a stub.
+# Compressed formats (png/jpeg pixels) stay gated on a decoder lib.
+
+
+def decode_bmp24(content: bytes):
+    """(height, width, 3) uint8 RGB array from a 24-bit uncompressed
+    BMP (BITMAPINFOHEADER, BI_RGB). Raises ValueError on anything else.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    header_size = struct.unpack_from("<I", content, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit BI_RGB supported")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    need = data_offset + row_bytes * height
+    if len(content) < need:
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * height, offset=data_offset
+    ).reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return img.copy()
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """Real pixel features for BMP rows (dims, per-channel means,
+    luma brightness); non-BMP/corrupt rows surface a per-row ``err``
+    instead of failing the batch — the partial-failure contract any
+    100 TB media scan needs."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    img = decode_bmp24(bytes(content))
+                    mean = img.reshape(-1, 3).mean(axis=0)
+                    luma = float(
+                        0.2126 * mean[0] + 0.7152 * mean[1] + 0.0722 * mean[2]
+                    )
+                    out.append(
+                        (
+                            mid,
+                            int(img.shape[1]),
+                            int(img.shape[0]),
+                            [float(x) for x in mean],
+                            luma,
+                            None,
+                        )
+                    )
+                except ValueError as exc:
+                    out.append((mid, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "mean_rgb",
+                    "brightness",
+                    "err",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema=BMP_FEATURES_SCHEMA
+    )

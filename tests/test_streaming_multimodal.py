@@ -314,3 +314,55 @@ def test_extract_audio_features_real_decode(spark):
     assert got["a3"]["n_samples"] == 8000
     # non-WAV routes to the empty row, not an error
     assert got["a2"]["n_samples"] == 0 and got["a2"]["rms"] == []
+
+
+def _make_bmp24(width, height, rgb_rows):
+    """Minimal 24-bit BI_RGB BMP from a height x width x 3 nested list."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    pad = row_bytes - width * 3
+    pixel = b""
+    for row in reversed(rgb_rows):  # bottom-up
+        for (r, g, b) in row:
+            pixel += bytes((b, g, r))
+        pixel += b"\x00" * pad
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel), 2835, 2835, 0, 0)
+    return header + info + pixel
+
+
+def test_decode_bmp24_real():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_bmp24
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    img = decode_bmp24(_make_bmp24(3, 2, rows))
+    assert img.shape == (2, 3, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]       # top-left red
+    assert img[1, 2].tolist() == [70, 80, 90]
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp24(b"nope")
+
+
+def test_extract_bmp_features_partial_failure(spark):
+    from rag_content_spark.operators.multimodal import extract_bmp_features
+
+    good = _make_bmp24(2, 2, [[(100, 100, 100), (100, 100, 100)],
+                              [(100, 100, 100), (100, 100, 100)]])
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)), ("bad", bytearray(b"JUNKJUNK" * 10))],
+        ["media_id", "content"],
+    )
+    out = {r["media_id"]: r for r in extract_bmp_features(df).collect()}
+    assert out["ok"]["width"] == 2 and out["ok"]["height"] == 2
+    assert abs(out["ok"]["brightness"] - 100.0) < 1e-6
+    assert out["ok"]["err"] is None
+    assert out["bad"]["err"] is not None and out["bad"]["width"] is None
