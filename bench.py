@@ -100,6 +100,7 @@ HEADLINE = [
     "snapshot_diff",      # crawl-to-crawl content change set
     "retrieval_metrics",  # MRR / NDCG@10 index evaluation
     "score_drift",        # PSI drift monitor between corpus halves
+    "hard_negatives",     # contrastive-pair mining (pos + hard neg)
 ]
 
 

@@ -266,3 +266,52 @@ def retrieval_eval(
             ).alias("ndcg"),
         )
     )
+
+
+def mine_contrastive_pairs(
+    index,
+    anchors,
+    n_pos: int = 3,
+    n_neg: int = 3,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    label_col: str = "label",
+) -> "DataFrame":
+    """Contrastive-pair mining for embedding finetuning: per anchor, the
+    ``n_pos`` nearest SAME-label items (positives) and the ``n_neg``
+    nearest DIFFERENT-label items (hard negatives — the ones a margin
+    loss actually learns from; random negatives are too easy).
+
+    Same broadcast-anchors + rank-window shape as retrieval_eval; the
+    two ranks ride ONE window pass each over the same scored scan.
+    Output: (anchor_id, vec_id, score, kind['pos'|'neg'], rank).
+    """
+    from pyspark.sql import Window
+    from rag_content_spark.functions.vector import dot
+
+    a = F.broadcast(
+        anchors.select("anchor_id", "anchor_vec", "anchor_label")
+    )
+    scored = (
+        index.select(id_col, embedding_col, label_col)
+        .crossJoin(a)
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col(id_col),
+            F.round(dot(F.col(embedding_col), F.col("anchor_vec")), 6).alias(
+                "score"
+            ),
+            F.when(F.col(label_col) == F.col("anchor_label"), "pos")
+            .otherwise("neg")
+            .alias("kind"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        ((F.col("kind") == "pos") & (F.col("rank") <= n_pos))
+        | ((F.col("kind") == "neg") & (F.col("rank") <= n_neg))
+    )

@@ -4110,6 +4110,48 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossdoc_dup_stats(_docs(spark, sf_dir), n=8)
 
 
+@register(
+    "hard_negatives",
+    # Contrastive-pair mining (operators/search.py
+    # mine_contrastive_pairs): per anchor the 3 nearest same-label
+    # positives and 3 nearest different-label hard negatives.
+    f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+      FROM embeddings WHERE vec_id % 50 = 2
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id,
+             round({dot_sql('e.embedding', 'a.av')}, 6) AS score,
+             CASE WHEN e.label = a.anchor_label THEN 'pos' ELSE 'neg' END AS kind
+      FROM embeddings e CROSS JOIN a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id, kind ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, vec_id, score, kind, CAST(rank AS BIGINT) AS rank
+    FROM ranked
+    WHERE (kind = 'pos' AND rank <= 3) OR (kind = 'neg' AND rank <= 3)
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import mine_contrastive_pairs
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = mine_contrastive_pairs(emb, anchors, n_pos=3, n_neg=3)
+    return out.select(
+        "anchor_id", "vec_id", "score", "kind", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def _score_drift_sql() -> str:
     quality = ORACLES["quality_score"]
     return f"""

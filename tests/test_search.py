@@ -140,3 +140,27 @@ def test_retrieval_eval_mrr_rank(spark):
     r = retrieval_eval(idx, queries, k=10).collect()[0]
     assert r["mrr"] == 0.5
     assert abs(r["ndcg"] - (1 / math.log2(3))) < 1e-6
+
+
+def test_mine_contrastive_pairs(spark):
+    from rag_content_spark.operators.search import mine_contrastive_pairs
+
+    # anchor label 1; one true near-positive, one near (hard) negative,
+    # one far negative
+    idx = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [0.95, 0.05], 1),    # positive
+            (3, [0.9, 0.1], 2),      # HARD negative (nearest neg)
+            (4, [0.0, 1.0], 2),      # easy negative
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    anchors = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1)], ["anchor_id", "anchor_vec", "anchor_label"]
+    )
+    out = mine_contrastive_pairs(idx, anchors, n_pos=1, n_neg=1).collect()
+    by_kind = {r["kind"]: r for r in out}
+    assert by_kind["pos"]["vec_id"] == 2
+    assert by_kind["neg"]["vec_id"] == 3  # the HARD one, not the easy one
+    assert len(out) == 2
