@@ -257,8 +257,72 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--scrub-passages", action="store_true", help="remove cross-document duplicate passages first")
     c.set_defaults(func=cmd_curate)
 
+    ab = sub.add_parser(
+        "ann-build",
+        help="build the parquet-native IVFPQ index from an embeddings parquet",
+    )
+    ab.add_argument("-i", "--input", required=True, help="embeddings parquet (vec_id, embedding)")
+    ab.add_argument("-o", "--output", required=True, help="index directory")
+    ab.add_argument("--nlist", type=int, default=16)
+    ab.add_argument("--m", type=int, default=4, help="PQ subspaces")
+    ab.add_argument("--k", type=int, default=16, help="PQ centroids per subspace")
+    ab.set_defaults(func=cmd_ann_build)
+
+    aq = sub.add_parser("ann-query", help="query a built ANN index")
+    aq.add_argument("-d", "--index-dir", required=True)
+    aq.add_argument("-v", "--vector", default=None, help="comma-separated query floats")
+    aq.add_argument("--vec-id", type=int, default=None, help="use this indexed vector as the query")
+    aq.add_argument("-k", "--top-k", type=int, default=10)
+    aq.add_argument("--n-probe", type=int, default=2)
+    aq.add_argument("--no-refine", action="store_true")
+    aq.set_defaults(func=cmd_ann_query)
+
     args = parser.parse_args(argv)
     return args.func(args)
+
+
+def cmd_ann_build(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.ann_index import build_ann_index
+    from rag_content_spark.session import get_spark
+
+    spark = get_spark("rag-spark-ann-build")
+    emb = spark.read.parquet(args.input)
+    meta = build_ann_index(
+        emb, args.output, nlist=args.nlist, m=args.m, k=args.k
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_ann_query(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.plans.ann_index import query_ann_index
+    from rag_content_spark.session import get_spark
+
+    spark = get_spark("rag-spark-ann-query")
+    if args.vector:
+        qv = [float(x) for x in args.vector.split(",")]
+    elif args.vec_id is not None:
+        qv = list(
+            spark.read.parquet(os.path.join(args.index_dir, "index"))
+            .filter(F.col("vec_id") == args.vec_id)
+            .collect()[0]["embedding"]
+        )
+    else:
+        print("error: pass -v or --vec-id", file=sys.stderr)
+        return 2
+    res = query_ann_index(
+        spark,
+        args.index_dir,
+        qv,
+        topk=args.top_k,
+        n_probe=args.n_probe,
+        refine=not args.no_refine,
+    )
+    for row in res.toJSON().collect():
+        print(row)
+    return 0
 
 
 def cmd_curate(args: argparse.Namespace) -> int:

@@ -1,0 +1,177 @@
+"""Persisted ANN index: the parquet-native FAISS-IVFPQ equivalent.
+
+The reference persists FAISS binaries that only FAISS can read; the
+100 TB-native alternative is an index that IS a data lake table:
+
+- ``build_ann_index``   — train IVF centroids (Lloyd's) + a PQ codebook
+  (per-subspace Lloyd's) on the corpus, assign every vector to its
+  cell, PQ-encode it, and write the index parquet PARTITIONED BY cell.
+  Sidecars: ``centroids.parquet``, ``codebook.json``, ``meta.json``.
+- ``query_ann_index``   — pick the ``n_probe`` nearest cells
+  driver-side (tiny centroid table), read ONLY those partitions
+  (partition pruning on the cell directory), ADC-score the codes, and
+  optionally exact-refine the shortlist against the full vectors kept
+  in the same rows (column pruning keeps them out of the ADC scan).
+
+Why this shape at 100 TB: the index is splittable, schema-evolvable,
+queryable by any engine, and cells map to directories — a probe reads
+``n_probe / nlist`` of the bytes. Training uses the vectorized numpy
+twins (one matmul per Arrow batch); every decode/score step at query
+time is a Column expression over literals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def build_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    nlist: int = 16,
+    m: int = 4,
+    k: int = 16,
+    kmeans_iterations: int = 3,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> dict:
+    """Train + encode + write. Returns the meta dict.
+
+    Seeding is deterministic (every len/nlist-th vector by id), so the
+    same corpus always builds the same index.
+    """
+    from rag_content_spark.functions.vector import train_pq_codebook
+    from rag_content_spark.operators.kmeans import kmeans
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
+    from rag_content_spark.functions.vector import pq_encode_np
+
+    emb = emb.select(id_col, embedding_col)
+    n = emb.count()
+    step = max(n // nlist, 1)
+    seeds = [
+        (i, list(r[embedding_col]))
+        for i, r in enumerate(
+            emb.withColumn(
+                "_rn", F.row_number().over(Window.orderBy(id_col))
+            )
+            .filter((F.col("_rn") - 1) % step == 0)
+            .orderBy(id_col)
+            .limit(nlist)
+            .collect()
+        )
+    ]
+    centroids, _ = kmeans(
+        emb, seeds, iterations=kmeans_iterations,
+        embedding_col=embedding_col, id_col=id_col,
+    )
+    codebook = train_pq_codebook(
+        emb, m=m, k=k, embedding_col=embedding_col, id_col=id_col
+    )
+    dim = len(centroids[0][1])
+
+    assigned = assign_ivf_cells_np(
+        emb, centroids, embedding_col=embedding_col, id_col=id_col
+    )
+    encoded = pq_encode_np(assigned, codebook, embedding_col=embedding_col)
+    (
+        encoded.select(
+            id_col, embedding_col, F.col("centroid_id").alias("cell"), "codes"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_dir, "index"))
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "centroid_id int, centroid_vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+    meta = {
+        "format": "rag-spark-ann/1",
+        "metric": "l2",
+        "dim": dim,
+        "nlist": nlist,
+        "m": m,
+        "k": k,
+        "n_vectors": n,
+    }
+    with open(os.path.join(out_dir, "codebook.json"), "w") as f:
+        json.dump(codebook, f)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def load_ann_meta(out_dir: str) -> tuple[dict, list, list]:
+    """(meta, centroids [(id, vec)...], codebook)."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(out_dir, "codebook.json")) as f:
+        codebook = json.load(f)
+    return meta, codebook
+
+
+def query_ann_index(
+    spark: SparkSession,
+    out_dir: str,
+    query_vec: list[float],
+    topk: int = 10,
+    n_probe: int = 2,
+    refine: bool = True,
+) -> DataFrame:
+    """Probe -> pruned scan -> ADC -> (optional) exact refine.
+
+    The returned plan's scan carries a ``cell IN (...)`` partition
+    filter; with ``refine`` the full vectors are read ONLY for the
+    ``4 * topk`` ADC shortlist (broadcast self-join on vec_id).
+    """
+    from rag_content_spark.functions.vector import (
+        euclidean,
+        pq_adc_score,
+        pq_adc_table,
+    )
+
+    meta, codebook = load_ann_meta(out_dir)
+    cents = spark.read.parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    ).collect()
+    import math
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probes = sorted(
+        ((round(math.sqrt(d2(query_vec, r["centroid_vec"])), 6), r["centroid_id"]) for r in cents)
+    )[:n_probe]
+    cells = [int(c) for _, c in probes]
+
+    index = spark.read.parquet(os.path.join(out_dir, "index")).filter(
+        F.col("cell").isin(cells)
+    )
+    table = pq_adc_table([float(x) for x in query_vec], codebook)
+    adc = F.round(pq_adc_score("codes", table), 6)
+    shortlist = (
+        index.select("vec_id", adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(4 * topk if refine else topk)
+    )
+    if not refine:
+        return shortlist
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = (
+        index.select("vec_id", "embedding")
+        .join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "adc",
+            F.round(euclidean(F.col("embedding"), qlit), 6).alias("exact"),
+        )
+        .orderBy(F.asc("exact"), F.asc("vec_id"))
+        .limit(topk)
+    )
+    return exact

@@ -198,3 +198,43 @@ def test_srp_reduce_np_matches_fold(spark):
     b = {r["vec_id"]: r["reduced"] for r in srp_reduce_np(df, out_dim=8).collect()}
     for i in a:
         assert max(abs(x - y) for x, y in zip(a[i], b[i])) < 1e-9
+
+
+def test_persisted_ann_index_roundtrip(spark, tmp_path):
+    """The parquet-native IVFPQ: build writes cell-partitioned parquet +
+    sidecars; query probes driver-side, scans ONLY probed partitions
+    (plan check), ADC-shortlists and exact-refines. Self-match must
+    rank first at distance 0; full-probe recall equals exact."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.similarity import top_k
+    from rag_content_spark.plans.ann_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = str(tmp_path / "annix")
+    meta = build_ann_index(emb, d, nlist=8, m=4, k=16)
+    assert meta["n_vectors"] == emb.count() and meta["nlist"] == 8
+
+    qv = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+    res = query_ann_index(spark, d, qv, topk=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]
+    rows = res.collect()
+    assert rows[0]["vec_id"] == 3 and rows[0]["exact"] == 0.0
+
+    # probing every cell: recall limited only by the ADC shortlist —
+    # the refined head must match exact and recall@5 stay high
+    full = [
+        r["vec_id"]
+        for r in query_ann_index(spark, d, qv, topk=5, n_probe=8).collect()
+    ]
+    exact = [r["vec_id"] for r in top_k(emb, qv, k=5, metric="l2").collect()]
+    assert full[:3] == exact[:3]
+    assert len(set(full) & set(exact)) >= 4

@@ -131,3 +131,27 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     curated = spark.read.parquet(f"{out}/curated")
     assert {"doc_id", "text", "lang", "shard", "seq_bucket"} <= set(curated.columns)
     assert 2 not in {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+
+def test_cli_ann_build_and_query(spark, tmp_path, capsys):
+    import json
+
+    from rag_content_spark.cli import main
+
+    idx_dir = str(tmp_path / "annix")
+    rc = main([
+        "ann-build", "-i", "/root/testdata/sf0.001/embeddings.parquet",
+        "-o", idx_dir, "--nlist", "8", "--m", "4", "--k", "16",
+    ])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["nlist"] == 8 and meta["n_vectors"] > 0
+
+    rc = main([
+        "ann-query", "-d", idx_dir, "--vec-id", "3", "-k", "5",
+        "--n-probe", "2",
+    ])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["vec_id"] == 3 and rows[0]["exact"] == 0.0
+    assert len(rows) == 5
