@@ -101,6 +101,10 @@ HEADLINE = [
     "retrieval_metrics",  # MRR / NDCG@10 index evaluation
     "score_drift",        # PSI drift monitor between corpus halves
     "hard_negatives",     # contrastive-pair mining (pos + hard neg)
+    "dsir_weights",       # DSIR hashed-ngram importance weights
+    "dsir_select",        # Gumbel top-k importance resample
+    "bigram_entropy",     # bigram-LM perplexity proxy
+    "bpe_pairs",          # BPE merge-pair counting round
 ]
 
 

@@ -1,0 +1,327 @@
+"""Data-selection operators: DSIR importance resampling, bigram-LM
+perplexity, and BPE merge-pair counting.
+
+These extend the curation surface (quality.py / text_analysis.py) with
+the *targeted* selection step of a training-data pipeline: given a raw
+crawl and a small trusted target corpus, score every raw document by how
+target-like it is and resample. The method is DSIR — Data Selection via
+Importance Resampling (Xie et al., NeurIPS 2023, arXiv:2302.03169):
+hashed n-gram bag-of-words features, importance weight
+``log w(x) = sum_b c_b(x) * (ln p_target(b) - ln p_raw(b))`` over hash
+buckets ``b``, then Gumbel top-k resampling.
+
+Scale shapes (100 TB):
+
+* The feature space is ``buckets`` hash cells (default 4096), so BOTH
+  distribution estimates are map-side-combining aggregates to <= buckets
+  rows, and the per-document scoring join is a **broadcast** of a
+  <= buckets-row log-ratio table — no shuffle of the corpus beyond the
+  final per-doc partial aggregate.
+* Log-ratios are fixed-point BIGINTs (ln * 1e6, rounded): per-document
+  weights are then *integer* sums — exact, order-independent, identical
+  across engines and across partitionings. A double sum would depend on
+  partition order; an integer sum cannot.
+* Gumbel keys derive from :func:`stable_hash64` of the doc id — the
+  resample is deterministic and reproducible on any cluster layout.
+
+The reference (lightspeed-core/rag-content) has no selection stage at
+all — documents are taken as given; this module is part of the
+LLM-pipeline extension surface the north star requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rag_content_spark.functions.hashing import stable_hash64
+from rag_content_spark.functions.text import tokens
+
+LOG_SCALE = 1_000_000  # fixed-point scale for ln-ratios (1e-6 resolution)
+
+
+def _ngram_array(text_col: Column | str) -> Column:
+    """Unigrams + bigrams of the whitespace tokens, one flat array.
+
+    Bigrams via zip_with over two shifted slices — a narrow Column
+    expression (whole-stage codegen), no explode until the caller needs
+    per-ngram rows.
+    """
+    tok = tokens(text_col)
+    n = F.size(tok)
+    bigrams = F.zip_with(
+        F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(tok, bigrams)
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Per-document hashed-ngram feature counts: (id, bucket, cnt).
+
+    bucket = stable_hash64(ngram) mod buckets — the DSIR feature map.
+    One narrow explode + a partial-aggregating groupBy; at 100 TB the
+    combine step collapses each document's ngrams to <= buckets rows
+    before any shuffle.
+    """
+    return (
+        docs.select(F.col(id_col), F.explode(_ngram_array(text_col)).alias("_ng"))
+        .select(
+            F.col(id_col),
+            F.pmod(stable_hash64(F.col("_ng")), F.lit(buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bucket_distribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Corpus-level smoothed bucket distribution: (bucket, c, p).
+
+    Add-1 smoothing over ALL ``buckets`` cells (cells the corpus never
+    hits still get probability mass — exactly the DSIR estimator), so
+    ``p = (c_b + 1) / (total + buckets)``. Result has at most
+    ``buckets`` rows: broadcast it.
+    """
+    counts = (
+        docs.select(F.explode(_ngram_array(text_col)).alias("_ng"))
+        .select(F.pmod(stable_hash64(F.col("_ng")), F.lit(buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("_total"))
+    return counts.join(F.broadcast(total)).select(
+        "bucket",
+        "c",
+        (
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("_total") + F.lit(buckets)).cast("double")
+        ).alias("p"),
+        F.col("_total"),
+    )
+
+
+def dsir_log_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """(bucket, lr) — fixed-point ln(p_target/p_raw) per hash bucket.
+
+    Built from the raw-side bucket set (a raw document can only contain
+    raw-side buckets) left-joined to the target distribution; a bucket
+    absent from the target gets the pure-smoothing probability
+    ``1 / (total_t + buckets)``. ``lr`` is
+    ``round((ln p_t - ln p_r) * 1e6)`` as BIGINT — summing these is
+    exact integer math on every engine.
+    """
+    pr = bucket_distribution(raw, text_col, buckets)
+    pt = bucket_distribution(target, text_col, buckets)
+    tt = pt.agg(F.max("_total").alias("_tt"))
+    joined = (
+        pr.select("bucket", F.col("p").alias("_pr"))
+        .join(pt.select("bucket", F.col("p").alias("_pt")), "bucket", "left")
+        .join(F.broadcast(tt))
+    )
+    p_t = F.coalesce(
+        F.col("_pt"), F.lit(1.0) / (F.col("_tt") + F.lit(buckets)).cast("double")
+    )
+    lr = F.round((F.log(p_t) - F.log(F.col("_pr"))) * F.lit(LOG_SCALE)).cast("bigint")
+    return joined.select("bucket", lr.alias("lr"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Per-raw-document DSIR importance weight: (id, n_ngrams, logw).
+
+    ``logw = sum_b c_b * (ln p_t(b) - ln p_r(b))`` — computed as an
+    exact integer sum of fixed-point ratios, descaled once at the end
+    (rounded to 6, the fixed-point resolution). High logw = looks like
+    the target corpus.
+    """
+    feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
+    ratios = dsir_log_ratio_table(raw, target, text_col, buckets)
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_ngrams"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr")).cast("double") / F.lit(LOG_SCALE), 6
+            ).alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_col: Column | str, logw_col: Column | str, salt: str = "dsir") -> Column:
+    """Deterministic Gumbel-perturbed key: logw + Gumbel(0,1) noise with
+    the uniform drawn from stable_hash64(id) — reproducible resampling
+    (same doc -> same noise on any engine/layout). Rounded to 6 so the
+    cross-engine double comparison is boundary-safe.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    lw = F.col(logw_col) if isinstance(logw_col, str) else logw_col
+    u = (
+        F.pmod(stable_hash64(idc.cast("string"), salt=salt), F.lit(1_000_000_000))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000_000.0)
+    return F.round(lw - F.log(-F.log(u)), 6)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k importance resample: the k raw documents to keep.
+
+    Returns (id, logw, key) for the k largest Gumbel-perturbed weights
+    (ties broken by id — fully deterministic). Top-k over a corpus is a
+    partial-aggregating pattern at scale: Spark's global sort + limit
+    only shuffles each partition's local top k.
+    """
+    w = dsir_log_weights(raw, target, text_col, id_col, buckets)
+    keyed = w.select(
+        F.col(id_col),
+        "logw",
+        gumbel_key(id_col, "logw", salt).alias("key"),
+    )
+    return keyed.orderBy(F.desc("key"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross-entropy (CCNet-style perplexity quality filter)
+
+
+def bigram_logloss(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an in-plan add-1-smoothed bigram
+    LM: (id, n_bigrams, xent2).
+
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` where ``c(w1·)`` counts
+    w1 as a bigram *context* and V is the distinct unigram vocabulary —
+    the classic conditional estimate CCNet-style perplexity filters use
+    (real pipelines swap a KenLM pandas_udf at the same plan point; this
+    is the engine-native estimator). Documents with < 2 tokens have no
+    bigrams and drop out (same as the oracle).
+
+    Scale: two token-key aggregates (map-side combining; vocabulary-
+    sized results, far smaller than the corpus), one broadcast one-row V,
+    then a shuffle join on w1 — token keys are Zipf-skewed, so AQE's
+    skew-join split handles the hot heads.
+    """
+    tok = tokens(text_col)
+    n = F.size(tok)
+    big = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(tok).alias("_t"))
+        .agg(F.count_distinct("_t").alias("v"))
+    )
+    p = (F.col("c12") + F.lit(1)).cast("double") / (
+        F.col("c1") + F.col("v")
+    ).cast("double")
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("xent2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (the distributed step of tokenizer induction)
+
+
+def char_array(col: Column | str) -> Column:
+    """Characters of a string as an array — sequence + substring (both
+    engines index strings the same way; regex-split-on-empty differs
+    between Java regex and RE2, so it is avoided).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1))),
+        lambda i: F.substring(c, i, F.lit(1)),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus-weighted adjacent-symbol-pair counts — ONE round of the
+    BPE tokenizer-induction inner loop (Sennrich et al. 2016,
+    arXiv:1508.07909), distributed: (left, right, cnt).
+
+    Symbols start as characters with a ``</w>`` end-of-word marker on
+    the last one. The induction loop is: count pairs (this operator) ->
+    merge argmax -> recount; each iteration is the same aggregate over
+    the *word-frequency table*, which is vocabulary-sized, not
+    corpus-sized — the corpus is touched exactly once.
+
+    Determinism: counts are integers; ordering (cnt DESC, lhs, rhs)
+    is total. ``top_n`` limits the result (partial top-k at scale).
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = char_array(F.col("word"))
+    n = F.size(chars)
+    symbols = F.concat(
+        F.slice(chars, 1, F.greatest(n - 1, F.lit(0))),
+        F.array(F.concat(F.element_at(chars, -1), F.lit("</w>"))),
+    )
+    pairs = F.zip_with(
+        F.slice(symbols, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(symbols, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+    )
+    counted = (
+        words.select("freq", F.explode(pairs).alias("_p"))
+        .select("freq", F.col("_p.lhs").alias("lhs"), F.col("_p.rhs").alias("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    out = counted.orderBy(F.desc("cnt"), "lhs", "rhs")
+    return out.limit(top_n) if top_n is not None else out

@@ -4558,6 +4558,160 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===================== data-selection operators (DSIR / BPE) ==============
+
+_DSIR_B = 4096
+
+
+def _dsir_weights_sql(buckets: int = _DSIR_B) -> str:
+    """Shared CTE body computing per-doc DSIR log-weights (target =
+    lang='en' docs, raw = all docs) — the fixed-point integer-sum twin
+    of operators/selection.dsir_log_weights."""
+    ng = (
+        "tk || list_transform(generate_series(1, len(tk) - 1), "
+        "i -> tk[i] || ' ' || tk[i + 1])"
+    )
+    bucket = f"{stable_hash64_sql('u.g')} % {buckets}"
+    return f"""
+    rawt AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    tgtt AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE lang = 'en'),
+    rng AS (SELECT doc_id, {ng} AS ng FROM rawt),
+    tng AS (SELECT doc_id, {ng} AS ng FROM tgtt),
+    rex AS (SELECT doc_id, {bucket} AS bucket FROM rng, unnest(rng.ng) AS u(g)),
+    tex AS (SELECT {bucket} AS bucket FROM tng, unnest(tng.ng) AS u(g)),
+    rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM rex GROUP BY bucket),
+    tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM tex GROUP BY bucket),
+    rt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM rc),
+    tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tc),
+    lr AS (
+      SELECT rc.bucket,
+        CAST(round((ln((coalesce(tc.c, 0) + 1)::DOUBLE
+                       / ((SELECT t FROM tt) + {buckets}))
+                  - ln((rc.c + 1)::DOUBLE
+                       / ((SELECT t FROM rt) + {buckets}))) * 1000000) AS BIGINT)
+          AS lr
+      FROM rc LEFT JOIN tc USING (bucket)
+    ),
+    feats AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM rex GROUP BY doc_id, bucket),
+    weights AS (
+      SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_ngrams,
+             round(CAST(sum(f.cnt * l.lr) AS DOUBLE) / 1000000, 6) AS logw
+      FROM feats f JOIN lr l USING (bucket)
+      GROUP BY f.doc_id
+    )"""
+
+
+def _dsir_frames(spark: SparkSession, sf_dir: str):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return docs, docs.filter(F.col("lang") == "en")
+
+
+@register(
+    "dsir_weights",
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # buckets, add-1-smoothed target/raw distributions, per-doc weight
+    # as an EXACT integer sum of fixed-point log-ratios (order-free,
+    # engine-free) descaled once at the end.
+    f"WITH {_dsir_weights_sql()} SELECT doc_id, n_ngrams, logw FROM weights",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import dsir_log_weights
+
+    raw, tgt = _dsir_frames(spark, sf_dir)
+    return dsir_log_weights(raw, tgt, buckets=_DSIR_B)
+
+
+@register(
+    "dsir_select",
+    # Gumbel top-k resample over the DSIR weights: noise is
+    # -ln(-ln(u)) with u drawn from stable_hash64(doc_id) — the
+    # resample is deterministic and layout-independent; ties broken by
+    # doc_id.
+    f"""
+    WITH {_dsir_weights_sql()},
+    keyed AS (
+      SELECT doc_id, logw,
+             round(logw - ln(-ln(
+               ({stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="dsir")}
+                  % 1000000000 + 0.5) / 1000000000.0)), 6) AS key
+      FROM weights
+    )
+    SELECT doc_id, logw, key FROM keyed
+    ORDER BY key DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import dsir_select
+
+    raw, tgt = _dsir_frames(spark, sf_dir)
+    return dsir_select(raw, tgt, k=100, buckets=_DSIR_B)
+
+
+@register(
+    "bigram_entropy",
+    # CCNet-style perplexity proxy, one order up from doc_entropy:
+    # per-doc cross-entropy under the corpus add-1 bigram LM
+    # p(w2|w1) = (c12+1)/(c1+V). Docs with < 2 tokens have no bigrams
+    # and drop out on both engines.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    big AS (
+      SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS v
+          FROM t, unnest(t.tk) AS u(token))
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((c12.c12 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v)))), 6)
+             AS xent2
+    FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import bigram_logloss
+
+    return bigram_logloss(_docs(spark, sf_dir))
+
+
+@register(
+    "bpe_pairs",
+    # One round of BPE tokenizer induction (Sennrich et al. 2016):
+    # corpus-weighted adjacent symbol-pair counts over the
+    # word-frequency table, chars + '</w>' end-of-word marker, top 50
+    # by (cnt DESC, pair ASC).
+    f"""
+    WITH w AS (
+      SELECT u.word AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT {_TOKENS_SQL} AS tk FROM documents) t, unnest(t.tk) AS u(word)
+      GROUP BY u.word
+    ),
+    sym AS (
+      SELECT word, freq,
+             list_transform(generate_series(1, length(word)),
+               i -> CASE WHEN i = length(word)
+                         THEN substr(word, CAST(i AS INT), 1) || '</w>'
+                         ELSE substr(word, CAST(i AS INT), 1) END) AS s
+      FROM w
+    ),
+    pairs AS (
+      SELECT freq, s[g.i] AS lhs, s[g.i + 1] AS rhs
+      FROM sym, unnest(generate_series(1, len(s) - 1)) AS g(i)
+    )
+    SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY lhs, rhs
+    ORDER BY cnt DESC, lhs, rhs LIMIT 50
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each

@@ -1,0 +1,113 @@
+"""Data-selection operators: DSIR importance resampling, bigram-LM
+perplexity, BPE pair counting (operators/selection.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark):
+    # 3 "target-like" docs about retrieval, 3 off-topic docs, 1 mixed
+    rows = [
+        (1, "tgt", "vector index retrieval ranks documents by cosine score"),
+        (2, "tgt", "the retrieval index returns top documents by score"),
+        (3, "tgt", "cosine score ranks the vector index documents"),
+        (4, "raw", "bananas and oranges are stacked in the market crates"),
+        (5, "raw", "the market sells oranges bananas and ripe crates daily"),
+        (6, "raw", "crates of bananas ship to the market every morning"),
+        (7, "raw", "the retrieval index also ships bananas apparently"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "kind", "text"])
+
+
+def test_dsir_weights_orders_target_like_docs_first(spark):
+    from rag_content_spark.operators.selection import dsir_log_weights
+
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "tgt")
+    w = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_log_weights(docs, target, buckets=256).collect()
+    }
+    assert set(w) == {1, 2, 3, 4, 5, 6, 7}
+    # every pure-target doc outranks every pure-raw doc; the mixed doc
+    # sits strictly between the two groups' extremes
+    assert min(w[1], w[2], w[3]) > max(w[4], w[5], w[6])
+    assert w[7] > min(w[4], w[5], w[6])
+
+
+def test_dsir_weights_integer_sum_is_partitioning_invariant(spark):
+    from rag_content_spark.operators.selection import dsir_log_weights
+
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "tgt")
+    a = dsir_log_weights(docs, target, buckets=64)
+    b = dsir_log_weights(docs.repartition(7), target.repartition(3), buckets=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dsir_select_is_deterministic_topk(spark):
+    from rag_content_spark.operators.selection import dsir_select
+
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "tgt")
+    got1 = [r["doc_id"] for r in dsir_select(docs, target, k=3, buckets=256).collect()]
+    got2 = [r["doc_id"] for r in dsir_select(docs, target, k=3, buckets=256).collect()]
+    assert got1 == got2 and len(got1) == 3
+
+
+def test_bigram_logloss_matches_hand_computation(spark):
+    from rag_content_spark.operators.selection import bigram_logloss
+
+    # corpus: "a b a b" and "a b c"; V=3 distinct unigrams
+    # bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 ; context counts a·=3, b·=2
+    rows = [(1, "a b a b"), (2, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logloss(df).collect()}
+    p_ab = (3 + 1) / (3 + 3)  # (c12+1)/(c1+V)
+    p_ba = (1 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (2 + 3)
+    exp1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    exp2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["xent2"] - exp1) < 1e-6
+    assert abs(got[2]["xent2"] - exp2) < 1e-6
+
+
+def test_bigram_logloss_drops_single_token_docs(spark):
+    from rag_content_spark.operators.selection import bigram_logloss
+
+    df = spark.createDataFrame([(1, "only"), (2, "two words")], ["doc_id", "text"])
+    assert [r["doc_id"] for r in bigram_logloss(df).collect()] == [2]
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from rag_content_spark.operators.selection import bpe_pair_counts
+
+    # "low" x3 and "lower" x1: pair (l,o) count 4, (o,w</w>) count 3,
+    # (o,w) 1, (w,e) 1, (e,r</w>) 1
+    df = spark.createDataFrame(
+        [(1, "low low low lower")], ["doc_id", "text"]
+    )
+    got = {(r["lhs"], r["rhs"]): r["cnt"] for r in bpe_pair_counts(df).collect()}
+    assert got[("l", "o")] == 4
+    assert got[("o", "w</w>")] == 3
+    assert got[("o", "w")] == 1
+    assert got[("w", "e")] == 1
+    assert got[("e", "r</w>")] == 1
+
+
+def test_bpe_pair_counts_single_char_words_have_no_pairs(spark):
+    from rag_content_spark.operators.selection import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert bpe_pair_counts(df).count() == 0
+
+
+def test_bpe_top_n_ordering_is_total(spark):
+    from rag_content_spark.operators.selection import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "ab ba ab ba")], ["doc_id", "text"])
+    rows = [tuple(r) for r in bpe_pair_counts(df, top_n=2).collect()]
+    # (a,b</w>)=2, (b,a</w>)=2 tie -> lexicographic (lhs, rhs)
+    assert rows == [("a", "b</w>", 2), ("b", "a</w>", 2)]
