@@ -98,6 +98,11 @@ def bucket_distribution(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return _smoothed(counts, buckets)
+
+
+def _smoothed(counts: DataFrame, buckets: int) -> DataFrame:
+    """Attach the add-1-smoothed probability to a (bucket, c) table."""
     total = counts.agg(F.sum("c").alias("_total"))
     return counts.join(F.broadcast(total)).select(
         "bucket",
@@ -110,12 +115,7 @@ def bucket_distribution(
     )
 
 
-def dsir_log_ratio_table(
-    raw: DataFrame,
-    target: DataFrame,
-    text_col: str = "text",
-    buckets: int = 4096,
-) -> DataFrame:
+def _ratio_table(pr: DataFrame, pt: DataFrame, buckets: int) -> DataFrame:
     """(bucket, lr) — fixed-point ln(p_target/p_raw) per hash bucket.
 
     Built from the raw-side bucket set (a raw document can only contain
@@ -125,8 +125,6 @@ def dsir_log_ratio_table(
     ``round((ln p_t - ln p_r) * 1e6)`` as BIGINT — summing these is
     exact integer math on every engine.
     """
-    pr = bucket_distribution(raw, text_col, buckets)
-    pt = bucket_distribution(target, text_col, buckets)
     tt = pt.agg(F.max("_total").alias("_tt"))
     joined = (
         pr.select("bucket", F.col("p").alias("_pr"))
@@ -138,6 +136,21 @@ def dsir_log_ratio_table(
     )
     lr = F.round((F.log(p_t) - F.log(F.col("_pr"))) * F.lit(LOG_SCALE)).cast("bigint")
     return joined.select("bucket", lr.alias("lr"))
+
+
+def dsir_log_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Standalone (bucket, lr) ratio table from two corpora — see
+    :func:`_ratio_table`. :func:`dsir_log_weights` derives the raw-side
+    distribution from the per-doc feature table instead, so the raw
+    corpus is scanned once, not twice."""
+    pr = bucket_distribution(raw, text_col, buckets)
+    pt = bucket_distribution(target, text_col, buckets)
+    return _ratio_table(pr, pt, buckets)
 
 
 def dsir_log_weights(
@@ -153,9 +166,17 @@ def dsir_log_weights(
     exact integer sum of fixed-point ratios, descaled once at the end
     (rounded to 6, the fixed-point resolution). High logw = looks like
     the target corpus.
+
+    The raw corpus is exploded ONCE: the raw bucket distribution is the
+    bucket-sum of the per-doc feature table (identical integer counts),
+    not a second corpus scan — at 100 TB that second scan is the cost
+    of the whole job again.
     """
     feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
-    ratios = dsir_log_ratio_table(raw, target, text_col, buckets)
+    rc = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    pr = _smoothed(rc, buckets)
+    pt = bucket_distribution(target, text_col, buckets)
+    ratios = _ratio_table(pr, pt, buckets)
     return (
         feats.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
