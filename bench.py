@@ -105,6 +105,7 @@ HEADLINE = [
     "dsir_select",        # Gumbel top-k importance resample
     "bigram_entropy",     # bigram-LM perplexity proxy
     "bpe_pairs",          # BPE merge-pair counting round
+    "bpe_tokenize",       # BPE apply over the vocabulary + doc stats
 ]
 
 

@@ -346,3 +346,105 @@ def bpe_pair_counts(
     )
     out = counted.orderBy(F.desc("cnt"), "lhs", "rhs")
     return out.limit(top_n) if top_n is not None else out
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly merge the
+    lowest-ranked adjacent pair, leftmost occurrence first — the
+    tiktoken/GPT-2 encode-time semantics (merge ONE occurrence, then
+    re-evaluate; a merge can create a better-ranked pair).
+
+    The word carries the same ``</w>`` end-of-word marker as
+    :func:`bpe_pair_counts`, so learned pairs apply verbatim.
+    """
+    s = list(word)
+    if s:
+        s[-1] += "</w>"
+    while len(s) > 1:
+        best, pos = None, -1
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, pos = r, i
+        if best is None:
+            break
+        s[pos : pos + 2] = [s[pos] + s[pos + 1]]
+    return s
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Tokenize each distinct word with a ranked merge list: adds
+    ``bpe`` (array<string>) and ``n_bpe`` columns.
+
+    ``merges`` is ordered by priority (index = rank) — e.g. the rows of
+    :func:`bpe_pair_counts` ordered (cnt DESC, lhs, rhs). The loop is
+    inherently sequential per word, so it runs as an Arrow-batched
+    pandas UDF over the *vocabulary* table — corpus-size-independent;
+    the corpus itself is only aggregated and joined, never pushed
+    through Python.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = T.StructType(
+        list(words.schema)
+        + [
+            T.StructField("bpe", T.ArrayType(T.StringType())),
+            T.StructField("n_bpe", T.LongType()),
+        ]
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            enc = [bpe_encode_word(w, ranks) for w in pdf[word_col]]
+            out = pdf.copy()
+            out["bpe"] = enc
+            out["n_bpe"] = pd.Series([len(e) for e in enc], dtype="int64")
+            yield out
+
+    return words.mapInPandas(_run, schema=schema)
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token statistics under a learned merge list:
+    (id, n_tokens, n_bpe, compression).
+
+    Shape: corpus -> (id, word, cnt) aggregate -> distinct-word BPE via
+    :func:`bpe_apply` -> join back -> weighted sum. The Python stage
+    touches each distinct word once; the per-doc join input is the
+    (id, word) aggregate, not the raw token stream. Token keys are
+    Zipf-skewed — AQE splits the hot heads.
+    """
+    wc = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = bpe_apply(wc.select("word").distinct(), merges)
+    return (
+        wc.join(vocab.select("word", "n_bpe"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).alias("n_bpe"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_bpe",
+            F.round(
+                F.col("n_bpe").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("compression"),
+        )
+    )

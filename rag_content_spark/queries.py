@@ -4677,14 +4677,10 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logloss(_docs(spark, sf_dir))
 
 
-@register(
-    "bpe_pairs",
-    # One round of BPE tokenizer induction (Sennrich et al. 2016):
-    # corpus-weighted adjacent symbol-pair counts over the
-    # word-frequency table, chars + '</w>' end-of-word marker, top 50
-    # by (cnt DESC, pair ASC).
-    f"""
-    WITH w AS (
+# shared CTE text: corpus word-frequency table -> char symbols (</w>
+# marker on the last) -> adjacent pairs, weighted by word frequency
+_BPE_BASE_SQL = f"""
+    w AS (
       SELECT u.word AS word, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT {_TOKENS_SQL} AS tk FROM documents) t, unnest(t.tk) AS u(word)
       GROUP BY u.word
@@ -4700,7 +4696,17 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT freq, s[g.i] AS lhs, s[g.i + 1] AS rhs
       FROM sym, unnest(generate_series(1, len(s) - 1)) AS g(i)
-    )
+    )"""
+
+
+@register(
+    "bpe_pairs",
+    # One round of BPE tokenizer induction (Sennrich et al. 2016):
+    # corpus-weighted adjacent symbol-pair counts over the
+    # word-frequency table, chars + '</w>' end-of-word marker, top 50
+    # by (cnt DESC, pair ASC).
+    f"""
+    WITH {_BPE_BASE_SQL}
     SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
     FROM pairs GROUP BY lhs, rhs
     ORDER BY cnt DESC, lhs, rhs LIMIT 50
@@ -4710,6 +4716,86 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import bpe_pair_counts
 
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
+_BPE_SENTINEL = 9223372036854775807  # "no merge applies" rank
+
+
+@register(
+    "bpe_tokenize",
+    # Apply the 50 learned merges to the corpus — tiktoken/GPT-2
+    # encode-time semantics (merge the lowest-ranked pair, leftmost
+    # occurrence first, one at a time, re-evaluating after each). The
+    # oracle replays the same greedy loop as a recursive CTE over the
+    # vocabulary: each step rewrites one word's symbol list; a word is
+    # final when no learned pair occurs in it. Ranks are ordinal under
+    # the same total order (cnt DESC, lhs, rhs) on both engines.
+    f"""
+    WITH RECURSIVE {_BPE_BASE_SQL},
+    merges AS (
+      SELECT lhs, rhs,
+             row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rank
+      FROM (
+        SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM pairs GROUP BY lhs, rhs
+        ORDER BY cnt DESC, lhs, rhs LIMIT 50
+      )
+    ),
+    mp AS (SELECT map(list(lhs || chr(1) || rhs), list(rank)) AS m FROM merges),
+    step(word, s) AS (
+      SELECT word, s FROM sym
+      UNION ALL
+      SELECT word, s[1:pos-1] || [s[pos] || s[pos+1]] || s[pos+2:]
+      FROM (
+        SELECT word, s, list_position(rk, list_min(rk)) AS pos,
+               list_min(rk) AS mn
+        FROM (
+          SELECT st.word, st.s,
+            list_transform(generate_series(1, len(st.s) - 1),
+              i -> coalesce(map_extract(mp.m, st.s[i] || chr(1) || st.s[i+1])[1],
+                            {_BPE_SENTINEL})) AS rk
+          FROM step st, mp
+        )
+      )
+      WHERE mn < {_BPE_SENTINEL}
+    ),
+    final AS (
+      SELECT st.word, len(st.s) AS n_bpe,
+        list_min(list_transform(generate_series(1, len(st.s) - 1),
+          i -> coalesce(map_extract(mp.m, st.s[i] || chr(1) || st.s[i+1])[1],
+                        {_BPE_SENTINEL}))) AS mn
+      FROM step st, mp
+    ),
+    vocab AS (SELECT word, CAST(n_bpe AS BIGINT) AS n_bpe FROM final
+              WHERE mn IS NULL OR mn = {_BPE_SENTINEL}),
+    docwc AS (
+      SELECT doc_id, u.word AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(word)
+      GROUP BY doc_id, u.word
+    )
+    SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(d.cnt * v.n_bpe) AS BIGINT) AS n_bpe,
+           round(CAST(sum(d.cnt * v.n_bpe) AS DOUBLE)
+                 / CAST(sum(d.cnt) AS DOUBLE), 6) AS compression
+    FROM docwc d JOIN vocab v USING (word)
+    GROUP BY d.doc_id
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import (
+        bpe_pair_counts,
+        bpe_token_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # 50-row driver collect: the merge list is the broadcast-tiny model
+    # artifact (same pattern as the k-means centroids)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_pair_counts(docs, top_n=50).collect()
+    ]
+    return bpe_token_stats(docs, merges)
 
 
 # ---------------------------------------------------------------------------

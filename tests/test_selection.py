@@ -104,6 +104,41 @@ def test_bpe_pair_counts_single_char_words_have_no_pairs(spark):
     assert bpe_pair_counts(df).count() == 0
 
 
+def test_bpe_encode_word_merges_lowest_rank_leftmost():
+    from rag_content_spark.operators.selection import bpe_encode_word
+
+    ranks = {("l", "o"): 0, ("lo", "w</w>"): 1, ("w", "e"): 2}
+    assert bpe_encode_word("low", ranks) == ["low</w>"]
+    # 'lower': l o w e r</w> -> lo w e r</w>; (lo,w</w>) absent,
+    # (w,e) rank 2 applies -> lo we r</w>
+    assert bpe_encode_word("lower", ranks) == ["lo", "we", "r</w>"]
+    assert bpe_encode_word("a", ranks) == ["a</w>"]
+    assert bpe_encode_word("", ranks) == []
+
+
+def test_bpe_encode_merge_can_enable_better_ranked_merge():
+    from rag_content_spark.operators.selection import bpe_encode_word
+
+    # (a,b)->ab rank 1; (ab,c</w>) rank 0 only exists AFTER the first
+    # merge — the re-evaluating loop must pick it up
+    ranks = {("ab", "c</w>"): 0, ("a", "b"): 1}
+    assert bpe_encode_word("abc", ranks) == ["abc</w>"]
+
+
+def test_bpe_token_stats_roundtrip(spark):
+    from rag_content_spark.operators.selection import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low")], ["doc_id", "text"]
+    )
+    merges = [("l", "o"), ("lo", "w</w>")]
+    got = {r["doc_id"]: r for r in bpe_token_stats(df, merges).collect()}
+    # 'low' -> [low</w>] (1 tok); 'lower' -> [lo,w,e,r</w>] (4)
+    assert got[1]["n_tokens"] == 3 and got[1]["n_bpe"] == 1 + 1 + 4
+    assert got[2]["n_tokens"] == 1 and got[2]["n_bpe"] == 1
+    assert abs(got[2]["compression"] - 1.0) < 1e-9
+
+
 def test_bpe_top_n_ordering_is_total(spark):
     from rag_content_spark.operators.selection import bpe_pair_counts
 
