@@ -88,7 +88,7 @@ def split_markdown(df: DataFrame, text_col: str = "text") -> DataFrame:
     Adds ``section_index``, ``section_text`` (trimmed), drops empty sections.
     Implementation: tag heading lines with a sentinel and split on it —
     pure narrow ops, no shuffle. Fence-aware like MarkdownNodeParser
-    (and the exact P3 filter): a ``#`` line inside a \`\`\` fence is
+    (and the exact P3 filter): a ``#`` line inside a code fence is
     content, not a section break. Fence state per line is the parity of
     fence-opener lines before it — a prefix count over the line array
     (O(lines^2) integer ops per doc; docs are line-bounded upstream).

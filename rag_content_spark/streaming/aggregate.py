@@ -256,3 +256,67 @@ def streaming_dedup_against_corpus(
     return withb.join(
         corpus_bands.select("band", "band_hash"), cond, "left_anti"
     ).drop("_bands")
+
+
+def collect_dsir_ratio_map(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> dict[int, int]:
+    """Materialize the DSIR (bucket -> fixed-point lr) table as a dict —
+    the <= buckets-row model artifact a deployment ships to the scoring
+    stream (same tiny-collect pattern as the k-means centroids)."""
+    from rag_content_spark.operators.selection import dsir_log_ratio_table
+
+    return {
+        r["bucket"]: r["lr"]
+        for r in dsir_log_ratio_table(raw, target, text_col, buckets).collect()
+    }
+
+
+def streaming_dsir_score(
+    new_docs: DataFrame,
+    ratio_map: dict[int, int],
+    text_col: str = "text",
+    buckets: int = 4096,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Stream-side DSIR scoring: adds ``logw_mean`` (per-ngram mean log
+    importance weight — length-invariant) from a ratio map baked into
+    the plan as a map literal.
+
+    Completely STATELESS and shuffle-free: the ngram walk, the bucket
+    hash, the map lookup, and the fixed-point integer sum are all
+    narrow Column expressions, so every micro-batch scores rows as they
+    arrive — the streaming twin of operators/selection.dsir_log_weights
+    (which gets the same numbers from the distributed join). With
+    ``threshold`` set, rows below it are dropped (the quality gate).
+    """
+    from rag_content_spark.functions.hashing import stable_hash64
+    from rag_content_spark.operators.selection import LOG_SCALE, _ngram_array
+
+    pairs: list = []
+    for k, v in sorted(ratio_map.items()):
+        pairs.extend([F.lit(int(k)), F.lit(int(v))])
+    mp = F.create_map(*pairs) if pairs else F.create_map()
+    lrs = F.transform(
+        _ngram_array(text_col),
+        lambda g: F.coalesce(
+            mp[F.pmod(stable_hash64(g), F.lit(buckets))],
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    total = F.aggregate(
+        lrs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    n = F.greatest(F.size(_ngram_array(text_col)), F.lit(1))
+    scored = new_docs.withColumn(
+        "logw_mean",
+        F.round(
+            total.cast("double") / F.lit(LOG_SCALE) / n.cast("double"), 6
+        ),
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("logw_mean") >= F.lit(threshold))
+    return scored

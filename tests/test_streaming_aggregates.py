@@ -185,3 +185,83 @@ def test_stateful_asof_enrich_stream(spark, tmp_path):
     assert got[10] == (base, 0.5)
     assert got[11] == (base + 200, 0.9)
     assert got[20] == (None, None)
+
+
+def test_streaming_dsir_score_matches_batch_weights(spark, tmp_path):
+    """The stream-side map-literal scorer must reproduce the batch
+    dsir_log_weights numbers (logw / n_ngrams) exactly."""
+    import json
+
+    from rag_content_spark.operators.selection import dsir_log_weights
+    from rag_content_spark.streaming.aggregate import (
+        collect_dsir_ratio_map,
+        streaming_dsir_score,
+    )
+
+    rows = [
+        (1, "tgt", "vector index retrieval ranks documents by cosine score"),
+        (2, "tgt", "the retrieval index returns top documents by score"),
+        (3, "raw", "bananas and oranges are stacked in the market crates"),
+        (4, "raw", "crates of bananas ship to the market every morning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "kind", "text"])
+    target = docs.filter(F.col("kind") == "tgt")
+    B = 64
+    ratio_map = collect_dsir_ratio_map(docs, target, buckets=B)
+
+    expected = {
+        r["doc_id"]: round(r["logw"] / r["n_ngrams"], 6)
+        for r in dsir_log_weights(docs, target, buckets=B).collect()
+    }
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    with open(src / "docs.json", "w") as fh:
+        for doc_id, kind, text in rows:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_dsir_score(stream, ratio_map, buckets=B)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dsir_scored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["logw_mean"]
+        for r in spark.sql("SELECT * FROM dsir_scored").collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 2e-6, (k, got[k], expected[k])
+
+
+def test_streaming_dsir_threshold_gates(spark):
+    from rag_content_spark.streaming.aggregate import streaming_dsir_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    # hand-built map: make doc 1's ngram buckets positive, others absent
+    from rag_content_spark.functions.hashing import stable_hash64
+    from rag_content_spark.operators.selection import _ngram_array
+
+    def _buckets(pred):
+        return {
+            r[0]
+            for r in docs.filter(pred)
+            .select(F.explode(_ngram_array("text")))
+            .select(F.pmod(stable_hash64(F.col("col")), F.lit(64)))
+            .collect()
+        }
+
+    # +5.0 per ngram for doc 1's buckets, minus any hash-colliding
+    # bucket doc 2 also occupies (the test pins gating, not collisions)
+    ratio_map = {b: 5_000_000 for b in _buckets("doc_id = 1") - _buckets("doc_id = 2")}
+    kept = streaming_dsir_score(docs, ratio_map, buckets=64, threshold=1.0)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
