@@ -44,16 +44,21 @@ def _ngram_array(text_col: Column | str) -> Column:
 
     Bigrams via zip_with over two shifted slices — a narrow Column
     expression (whole-stage codegen), no explode until the caller needs
-    per-ngram rows.
+    per-ngram rows. The token split is let-bound so the regex runs once
+    per row, not once per reference (no cross-expression CSE).
     """
-    tok = tokens(text_col)
-    n = F.size(tok)
-    bigrams = F.zip_with(
-        F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    return F.concat(tok, bigrams)
+    from rag_content_spark.operators.dedup import let
+
+    def _grams(tok: Column) -> Column:
+        n = F.size(tok)
+        bigrams = F.zip_with(
+            F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return F.concat(tok, bigrams)
+
+    return let(tokens(text_col), _grams)
 
 
 def hashed_ngram_buckets(

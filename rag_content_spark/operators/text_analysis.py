@@ -235,16 +235,23 @@ def top_ngrams(
     the heavy lifting at 100 TB, and the final top-k is a TakeOrdered,
     not a global sort.
     """
-    tok = tokens(text_col)
+    from rag_content_spark.operators.dedup import let
+
     # NB: Spark's sequence(0, stop) auto-steps DOWNWARD for stop < 0, so
     # short docs need an explicit empty-array branch, not a clamp.
-    grams = F.when(
-        F.size(tok) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bound: without it the tokens() regex split is re-evaluated PER
+    # N-GRAM ELEMENT inside the transform lambda (no lambda CSE) —
+    # measured 3.9 s -> sub-second on the sf0.1 top_bigrams query.
+    grams = let(
+        tokens(text_col),
+        lambda tok: F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - n),
+                lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     return (
         docs.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")

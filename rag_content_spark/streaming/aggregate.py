@@ -300,23 +300,23 @@ def streaming_dsir_score(
     for k, v in sorted(ratio_map.items()):
         pairs.extend([F.lit(int(k)), F.lit(int(v))])
     mp = F.create_map(*pairs) if pairs else F.create_map()
-    lrs = F.transform(
-        _ngram_array(text_col),
-        lambda g: F.coalesce(
-            mp[F.pmod(stable_hash64(g), F.lit(buckets))],
-            F.lit(0).cast("bigint"),
-        ),
-    )
-    total = F.aggregate(
-        lrs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
-    )
-    n = F.greatest(F.size(_ngram_array(text_col)), F.lit(1))
-    scored = new_docs.withColumn(
-        "logw_mean",
-        F.round(
+    from rag_content_spark.operators.dedup import let
+
+    def _score(arr):
+        lrs = F.transform(
+            arr,
+            lambda g: F.coalesce(
+                mp[F.pmod(stable_hash64(g), F.lit(buckets))],
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        total = F.aggregate(lrs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        n = F.greatest(F.size(arr), F.lit(1))
+        return F.round(
             total.cast("double") / F.lit(LOG_SCALE) / n.cast("double"), 6
-        ),
-    )
+        )
+
+    scored = new_docs.withColumn("logw_mean", let(_ngram_array(text_col), _score))
     if threshold is not None:
         scored = scored.filter(F.col("logw_mean") >= F.lit(threshold))
     return scored
