@@ -106,6 +106,7 @@ HEADLINE = [
     "bigram_entropy",     # bigram-LM perplexity proxy
     "bpe_pairs",          # BPE merge-pair counting round
     "bpe_tokenize",       # BPE apply over the vocabulary + doc stats
+    "selection_pipeline", # gate -> DSIR resample -> pack, one lazy plan
 ]
 
 

@@ -255,6 +255,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--mix", default=None, help="target language mix, e.g. en=0.5,es=0.25,fr=0.25")
     c.add_argument("--pack-budget", type=int, default=2048, help="tokens per training sequence")
     c.add_argument("--scrub-passages", action="store_true", help="remove cross-document duplicate passages first")
+    c.add_argument("--input-format", choices=("parquet", "warc"), default="parquet",
+                   help="parquet documents table or a folder of WARC crawl files")
+    c.add_argument("--dsir-target", default=None,
+                   help="parquet of target-domain documents: enables DSIR importance resampling after dedup")
+    c.add_argument("--dsir-keep", type=int, default=None,
+                   help="documents to keep in the DSIR Gumbel top-k resample (default: half the deduped count)")
     c.set_defaults(func=cmd_curate)
 
     ab = sub.add_parser(
@@ -345,7 +351,15 @@ def cmd_curate(args: argparse.Namespace) -> int:
 
     spark = get_spark("rag-spark-curate")
     ensure_reader_confs(spark)
-    docs = spark.read.parquet(args.input)
+    if getattr(args, "input_format", "parquet") == "warc":
+        from rag_content_spark.sources.warc import (
+            read_warc_records,
+            warc_responses_to_documents,
+        )
+
+        docs = warc_responses_to_documents(read_warc_records(spark, args.input))
+    else:
+        docs = spark.read.parquet(args.input)
     stats = {"input": docs.count()}
 
     if args.scrub_passages:
@@ -367,6 +381,15 @@ def cmd_curate(args: argparse.Namespace) -> int:
         pairs = jaccard_pairs(deduped, cand, threshold=args.jaccard)
         deduped = apply_dedup(deduped, pairs)
         stats["after_near_dedup"] = deduped.count()
+
+    if getattr(args, "dsir_target", None):
+        from rag_content_spark.operators.selection import dsir_select
+
+        target = spark.read.parquet(args.dsir_target)
+        k = args.dsir_keep or max(1, stats["after_exact_dedup"] // 2)
+        sel = dsir_select(deduped, target, k=k).select("doc_id")
+        deduped = deduped.join(sel, "doc_id", "leftsemi")
+        stats["after_dsir_select"] = deduped.count()
 
     if args.mix:
         mix = {

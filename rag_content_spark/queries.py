@@ -4563,18 +4563,22 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_B = 4096
 
 
-def _dsir_weights_sql(buckets: int = _DSIR_B) -> str:
-    """Shared CTE body computing per-doc DSIR log-weights (target =
-    lang='en' docs, raw = all docs) — the fixed-point integer-sum twin
-    of operators/selection.dsir_log_weights."""
+def _dsir_weights_sql(
+    buckets: int = _DSIR_B,
+    raw_rel: str = "documents",
+    tgt_filter: str = "lang = 'en'",
+) -> str:
+    """Shared CTE body computing per-doc DSIR log-weights (raw =
+    ``raw_rel``, target = its ``tgt_filter`` subset) — the fixed-point
+    integer-sum twin of operators/selection.dsir_log_weights."""
     ng = (
         "tk || list_transform(generate_series(1, len(tk) - 1), "
         "i -> tk[i] || ' ' || tk[i + 1])"
     )
     bucket = f"{stable_hash64_sql('u.g')} % {buckets}"
     return f"""
-    rawt AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
-    tgtt AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE lang = 'en'),
+    rawt AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM {raw_rel}),
+    tgtt AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM {raw_rel} WHERE {tgt_filter}),
     rng AS (SELECT doc_id, {ng} AS ng FROM rawt),
     tng AS (SELECT doc_id, {ng} AS ng FROM tgtt),
     rex AS (SELECT doc_id, {bucket} AS bucket FROM rng, unnest(rng.ng) AS u(g)),
@@ -4796,6 +4800,71 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_pair_counts(docs, top_n=50).collect()
     ]
     return bpe_token_stats(docs, merges)
+
+
+@register(
+    "selection_pipeline",
+    # End-to-end TARGETED curation: Gopher quality gate -> DSIR
+    # importance weights (raw = gated corpus, target = its English
+    # subset) -> deterministic Gumbel top-200 resample -> sequence
+    # packing. The selection twin of curation_pipeline: same gate and
+    # packing stages, importance resampling instead of dedup+rebalance.
+    f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text, {_TOKENS_SQL} AS tok FROM documents
+      )
+      WHERE (len(tok) >= 50 AND len(tok) <= 100000)
+        AND (CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) >= 3.0
+             AND CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) <= 10.0)
+        AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(tok) <= 0.1)
+        AND (CAST(len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tok) >= 0.8)
+        AND (len(list_filter(tok, x -> lower(x) IN {_GOPHER_STOP_SQL})) >= 2)
+    ),
+    {_dsir_weights_sql(raw_rel="gated")},
+    keyed AS (
+      SELECT doc_id, logw,
+             round(logw - ln(-ln(
+               ({stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="dsir")}
+                  % 1000000000 + 0.5) / 1000000000.0)), 6) AS key
+      FROM weights
+    ),
+    selected AS (
+      SELECT doc_id, logw FROM keyed ORDER BY key DESC, doc_id LIMIT 200
+    ),
+    packed AS (
+      SELECT s.doc_id, g.lang, s.logw,
+             {stable_hash64_sql("CAST(s.doc_id AS VARCHAR)", salt="pack")} % 4 AS shard,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM selected s JOIN gated g ON g.doc_id = s.doc_id
+    )
+    SELECT doc_id, lang, logw, shard, n_tokens,
+      CAST(floor(
+        (CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         - n_tokens) / 500.0) AS BIGINT) AS seq_bucket
+    FROM packed
+    """,
+)
+def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The targeted-selection flagship: gate -> DSIR resample -> pack,
+    one lazy plan."""
+    from rag_content_spark.operators.packing import pack_sequences
+    from rag_content_spark.operators.quality import gopher_rules
+    from rag_content_spark.operators.selection import dsir_select
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    gated = docs.filter(gopher_rules("text")["keep"])
+    target = gated.filter(F.col("lang") == "en")
+    sel = dsir_select(gated, target, k=200, buckets=_DSIR_B).select(
+        "doc_id", "logw"
+    )
+    kept = gated.join(sel, "doc_id")
+    packed = pack_sequences(kept, budget=500, shards=4)
+    return packed.join(
+        kept.select("doc_id", "lang", "logw"), "doc_id"
+    ).select("doc_id", "lang", "logw", "shard", "n_tokens", "seq_bucket")
 
 
 # ---------------------------------------------------------------------------

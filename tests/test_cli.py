@@ -133,6 +133,75 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert 2 not in {r["doc_id"] for r in curated.select("doc_id").collect()}
 
 
+def test_cli_curate_dsir_select(spark, tmp_path, capsys):
+    import json
+
+    from rag_content_spark.cli import main
+
+    filler = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest while the morning light rises slowly "
+    )
+    techy = (
+        "the vector index retrieval engine ranks documents by cosine "
+        "score and returns the top results to the search query quickly "
+    )
+    rows = [(i, (techy if i < 3 else filler) * 6 + f"doc{i}", "en") for i in range(8)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(src)
+    tgt = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(100 + i, techy * 6 + f"t{i}", "en") for i in range(3)],
+        ["doc_id", "text", "lang"],
+    ).write.parquet(tgt)
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "curate", "-i", src, "-o", out,
+        "--dsir-target", tgt, "--dsir-keep", "3", "--pack-budget", "64",
+    ])
+    assert rc == 0
+    stats = json.load(open(f"{out}/stats.json"))
+    assert stats["after_dsir_select"] == 3
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/curated").select("doc_id").collect()
+    }
+    # the target-like docs win the importance resample
+    assert kept == {0, 1, 2}
+
+
+def test_cli_curate_warc_input(spark, tmp_path):
+    import gzip
+
+    from rag_content_spark.cli import main
+    from tests.test_warc import _http_response, _record
+
+    body = (
+        "<html><body><p>"
+        + ("the quick brown fox jumps over the lazy dog and runs far " * 10)
+        + "</p></body></html>"
+    ).encode()
+    warc = _record(
+        "response",
+        "http://example.com/a",
+        _http_response(body),
+        extra="Content-Type: application/http\r\n",
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(gzip.compress(warc))
+    out = str(tmp_path / "out")
+    rc = main([
+        "curate", "-i", str(src), "-o", out,
+        "--input-format", "warc", "--pack-budget", "64",
+    ])
+    assert rc == 0
+    curated = spark.read.parquet(f"{out}/curated")
+    assert curated.count() == 1
+    assert curated.collect()[0]["source"] == "http://example.com/a"
+
+
 def test_cli_ann_build_and_query(spark, tmp_path, capsys):
     import json
 
