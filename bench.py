@@ -107,6 +107,7 @@ HEADLINE = [
     "bpe_pairs",          # BPE merge-pair counting round
     "bpe_tokenize",       # BPE apply over the vocabulary + doc stats
     "selection_pipeline", # gate -> DSIR resample -> pack, one lazy plan
+    "line_stats",         # Dolma-style per-line quality tagger
 ]
 
 

@@ -93,6 +93,60 @@ def repetition_stats(
     )
 
 
+def line_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Dolma/RedPajama-style per-LINE quality signals (the rule family
+    their taggers run before model-based filters):
+
+    - n_lines          : non-empty lines
+    - mean_line_chars  : mean trimmed length of non-empty lines
+    - frac_end_punct   : fraction ending in . ! ? or a double quote
+                         (boilerplate/navigation lines rarely do)
+    - frac_dup_lines   : 1 - distinct/total (repeated header/footer
+                         lines are the classic crawl artifact)
+    - frac_bullet      : fraction starting with "- " or "* "
+
+    All narrow Column expressions over one materialized line-array
+    projection (CollapseProject keeps a non-cheap multi-use alias as its
+    own projection, so the split runs once per row) — no shuffle,
+    whole-stage codegen, O(lines) per row.
+    """
+    # NB: F.transform passes (element, index) to 2-arg callables and
+    # F.trim's 2nd arg is the trim-CHARACTER set — passing F.trim bare
+    # would strip str(index) chars off line index i. Single-arg lambda.
+    nonempty = F.filter(
+        F.transform(
+            F.split(F.col(text_col) if isinstance(text_col, str) else text_col, "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    bound = docs.select(F.col(id_col), nonempty.alias("_lines"))
+    lines = F.col("_lines")
+    n = F.size(lines)
+    safe_n = F.greatest(n, F.lit(1))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    end_punct = F.size(
+        F.filter(lines, lambda x: F.substring(x, -1, 1).isin(".", "!", "?", '"'))
+    )
+    bullets = F.size(
+        F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))
+    )
+    return bound.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_lines"),
+        F.round(total_chars.cast("double") / safe_n, 6).alias("mean_line_chars"),
+        F.round(end_punct.cast("double") / safe_n, 6).alias("frac_end_punct"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / safe_n.cast("double"), 6
+        ).alias("frac_dup_lines"),
+        F.round(bullets.cast("double") / safe_n, 6).alias("frac_bullet"),
+    )
+
+
 def dup_ngram_fracs(
     docs: DataFrame,
     top_n: int = 3,

@@ -4803,6 +4803,41 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_stats",
+    # Dolma/RedPajama-style per-line quality tagger over the
+    # synthesized markdown corpus (has real line structure): non-empty
+    # trimmed lines -> count / mean length / end-punct / dup-line /
+    # bullet fractions.
+    f"""
+    WITH md AS (SELECT doc_id, {_md_doc_sql()} AS t FROM documents),
+    l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM md
+    )
+    SELECT doc_id,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+            / greatest(len(lines), 1), 6) AS mean_line_chars,
+      round(CAST(len(list_filter(lines, x -> right(x, 1) IN ('.', '!', '?', '"'))) AS DOUBLE)
+            / greatest(len(lines), 1), 6) AS frac_end_punct,
+      round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+            / greatest(len(lines), 1), 6) AS frac_dup_lines,
+      round(CAST(len(list_filter(lines, x -> starts_with(x, '- ')
+                                          OR starts_with(x, '* '))) AS DOUBLE)
+            / greatest(len(lines), 1), 6) AS frac_bullet
+    FROM l
+    """,
+)
+def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import line_stats
+
+    md = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("text"))
+    return line_stats(md)
+
+
+@register(
     "selection_pipeline",
     # End-to-end TARGETED curation: Gopher quality gate -> DSIR
     # importance weights (raw = gated corpus, target = its English

@@ -146,3 +146,28 @@ def test_psi_drift_identical_and_shifted(spark):
     # symmetric: psi(a,b) == psi(b,a)
     r3 = psi_drift(hi, lo).collect()[0]
     assert abs(r2["psi"] - r3["psi"]) < 1e-9
+
+
+def test_line_stats_signals(spark):
+    from rag_content_spark.operators.quality import line_stats
+
+    text = (
+        "A proper sentence ends here.\n"
+        "- bullet one\n"
+        "* bullet two\n"
+        "NAV MENU\n"
+        "NAV MENU\n"
+        "  \n"            # blank after trim -> dropped
+        "Question line?\n"
+    )
+    df = spark.createDataFrame([(1, text), (2, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in line_stats(df).collect()}
+    r = got[1]
+    assert r["n_lines"] == 6
+    assert abs(r["frac_bullet"] - 2 / 6) < 1e-6
+    assert abs(r["frac_end_punct"] - 2 / 6) < 1e-6   # '.' and '?'
+    assert abs(r["frac_dup_lines"] - 1 / 6) < 1e-6   # one dup NAV MENU
+    exp_mean = (28 + 12 + 12 + 8 + 8 + 14) / 6
+    assert abs(r["mean_line_chars"] - exp_mean) < 1e-4
+    # empty doc: zero lines, all-zero signals (no div-by-zero)
+    assert got[2]["n_lines"] == 0 and got[2]["mean_line_chars"] == 0.0
