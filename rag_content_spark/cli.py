@@ -263,6 +263,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="documents to keep in the DSIR Gumbel top-k resample (default: half the deduped count)")
     c.set_defaults(func=cmd_curate)
 
+    t = sub.add_parser(
+        "tokenize",
+        help="learn BPE merges, encode the corpus, write Megatron .bin/.idx shards",
+    )
+    t.add_argument("-i", "--input", required=True, help="documents parquet (doc_id, text)")
+    t.add_argument("-o", "--output", required=True, help="output directory")
+    t.add_argument("--merges", type=int, default=200, help="BPE merge count")
+    t.add_argument("--shards", type=int, default=8, help="Megatron shard-pair count")
+    t.add_argument("--dtype", choices=("int32", "uint16"), default="int32")
+    t.set_defaults(func=cmd_tokenize)
+
     ab = sub.add_parser(
         "ann-build",
         help="build the parquet-native IVFPQ index from an embeddings parquet",
@@ -412,6 +423,49 @@ def cmd_curate(args: argparse.Namespace) -> int:
     ).count()
     with open(os.path.join(args.output, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_tokenize(args: argparse.Namespace) -> int:
+    """Corpus -> learned BPE merges -> integer token ids -> Megatron
+    .bin/.idx shard pairs (+ vocab.parquet, merges.json): the
+    trains-ready handoff after curation."""
+    from rag_content_spark.operators.selection import (
+        bpe_encode_corpus,
+        bpe_pair_counts,
+        bpe_vocab,
+    )
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+    from rag_content_spark.sinks.megatron import write_megatron_shards
+
+    spark = get_spark("rag-spark-tokenize")
+    ensure_reader_confs(spark)
+    docs = spark.read.parquet(args.input)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_pair_counts(docs, top_n=args.merges).collect()
+    ]
+    vocab = bpe_vocab(docs, merges)
+    encoded = bpe_encode_corpus(docs, merges, vocab=vocab)
+    os.makedirs(args.output, exist_ok=True)
+    vocab.write.mode("overwrite").parquet(os.path.join(args.output, "vocab.parquet"))
+    with open(os.path.join(args.output, "merges.json"), "w") as f:
+        json.dump([list(m) for m in merges], f)
+    manifest = write_megatron_shards(
+        encoded,
+        os.path.join(args.output, "shards"),
+        tokens_col="token_ids",
+        n_shards=args.shards,
+        dtype=args.dtype,
+    ).collect()
+    stats = {
+        "docs": docs.count(),
+        "vocab_size": vocab.count(),
+        "merges": len(merges),
+        "shards": len(manifest),
+        "total_tokens": sum(m["n_tokens"] for m in manifest),
+    }
     print(json.dumps(stats))
     return 0
 

@@ -416,6 +416,82 @@ def bpe_apply(
     return words.mapInPandas(_run, schema=schema)
 
 
+def bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary induced by the merge list over this corpus:
+    (token, token_id, freq) with ids assigned by (freq DESC, token) —
+    the conventional frequency-ordered id space. Vocabulary-sized
+    single-partition window (ids must be globally dense)."""
+    from pyspark.sql import Window
+
+    wc = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    pieces = (
+        bpe_apply(wc, merges, word_col="word")
+        .select("wfreq", F.explode("bpe").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wfreq").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    return pieces.select(
+        "token", (F.row_number().over(w) - 1).alias("token_id"), "freq"
+    )
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Encode every document to integer token ids: (id, token_ids).
+
+    Shape: the Python BPE loop touches each DISTINCT word once
+    (:func:`bpe_apply`); documents explode to (id, pos, word), join the
+    word -> ids map, and regroup with order restored via
+    sort_array-of-structs (deterministic on any partitioning). The
+    word join is Zipf-skewed — AQE splits the hot heads.
+    """
+    if vocab is None:
+        vocab = bpe_vocab(docs, merges, text_col)
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .distinct()
+    )
+    word_ids = (
+        bpe_apply(words, merges, word_col="word")
+        .select("word", F.posexplode("bpe").alias("ppos", "token"))
+        .join(vocab.select("token", "token_id"), "token")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ppos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("_ids")
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word"))
+        .join(word_ids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "_ids"))),
+                    lambda s: s["_ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+
+
 def bpe_token_stats(
     docs: DataFrame,
     merges: list[tuple[str, str]],

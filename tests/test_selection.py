@@ -146,3 +146,54 @@ def test_bpe_top_n_ordering_is_total(spark):
     rows = [tuple(r) for r in bpe_pair_counts(df, top_n=2).collect()]
     # (a,b</w>)=2, (b,a</w>)=2 tie -> lexicographic (lhs, rhs)
     assert rows == [("a", "b</w>", 2), ("b", "a</w>", 2)]
+
+
+def test_bpe_encode_corpus_roundtrip(spark):
+    from rag_content_spark.operators.selection import (
+        bpe_encode_corpus,
+        bpe_vocab,
+    )
+
+    merges = [("l", "o"), ("lo", "w</w>")]
+    df = spark.createDataFrame(
+        [(1, "low lower low low"), (2, "lower")], ["doc_id", "text"]
+    )
+    vocab = {r["token"]: r["token_id"] for r in bpe_vocab(df, merges).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    got = {
+        r["doc_id"]: [inv[i] for i in r["token_ids"]]
+        for r in bpe_encode_corpus(df, merges).collect()
+    }
+    lower = ["lo", "w", "e", "r</w>"]
+    assert got[1] == ["low</w>"] + lower + ["low</w>", "low</w>"]  # order kept
+    assert got[2] == lower
+    # id space dense, frequency-ordered: low</w> (freq 3) gets id 0
+    # ahead of the freq-2 pieces of 'lower'
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert vocab["low</w>"] == 0
+
+
+def test_cli_tokenize_megatron(spark, tmp_path):
+    import json
+
+    from rag_content_spark.cli import main
+    from rag_content_spark.sinks.megatron import read_indexed_pair
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(10)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    out = str(tmp_path / "tok")
+    rc = main(["tokenize", "-i", src, "-o", out, "--merges", "20", "--shards", "2"])
+    assert rc == 0
+    stats = json.load(open(f"{out}/merges.json"))
+    assert len(stats) == 20
+    total = 0
+    import glob
+
+    for idx in sorted(glob.glob(f"{out}/shards/*.idx")):
+        seqs = read_indexed_pair(idx[: -len(".idx")])
+        total += sum(len(s) for s in seqs)
+    vocab = spark.read.parquet(f"{out}/vocab.parquet")
+    assert vocab.count() > 0
+    assert total > 0
