@@ -206,3 +206,27 @@ def test_llama_markdown_sections_cover_content(text):
     ]
     orig_lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
     assert sorted(sec_lines) == sorted(orig_lines)
+
+
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=12),
+    st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=3),
+                  st.text(alphabet="abcd", min_size=1, max_size=3)),
+        max_size=8,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_preserves_content(word, merge_pairs):
+    """Any merge list: the encoded pieces concatenate back to the
+    word + '</w>' marker, every step strictly shrinks, and encoding is
+    deterministic."""
+    from rag_content_spark.operators.selection import bpe_encode_word
+
+    ranks = {}
+    for pair in merge_pairs:
+        ranks.setdefault(pair, len(ranks))
+    out = bpe_encode_word(word, ranks)
+    assert "".join(out) == word + "</w>"
+    assert 1 <= len(out) <= len(word)
+    assert out == bpe_encode_word(word, ranks)
