@@ -108,6 +108,7 @@ HEADLINE = [
     "bpe_tokenize",       # BPE apply over the vocabulary + doc stats
     "selection_pipeline", # gate -> DSIR resample -> pack, one lazy plan
     "line_stats",         # Dolma-style per-line quality tagger
+    "corpus_datasheet",   # one-row corpus datasheet summary
 ]
 
 

@@ -4803,6 +4803,108 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_datasheet",
+    # One-row corpus datasheet (Gebru et al., "Datasheets for
+    # Datasets"): size, token totals, vocabulary, language-mix entropy,
+    # exact-dup rate, Gopher keep rate. Every term is a count or an
+    # integer-derived ratio rounded once.
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, len({_TOKENS_SQL}) AS n_tok,
+             {stable_hash64_sql('text')} AS h
+      FROM documents
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+      FROM t
+    ),
+    voc AS (
+      SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS vocab_size
+      FROM (SELECT {_TOKENS_SQL} AS tk FROM documents) d, unnest(d.tk) AS u(token)
+    ),
+    lent AS (
+      SELECT round(sum(-p * ln(p)), 6) AS lang_entropy
+      FROM (
+        SELECT CAST(count(*) AS DOUBLE)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM t) AS p
+        FROM t GROUP BY lang
+      )
+    ),
+    keep AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keep
+      FROM (SELECT doc_id FROM (SELECT doc_id, text, {_TOKENS_SQL} AS tok FROM documents)
+        WHERE (len(tok) >= 50 AND len(tok) <= 100000)
+          AND (CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) >= 3.0
+               AND CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE) / len(tok) <= 10.0)
+          AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(tok) <= 0.1)
+          AND (CAST(len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(tok) >= 0.8)
+          AND (len(list_filter(tok, x -> lower(x) IN {_GOPHER_STOP_SQL})) >= 2))
+    )
+    SELECT b.n_docs, b.total_tokens, v.vocab_size,
+           round(CAST(b.total_tokens AS DOUBLE) / b.n_docs, 6) AS mean_doc_tokens,
+           l.lang_entropy,
+           round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_docs, 6) AS exact_dup_rate,
+           round(CAST(k.n_keep AS DOUBLE) / b.n_docs, 6) AS gopher_keep_rate
+    FROM base b, voc v, lent l, keep k
+    """,
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.hashing import stable_hash64
+    from rag_content_spark.operators.quality import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(tok).alias("n_tok"),
+        stable_hash64(F.col("text")).alias("h"),
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.count_distinct("h").alias("n_distinct"),
+    )
+    voc = docs.select(F.explode(tok).alias("token")).agg(
+        F.count_distinct("token").alias("vocab_size")
+    )
+    n_total = t.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    lent = (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(n_total))
+        .select((F.col("_c").cast("double") / F.col("_n")).alias("p"))
+        .agg(F.round(F.sum(-F.col("p") * F.log("p")), 6).alias("lang_entropy"))
+    )
+    keep = docs.filter(gopher_rules("text")["keep"]).agg(
+        F.count(F.lit(1)).alias("n_keep")
+    )
+    return (
+        base.join(F.broadcast(voc))
+        .join(F.broadcast(lent))
+        .join(F.broadcast(keep))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_doc_tokens"),
+            "lang_entropy",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.col("n_keep").cast("double") / F.col("n_docs"), 6
+            ).alias("gopher_keep_rate"),
+        )
+    )
+
+
+@register(
     "line_stats",
     # Dolma/RedPajama-style per-line quality tagger over the
     # synthesized markdown corpus (has real line structure): non-empty
