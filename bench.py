@@ -109,6 +109,7 @@ HEADLINE = [
     "selection_pipeline", # gate -> DSIR resample -> pack, one lazy plan
     "line_stats",         # Dolma-style per-line quality tagger
     "corpus_datasheet",   # one-row corpus datasheet summary
+    "text_normalize",     # accent-fold + case + whitespace canonical keys
 ]
 
 

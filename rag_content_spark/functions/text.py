@@ -126,3 +126,29 @@ def html_entity_decode(col: Column | str) -> Column:
             continue
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+# accent-fold table shared VERBATIM by the Spark and DuckDB translate()
+# calls — folding is defined by this table, not by an ICU call, so both
+# engines normalize identically (an ICU strip_accents would cover more
+# codepoints but could never be hash-matched cross-engine).
+ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for matching/dedup keys: lowercase,
+    accent fold (shared table), whitespace collapse, trim. Narrow
+    expressions only."""
+    from pyspark.sql import functions as F
+
+    folded = F.translate(F.lower(_c(col)), ACCENT_FROM.lower(), ACCENT_TO.lower())
+    return F.trim(F.regexp_replace(folded, r"\s+", " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`normalize_text` over ``expr``."""
+    return (
+        f"trim(regexp_replace(translate(lower({expr}), "
+        f"'{ACCENT_FROM.lower()}', '{ACCENT_TO.lower()}'), '\\s+', ' ', 'g'))"
+    )

@@ -25,6 +25,7 @@ from rag_content_spark.functions.text import (
     basename,
     first_line_title,
     frontmatter_field,
+    normalize_text_sql,
     tokens,
     toml_block,
     toml_scalar,
@@ -4800,6 +4801,47 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_pair_counts(docs, top_n=50).collect()
     ]
     return bpe_token_stats(docs, merges)
+
+
+@register(
+    "text_normalize",
+    # Canonical normalization for matching/dedup keys: the corpus is
+    # deterministically perturbed (accents / case / doubled spaces by
+    # doc_id mod 3), then normalized; variants of the same doc collapse
+    # to one key. Accent folding is a SHARED translate table, not ICU —
+    # that is what makes it hash-matchable cross-engine.
+    f"""
+    WITH perturbed AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN translate(text, 'aeiou', 'áéíóú')
+          WHEN 1 THEN upper(text)
+          ELSE replace(text, ' ', '  ')
+        END AS vtext,
+        text
+      FROM documents
+    )
+    SELECT doc_id,
+           {normalize_text_sql('vtext')} AS norm,
+           ({normalize_text_sql('vtext')} = {normalize_text_sql('text')}) AS collapses
+    FROM perturbed
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    vtext = (
+        F.when(F.col("doc_id") % 3 == 0, F.translate("text", "aeiou", "áéíóú"))
+        .when(F.col("doc_id") % 3 == 1, F.upper("text"))
+        .otherwise(F.regexp_replace("text", " ", "  "))
+    )
+    p = docs.select("doc_id", vtext.alias("vtext"), "text")
+    return p.select(
+        "doc_id",
+        normalize_text("vtext").alias("norm"),
+        (normalize_text("vtext") == normalize_text("text")).alias("collapses"),
+    )
 
 
 @register(

@@ -41,3 +41,16 @@ def test_idempotent(spark):
     once = [n for n, _ in _norm(spark, urls)]
     twice = [n for n, _ in _norm(spark, once)]
     assert once == twice
+
+
+def test_normalize_text_folds_accents_case_whitespace(spark):
+    from rag_content_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Héllo   Wörld\t"), (2, "hello world"), (3, "ÀÉÎÕÜ ç ñ")],
+        ["id", "t"],
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", normalize_text("t").alias("n")).collect()}
+    assert got[1] == "hello world"
+    assert got[1] == got[2]
+    assert got[3] == "aeiou c n"
