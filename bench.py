@@ -110,6 +110,7 @@ HEADLINE = [
     "line_stats",         # Dolma-style per-line quality tagger
     "corpus_datasheet",   # one-row corpus datasheet summary
     "text_normalize",     # accent-fold + case + whitespace canonical keys
+    "robots_filter",      # robots.txt politeness gate over a crawl frontier
 ]
 
 

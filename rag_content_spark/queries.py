@@ -4803,6 +4803,127 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges)
 
 
+_ROBOTS_STAR_SQL = (
+    "'# policy' || chr(10) || 'User-agent: googlebot' || chr(10) || "
+    "'Disallow: /google-only' || chr(10) || 'User-agent: *' || chr(10) || "
+    "'Disallow: /tmp/' || chr(10) || 'Allow: /tmp/pub' || chr(10) || "
+    "'Disallow:' || chr(10) || 'Crawl-delay: 10' || chr(10) || "
+    "'User-agent: other' || chr(10) || 'Disallow: /'"
+)
+_ROBOTS_BOT_SQL = "'User-agent: bot' || chr(10) || 'Disallow: /'"
+
+
+@register(
+    "robots_filter",
+    # robots.txt politeness gate over a synthesized crawl frontier:
+    # parse the 'User-agent: *' section (plain-prefix Allow/Disallow),
+    # longest-prefix match with Allow winning length ties; no matching
+    # rule or no robots file means allowed. Both engines parse the same
+    # bytes with the same line/section walk.
+    f"""
+    WITH urls AS (
+      SELECT doc_id, 'd' || (doc_id % 5) || '.com' AS domain,
+        CASE doc_id % 4
+          WHEN 0 THEN '/tmp/x' || doc_id
+          WHEN 1 THEN '/tmp/pub/' || doc_id
+          WHEN 2 THEN '/home/' || doc_id
+          ELSE '/tmp/pub' END AS path
+      FROM documents
+    ),
+    robots AS (
+      SELECT 'd' || r.range || '.com' AS domain,
+        CASE WHEN r.range < 3 THEN {_ROBOTS_STAR_SQL}
+             ELSE {_ROBOTS_BOT_SQL} END AS rt
+      FROM range(0, 4) r
+    ),
+    kvt AS (
+      SELECT domain,
+        list_transform(string_split(rt, chr(10)), l -> {{
+          'k': lower(trim(split_part(l, ':', 1))),
+          'v': CASE WHEN contains(l, ':')
+                    THEN trim(regexp_replace(regexp_replace(l, '^[^:]*:', ''), '#.*$', ''))
+                    ELSE '' END
+        }}) AS kv
+      FROM robots
+    ),
+    bounds AS (
+      SELECT domain, kv,
+        list_filter(generate_series(1, len(kv)),
+                    i -> kv[i].k = 'user-agent' AND kv[i].v = '*')[1] AS star
+      FROM kvt
+    ),
+    sec AS (
+      SELECT domain,
+        kv[star + 1 :
+           coalesce(list_filter(generate_series(1, len(kv)),
+                    i -> kv[i].k = 'user-agent' AND i > star)[1],
+                    len(kv) + 1) - 1] AS section
+      FROM bounds WHERE star IS NOT NULL
+    ),
+    rules AS (
+      SELECT domain, (r.k = 'allow') AS allow, r.v AS prefix
+      FROM sec,
+        unnest(list_filter(section, s -> s.k IN ('allow','disallow') AND s.v <> '')) AS u(r)
+    ),
+    matched AS (
+      SELECT u.domain, u.path,
+             arg_max(rl.allow, length(rl.prefix) * 2 + CAST(rl.allow AS INT)) AS verdict
+      FROM urls u JOIN rules rl ON u.domain = rl.domain
+      WHERE starts_with(u.path, rl.prefix)
+      GROUP BY u.domain, u.path
+    )
+    SELECT u.doc_id, u.domain, u.path,
+           coalesce(m.verdict, TRUE) AS allowed
+    FROM urls u LEFT JOIN matched m ON u.domain = m.domain AND u.path = m.path
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.robots import (
+        filter_allowed_urls,
+        parse_robots_rules,
+    )
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 5).cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("/tmp/x"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("/tmp/pub/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("/home/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.lit("/tmp/pub"))
+        .alias("path"),
+    )
+    star = (
+        "# policy\nUser-agent: googlebot\nDisallow: /google-only\n"
+        "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/pub\nDisallow:\n"
+        "Crawl-delay: 10\nUser-agent: other\nDisallow: /"
+    )
+    bot = "User-agent: bot\nDisallow: /"
+    robots = spark.range(4).select(
+        F.concat(F.lit("d"), F.col("id").cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.when(F.col("id") < 3, F.lit(star)).otherwise(F.lit(bot)).alias(
+            "robots_txt"
+        ),
+    )
+    rules = parse_robots_rules(robots)
+    return filter_allowed_urls(urls, rules).select(
+        "doc_id", "domain", "path", "allowed"
+    )
+
+
 @register(
     "text_normalize",
     # Canonical normalization for matching/dedup keys: the corpus is
