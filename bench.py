@@ -111,6 +111,7 @@ HEADLINE = [
     "corpus_datasheet",   # one-row corpus datasheet summary
     "text_normalize",     # accent-fold + case + whitespace canonical keys
     "robots_filter",      # robots.txt politeness gate over a crawl frontier
+    "c4_clean",           # C4 line-cleaning rules (terminal punct, junk markers)
 ]
 
 

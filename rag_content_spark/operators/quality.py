@@ -147,6 +147,52 @@ def line_stats(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line cleaning (Raffel et al. 2020, the public C4 rules):
+    keep a line only if it ends in terminal punctuation, has at least
+    ``min_words`` words, and carries none of the junk markers
+    (``javascript``, ``lorem ipsum``, ``{``); keep the DOCUMENT only if
+    at least ``min_lines`` lines survive.
+
+    Returns (id, clean_text, n_kept, n_dropped, keep). Narrow
+    expressions over one materialized line-array projection.
+    """
+    nonempty = F.filter(
+        F.transform(
+            F.split(F.col(text_col) if isinstance(text_col, str) else text_col, "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    bound = docs.select(F.col(id_col), nonempty.alias("_lines"))
+    lines = F.col("_lines")
+
+    def _good(x: Column) -> Column:
+        low = F.lower(x)
+        return (
+            F.substring(x, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(F.split(x, r"\s+")) >= min_words)
+            & ~low.contains("javascript")
+            & ~low.contains("lorem ipsum")
+            & ~x.contains("{")
+        )
+
+    kept = bound.select(F.col(id_col), F.filter(lines, _good).alias("_kept"), lines)
+    return kept.select(
+        F.col(id_col),
+        F.array_join("_kept", "\n").alias("clean_text"),
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        (F.size("_lines") - F.size("_kept")).cast("bigint").alias("n_dropped"),
+        (F.size("_kept") >= min_lines).alias("keep"),
+    )
+
+
 def dup_ngram_fracs(
     docs: DataFrame,
     top_n: int = 3,

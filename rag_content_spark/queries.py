@@ -4803,6 +4803,63 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges)
 
 
+@register(
+    "c4_clean",
+    # C4 line-cleaning rules (Raffel et al. 2020) over the synthesized
+    # markdown corpus with '.' appended to every 3rd line (so the
+    # terminal-punctuation rule actually partitions): keep lines ending
+    # in terminal punct with >= 3 words and no junk markers; keep docs
+    # with >= 3 surviving lines. NB DuckDB lambda indices are 1-based,
+    # Spark's 0-based — the (i-1) below aligns them.
+    f"""
+    WITH md AS (SELECT doc_id, {_md_doc_sql()} AS m FROM documents),
+    pert AS (
+      SELECT doc_id,
+        array_to_string(list_transform(string_split(m, chr(10)),
+          (l, i) -> CASE WHEN (i - 1) % 3 = 0 THEN l || '.' ELSE l END),
+          chr(10)) AS t
+      FROM md
+    ),
+    l AS (
+      SELECT doc_id,
+        list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                    x -> x <> '') AS lines
+      FROM pert
+    ),
+    k AS (
+      SELECT doc_id, lines,
+        list_filter(lines, x ->
+          right(x, 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> '')) >= 3
+          AND NOT contains(lower(x), 'javascript')
+          AND NOT contains(lower(x), 'lorem ipsum')
+          AND NOT contains(x, '{{')) AS kept
+      FROM l
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+           (len(kept) >= 3) AS keep
+    FROM k
+    """,
+)
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.quality import c4_line_filter
+
+    md = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("_md"))
+    pert = md.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split("_md", "\n"),
+                lambda l, i: F.when(i % 3 == 0, F.concat(l, F.lit("."))).otherwise(l),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return c4_line_filter(pert)
+
+
 _ROBOTS_STAR_SQL = (
     "'# policy' || chr(10) || 'User-agent: googlebot' || chr(10) || "
     "'Disallow: /google-only' || chr(10) || 'User-agent: *' || chr(10) || "

@@ -171,3 +171,28 @@ def test_line_stats_signals(spark):
     assert abs(r["mean_line_chars"] - exp_mean) < 1e-4
     # empty doc: zero lines, all-zero signals (no div-by-zero)
     assert got[2]["n_lines"] == 0 and got[2]["mean_line_chars"] == 0.0
+
+
+def test_c4_line_filter_rules(spark):
+    from rag_content_spark.operators.quality import c4_line_filter
+
+    text = (
+        "This line survives the filter just fine.\n"
+        "short.\n"                          # < 3 words
+        "no terminal punctuation here\n"
+        "Uses javascript so it is dropped.\n"
+        "Contains a { brace so dropped.\n"
+        "lorem ipsum filler is dropped too.\n"
+        "Another good line stays here!\n"
+        "A third keeper makes the doc pass?\n"
+    )
+    df = spark.createDataFrame([(1, text), (2, "tiny.\n")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    r = got[1]
+    assert r["n_kept"] == 3 and r["keep"] is True
+    assert r["clean_text"].splitlines() == [
+        "This line survives the filter just fine.",
+        "Another good line stays here!",
+        "A third keeper makes the doc pass?",
+    ]
+    assert got[2]["keep"] is False and got[2]["n_kept"] == 0
