@@ -112,6 +112,7 @@ HEADLINE = [
     "text_normalize",     # accent-fold + case + whitespace canonical keys
     "robots_filter",      # robots.txt politeness gate over a crawl frontier
     "c4_clean",           # C4 line-cleaning rules (terminal punct, junk markers)
+    "bitext_margin",      # LASER margin-criterion bitext mining
 ]
 
 

@@ -315,3 +315,63 @@ def mine_contrastive_pairs(
         ((F.col("kind") == "pos") & (F.col("rank") <= n_pos))
         | ((F.col("kind") == "neg") & (F.col("rank") <= n_neg))
     )
+
+
+def mine_bitext(
+    src,
+    tgt,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "DataFrame":
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    ccMatrix/LASER criterion): for each source vector, its best target
+    by cosine, scored by margin = best / mean(top-k) — absolute cosine
+    thresholds drift per language pair, the margin normalizes by the
+    local neighborhood density.
+
+    Exact all-pairs scoring (registered/oracle path); at 100 TB the
+    identical ranking runs over an ANN shortlist (operators/similarity
+    top_k_batch / query_ann_index) — the margin math is unchanged.
+    Determinism: scores are fixed-point 1e-6 BIGINTs, so the top-k sum
+    is an exact integer and margin = best*k/sum is identical on any
+    engine and partitioning. Ties break by target id.
+    """
+    from pyspark.sql import Window
+
+    from rag_content_spark.functions.vector import cosine
+
+    a = src.select(
+        F.col(id_col).alias("id_a"), F.col(embedding_col).alias("_ea")
+    )
+    b = tgt.select(
+        F.col(id_col).alias("id_b"), F.col(embedding_col).alias("_eb")
+    )
+    scored = a.crossJoin(b).select(
+        "id_a",
+        "id_b",
+        F.round(cosine("_ea", "_eb") * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("s6"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("s6"), "id_b")
+    top = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = top.groupBy("id_a").agg(
+        F.min_by(F.col("id_b"), F.col("_rn")).alias("id_b"),
+        F.max("s6").alias("_best6"),
+        F.sum("s6").alias("_sum6"),
+    )
+    return (
+        agg.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_best6").cast("double") / 1e6, 6).alias("score"),
+            F.round(
+                F.col("_best6").cast("double") * k / F.col("_sum6"), 6
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") >= margin_threshold)
+    )

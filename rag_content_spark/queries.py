@@ -4804,6 +4804,48 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bitext_margin",
+    # Margin-based bitext mining (Artetxe & Schwenk 2019): even vec_ids
+    # are the "source language", odd the "target"; best target per
+    # source by cosine, margin = best/mean(top-4) over fixed-point
+    # scores (integer top-k sum -> engine-exact), keep margin >= 1.05.
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings WHERE vec_id % 2 = 1),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(round({cosine_sql('ea', 'eb')} * 1000000) AS BIGINT) AS s6
+      FROM a, b
+    ),
+    ranked AS (
+      SELECT id_a, id_b, s6,
+             row_number() OVER (PARTITION BY id_a ORDER BY s6 DESC, id_b) AS rn
+      FROM scored
+    ),
+    agg AS (
+      SELECT id_a,
+             arg_min(id_b, rn) AS id_b,
+             CAST(max(s6) AS BIGINT) AS best6,
+             CAST(sum(s6) AS BIGINT) AS sum6
+      FROM ranked WHERE rn <= 4 GROUP BY id_a
+    )
+    SELECT id_a, id_b,
+           round(CAST(best6 AS DOUBLE) / 1000000, 6) AS score,
+           round(CAST(best6 AS DOUBLE) * 4 / sum6, 6) AS margin
+    FROM agg
+    WHERE round(CAST(best6 AS DOUBLE) * 4 / sum6, 6) >= 1.05
+    """,
+)
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import mine_bitext
+
+    emb = _emb(spark, sf_dir)
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext(src, tgt, k=4, margin_threshold=1.05)
+
+
+@register(
     "c4_clean",
     # C4 line-cleaning rules (Raffel et al. 2020) over the synthesized
     # markdown corpus with '.' appended to every 3rd line (so the

@@ -164,3 +164,40 @@ def test_mine_contrastive_pairs(spark):
     assert by_kind["pos"]["vec_id"] == 2
     assert by_kind["neg"]["vec_id"] == 3  # the HARD one, not the easy one
     assert len(out) == 2
+
+
+def test_mine_bitext_margin_prefers_isolated_matches(spark):
+    from rag_content_spark.operators.search import mine_bitext
+
+    # source 0 has ONE clear match (b10) in an empty neighborhood ->
+    # high margin; source 2's neighborhood is dense (three near-equal
+    # targets) -> margin ~1 -> filtered out
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    tgt = spark.createDataFrame(
+        [
+            (10, [0.99, 0.1, 0.0]),   # close to src 0
+            (11, [0.0, 0.0, 1.0]),    # orthogonal
+            (12, [-1.0, 0.2, 0.0]),   # opposite
+            (13, [0.0, 0.98, 0.2]),   # dense cluster near src 2
+            (14, [0.0, 0.97, 0.24]),
+            (15, [0.0, 0.99, 0.14]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["id_a"]: r for r in mine_bitext(src, tgt, k=3, margin_threshold=1.05).collect()}
+    assert 0 in rows and rows[0]["id_b"] == 10 and rows[0]["margin"] > 1.5
+    assert 2 not in rows  # dense neighborhood -> margin below threshold
+
+
+def test_mine_bitext_deterministic_tiebreak(spark):
+    from rag_content_spark.operators.search import mine_bitext
+
+    src = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    tgt = spark.createDataFrame(
+        [(21, [1.0, 0.0]), (20, [1.0, 0.0]), (22, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    r = mine_bitext(src, tgt, k=2, margin_threshold=0.0).collect()[0]
+    assert r["id_b"] == 20  # equal scores -> smallest target id
