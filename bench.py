@@ -113,6 +113,7 @@ HEADLINE = [
     "robots_filter",      # robots.txt politeness gate over a crawl frontier
     "c4_clean",           # C4 line-cleaning rules (terminal punct, junk markers)
     "bitext_margin",      # LASER margin-criterion bitext mining
+    "pagerank",           # fixed-point power iteration, exact integer oracle
 ]
 
 

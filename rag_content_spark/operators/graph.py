@@ -1,0 +1,72 @@
+"""Graph operators: fixed-point PageRank (power iteration as exact
+integer arithmetic).
+
+PageRank (Page et al. 1999) over an edge DataFrame, with every rank a
+SCALE-denominated BIGINT and every update floor-divided — so iteration
+t+1 is a pure function of iteration t with no floating-point order
+sensitivity. That is what lets an iterative algorithm be value-hash
+checked against a DuckDB recursive-CTE oracle (same trick as the
+dedup connected components, extended to weighted propagation).
+
+    r_{t+1}(v) = (100 - d)% * SCALE / N  +  d% * sum_u r_t(u) / out(u)
+
+with all divisions floor (identical for non-negative integers on both
+engines). Dangling mass (nodes with no outlinks) is dropped — the
+deterministic choice; renormalize downstream if the L1 norm matters.
+
+Scale shape: each iteration is one (src) equi-join + one (dst)
+map-side-combining aggregate — the standard Pregel step. The lazy plan
+grows one join per iteration; at real scale checkpoint/persist every
+few iterations to cut lineage (documented, same as any Spark iterative
+workload). N arrives as a driver scalar (same tiny-collect pattern as
+the k-means centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000_000
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank6) after ``iters`` exact integer power iterations;
+    rank6 is the fixed-point rank descaled to a 1e-6-rounded double."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(src.alias("node")).agg(F.count(F.lit(1)).alias("out"))
+    n = nodes.count()  # driver scalar: the graph's node count
+    base = (100 - damping_pct) * SCALE // 100 // n
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("bigint").alias("r"))
+    for _ in range(iters):
+        contribs = (
+            edges.select(src.alias("node"), dst.alias("_dst"))
+            .join(ranks, "node")
+            .join(outdeg, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("r div out").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_pct} * coalesce(_sum, 0) div 100")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select(
+        "node", F.round(F.col("r").cast("double") / SCALE, 6).alias("rank6")
+    )

@@ -4804,6 +4804,63 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pagerank",
+    # Fixed-point PageRank over a synthesized domain link graph (ring +
+    # doc-derived edges, so every node has in- and out-links): 10 exact
+    # integer power iterations — floor-divided BIGINT ranks make the
+    # iterative algorithm value-hash checkable, the weighted-propagation
+    # extension of the dedup connected-components trick.
+    """
+    WITH RECURSIVE
+    ring AS (SELECT 'd' || r.range AS src, 'd' || ((r.range + 1) % 7) AS dst
+             FROM range(0, 7) r),
+    docedges AS (SELECT 'd' || (doc_id % 7) AS src,
+                        'd' || ((doc_id * 3 + 1) % 7) AS dst
+                 FROM documents),
+    edges AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM docedges),
+    nodes AS (SELECT DISTINCT node
+              FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out
+               FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    pr(it, node, r) AS (
+      SELECT 0, node, CAST((SELECT CAST(1000000000 AS BIGINT) // n FROM nn) AS BIGINT)
+      FROM nodes
+      UNION ALL
+      SELECT c.it + 1, c.node,
+             CAST((SELECT CAST(15 AS BIGINT) * 1000000000 // 100 // n FROM nn)
+                  + CAST(85 AS BIGINT) * c.contrib // 100 AS BIGINT)
+      FROM (
+        SELECT p.it, e.dst AS node, CAST(sum(p.r // o.out) AS BIGINT) AS contrib
+        FROM pr p JOIN edges e ON e.src = p.node JOIN outdeg o ON o.node = p.node
+        GROUP BY p.it, e.dst
+      ) c
+      WHERE c.it < 10
+    )
+    SELECT node, round(CAST(r AS DOUBLE) / 1000000000, 6) AS rank6
+    FROM pr WHERE it = 10
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.graph import pagerank_fixed
+
+    ring = spark.range(7).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("src"),
+        F.concat(F.lit("d"), ((F.col("id") + 1) % 7).cast("string")).alias("dst"),
+    )
+    docedges = _docs(spark, sf_dir).select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias("src"),
+        F.concat(
+            F.lit("d"), ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+        ).alias("dst"),
+    )
+    # toy-graph instantiation: single-partition edges keep the
+    # 10-iteration DAG at one task per stage (the operator itself is
+    # partitioning-agnostic — real edge tables arrive partitioned)
+    return pagerank_fixed(ring.unionAll(docedges).coalesce(1), iters=10)
+
+
+@register(
     "bitext_margin",
     # Margin-based bitext mining (Artetxe & Schwenk 2019): even vec_ids
     # are the "source language", odd the "target"; best target per

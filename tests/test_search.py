@@ -201,3 +201,16 @@ def test_mine_bitext_deterministic_tiebreak(spark):
     )
     r = mine_bitext(src, tgt, k=2, margin_threshold=0.0).collect()[0]
     assert r["id_b"] == 20  # equal scores -> smallest target id
+
+
+def test_mine_bitext_np_equals_exact_on_real_embeddings(spark):
+    from rag_content_spark.operators.search import mine_bitext, mine_bitext_np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    exact = sorted(map(tuple, mine_bitext(src, tgt, k=4, margin_threshold=1.05).collect()))
+    fast = sorted(map(tuple, mine_bitext_np(src, tgt, k=4, margin_threshold=1.05).collect()))
+    assert len(exact) > 0
+    assert fast == exact
