@@ -4894,12 +4894,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rag_content_spark.operators.search import mine_bitext
+    # registered path = the vectorized twin (numpy cosine matrix per
+    # Arrow batch; 25 s -> ~1 s at sf0.1) — equality-pinned against the
+    # exact declarative mine_bitext in tests, same ivf_pq_topk pattern
+    from rag_content_spark.operators.search import mine_bitext_np
 
     emb = _emb(spark, sf_dir)
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
-    return mine_bitext(src, tgt, k=4, margin_threshold=1.05)
+    return mine_bitext_np(src, tgt, k=4, margin_threshold=1.05)
 
 
 @register(
