@@ -114,6 +114,7 @@ HEADLINE = [
     "c4_clean",           # C4 line-cleaning rules (terminal punct, junk markers)
     "bitext_margin",      # LASER margin-criterion bitext mining
     "pagerank",           # fixed-point power iteration, exact integer oracle
+    "ccnet_buckets",      # CCNet head-middle-tail perplexity tertiles
 ]
 
 

@@ -4804,6 +4804,51 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccnet_buckets",
+    # CCNet's head/middle/tail split (Wenzek et al. 2020): tertiles of
+    # the per-doc LM cross-entropy (doc_entropy's unigram proxy), most
+    # fluent third = head. ntile over a total order is rank-exact on
+    # both engines; at 100 TB the same split uses approx tertile
+    # boundaries broadcast into a map-side comparison instead of a
+    # global window.
+    f"""
+    WITH ex AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+    ),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY token),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+    probs AS (SELECT token, CAST(c AS DOUBLE) / (SELECT total FROM total) AS p FROM counts),
+    xents AS (
+      SELECT ex.doc_id, round(avg(-ln(p.p)), 6) AS xent
+      FROM ex JOIN probs p USING (token) GROUP BY ex.doc_id
+    )
+    SELECT doc_id, xent,
+      CASE ntile(3) OVER (ORDER BY xent, doc_id)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM xents
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from rag_content_spark.operators.text_analysis import unigram_logloss
+
+    x = unigram_logloss(_docs(spark, sf_dir)).select("doc_id", "xent")
+    w = Window.orderBy("xent", "doc_id")
+    bucket = F.ntile(3).over(w)
+    return x.select(
+        "doc_id",
+        "xent",
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@register(
     "pagerank",
     # Fixed-point PageRank over a synthesized domain link graph (ring +
     # doc-derived edges, so every node has in- and out-links): 10 exact
