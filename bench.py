@@ -115,6 +115,7 @@ HEADLINE = [
     "bitext_margin",      # LASER margin-criterion bitext mining
     "pagerank",           # fixed-point power iteration, exact integer oracle
     "ccnet_buckets",      # CCNet head-middle-tail perplexity tertiles
+    "bpe_fertility",      # tokenizer pieces-per-word by language
 ]
 
 

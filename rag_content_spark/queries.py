@@ -4725,19 +4725,11 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SENTINEL = 9223372036854775807  # "no merge applies" rank
 
-
-@register(
-    "bpe_tokenize",
-    # Apply the 50 learned merges to the corpus — tiktoken/GPT-2
-    # encode-time semantics (merge the lowest-ranked pair, leftmost
-    # occurrence first, one at a time, re-evaluating after each). The
-    # oracle replays the same greedy loop as a recursive CTE over the
-    # vocabulary: each step rewrites one word's symbol list; a word is
-    # final when no learned pair occurs in it. Ranks are ordinal under
-    # the same total order (cnt DESC, lhs, rhs) on both engines.
-    f"""
-    WITH RECURSIVE {_BPE_BASE_SQL},
-    merges AS (
+# the BPE-apply recursive machinery (shared by bpe_tokenize and
+# bpe_fertility): learn 50 ranked merges from `pairs`, replay the
+# greedy lowest-rank-leftmost loop per vocabulary word, end at `vocab`
+# = (word, n_bpe)
+_BPE_APPLY_CTES = f"""merges AS (
       SELECT lhs, rhs,
              row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rank
       FROM (
@@ -4778,7 +4770,21 @@ _BPE_SENTINEL = 9223372036854775807  # "no merge applies" rank
       FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
            unnest(t.tk) AS u(word)
       GROUP BY doc_id, u.word
-    )
+    )"""
+
+
+@register(
+    "bpe_tokenize",
+    # Apply the 50 learned merges to the corpus — tiktoken/GPT-2
+    # encode-time semantics (merge the lowest-ranked pair, leftmost
+    # occurrence first, one at a time, re-evaluating after each). The
+    # oracle replays the same greedy loop as a recursive CTE over the
+    # vocabulary: each step rewrites one word's symbol list; a word is
+    # final when no learned pair occurs in it. Ranks are ordinal under
+    # the same total order (cnt DESC, lhs, rhs) on both engines.
+    f"""
+    WITH RECURSIVE {_BPE_BASE_SQL},
+    {_BPE_APPLY_CTES}
     SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
            CAST(sum(d.cnt * v.n_bpe) AS BIGINT) AS n_bpe,
            round(CAST(sum(d.cnt * v.n_bpe) AS DOUBLE)
@@ -4801,6 +4807,54 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_pair_counts(docs, top_n=50).collect()
     ]
     return bpe_token_stats(docs, merges)
+
+
+@register(
+    "bpe_fertility",
+    # Tokenizer fertility by language (BPE pieces per whitespace word)
+    # — the standard multilingual tokenizer-equity metric: a shared
+    # vocabulary over-segments under-represented languages, and this
+    # surfaces it per lang. Same recursive BPE-apply machinery as
+    # bpe_tokenize, aggregated by documents.lang.
+    f"""
+    WITH RECURSIVE {_BPE_BASE_SQL},
+    {_BPE_APPLY_CTES},
+    langs AS (SELECT doc_id, lang FROM documents)
+    SELECT l.lang,
+           CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(d.cnt * v.n_bpe) AS BIGINT) AS n_bpe,
+           round(CAST(sum(d.cnt * v.n_bpe) AS DOUBLE)
+                 / CAST(sum(d.cnt) AS DOUBLE), 6) AS fertility
+    FROM docwc d JOIN vocab v USING (word) JOIN langs l USING (doc_id)
+    GROUP BY l.lang
+    """,
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import (
+        bpe_pair_counts,
+        bpe_token_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_pair_counts(docs, top_n=50).collect()
+    ]
+    stats = bpe_token_stats(docs, merges)
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_bpe").alias("n_bpe"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )
 
 
 @register(
