@@ -116,6 +116,7 @@ HEADLINE = [
     "pagerank",           # fixed-point power iteration, exact integer oracle
     "ccnet_buckets",      # CCNet head-middle-tail perplexity tertiles
     "bpe_fertility",      # tokenizer pieces-per-word by language
+    "returned_items",     # TPC-H Q10 shape (returned-item revenue top-20)
 ]
 
 

@@ -4809,6 +4809,70 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(docs, merges)
 
 
+_Q10_START = 881971200  # 1997-12-13 UTC; window = 90 days
+_Q10_END = _Q10_START + 90 * 86400
+
+
+@register(
+    "returned_items",
+    # TPC-H Q10 shape: returned-item reporting — customers whose
+    # returned lineitems ('R') in a 90-day order window lost the most
+    # revenue; customer x nation broadcast, money through DECIMAL,
+    # deterministic top-20.
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND floor(epoch(o.o_orderdate)) >= {_Q10_START}
+      AND floor(epoch(o.o_orderdate)) < {_Q10_END}
+    GROUP BY c.c_custkey, c.c_name, n.n_name, acctbal
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.withColumn("_ots", _ts_sec_col(o, "o_orderdate")).filter(
+        (F.col("_ots") >= _Q10_START) & (F.col("_ots") < _Q10_END)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            c["c_acctbal"].cast("double").alias("acctbal"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 @register(
     "bpe_fertility",
     # Tokenizer fertility by language (BPE pieces per whitespace word)
