@@ -320,3 +320,37 @@ def streaming_dsir_score(
     if threshold is not None:
         scored = scored.filter(F.col("logw_mean") >= F.lit(threshold))
     return scored
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the ad-attribution
+    shape (impression joined to the click that follows it within
+    ``within``).
+
+    Both sides carry watermarks and the join condition bounds
+    right_ts in [left_ts, left_ts + within], so Spark can expire join
+    state: impression state lives until its window can no longer match
+    under the right-side watermark, click state until the left-side
+    watermark passes — WITHOUT the time bound the state would grow
+    forever. At 100 TB this is the only viable stream-stream join
+    shape; the batch twin is operators/temporal.range_join_banded.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond, "inner")

@@ -265,3 +265,44 @@ def test_streaming_dsir_threshold_gates(spark):
     ratio_map = {b: 5_000_000 for b in _buckets("doc_id = 1") - _buckets("doc_id = 2")}
     kept = streaming_dsir_score(docs, ratio_map, buckets=64, threshold=1.0)
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_streaming_interval_join_attributes_within_bound(spark, tmp_path):
+    """Impressions joined to clicks within 1 hour; the 2-hour-later
+    click must NOT attribute."""
+    import json
+
+    from rag_content_spark.streaming.aggregate import streaming_interval_join
+
+    imp_dir = tmp_path / "imp"
+    clk_dir = tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    with open(imp_dir / "i.json", "w") as fh:
+        for i, ts in [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")]:
+            fh.write(json.dumps({"ad_id": i, "ts": ts}) + "\n")
+    with open(clk_dir / "c.json", "w") as fh:
+        for i, ts in [(1, "2024-01-01 10:30:00"),   # within 1h -> joins
+                      (2, "2024-01-01 14:30:00")]:  # 2.5h later -> no
+            fh.write(json.dumps({"ad_id": i, "ts": ts}) + "\n")
+    schema = T.StructType(
+        [T.StructField("ad_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    imp = spark.readStream.schema(schema).json(
+        str(imp_dir), timestampFormat="yyyy-MM-dd HH:mm:ss"
+    )
+    clk = spark.readStream.schema(schema).json(
+        str(clk_dir), timestampFormat="yyyy-MM-dd HH:mm:ss"
+    ).withColumnRenamed("ts", "click_ts")
+    out = streaming_interval_join(
+        imp, clk, key_col="ad_id", left_ts="ts", right_ts="click_ts"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attrib").collect()
+    assert len(rows) == 1 and rows[0]["ad_id"] == 1
