@@ -133,7 +133,9 @@ def _ratio_table(pr: DataFrame, pt: DataFrame, buckets: int) -> DataFrame:
     tt = pt.agg(F.max("_total").alias("_tt"))
     joined = (
         pr.select("bucket", F.col("p").alias("_pr"))
-        .join(pt.select("bucket", F.col("p").alias("_pt")), "bucket", "left")
+        # both sides are <= buckets rows by construction — broadcast
+        # explicitly (pre-AQE stats would otherwise pick a sort-merge)
+        .join(F.broadcast(pt.select("bucket", F.col("p").alias("_pt"))), "bucket", "left")
         .join(F.broadcast(tt))
     )
     p_t = F.coalesce(

@@ -72,3 +72,20 @@ def test_allow_beats_disallow_on_equal_length(spark):
     )
     urls = spark.createDataFrame([("a.com", "/page")], ["domain", "path"])
     assert filter_allowed_urls(urls, rules).collect()[0]["allowed"] is True
+
+
+def test_filter_allowed_urls_plan_broadcasts_rules(spark):
+    """Plan guard: the rules side (domains-sized) must broadcast."""
+    from rag_content_spark.operators.robots import filter_allowed_urls
+
+    rules = spark.createDataFrame(
+        [("a.com", False, "/tmp/")], ["domain", "allow", "prefix"]
+    )
+    urls = spark.createDataFrame([("a.com", "/tmp/x")], ["domain", "path"])
+    plan = (
+        filter_allowed_urls(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

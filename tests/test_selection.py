@@ -197,3 +197,20 @@ def test_cli_tokenize_megatron(spark, tmp_path):
     vocab = spark.read.parquet(f"{out}/vocab.parquet")
     assert vocab.count() > 0
     assert total > 0
+
+
+def test_dsir_weights_plan_broadcasts_ratio_table(spark):
+    """Plan guard: the per-doc scoring join must be a broadcast of the
+    <= buckets-row ratio table, never a sort-merge join of the corpus."""
+    from rag_content_spark.operators.selection import dsir_log_weights
+
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "tgt")
+    plan = (
+        dsir_log_weights(docs, target, buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
