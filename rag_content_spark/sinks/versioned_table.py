@@ -1,0 +1,152 @@
+"""Versioned parquet table: snapshot log + merge-on-read upserts +
+time travel + compaction — the lakehouse pattern (Iceberg/Delta-style,
+implemented from scratch on plain parquet + JSON manifests) that an
+incremental corpus build needs: every crawl lands as a new immutable
+snapshot, readers pin a version, and upserted doc_ids resolve
+latest-wins at read time.
+
+Layout:
+
+    table/
+      data/v00001/...parquet     one immutable directory per version
+      snap-00001.json            {version, parent, mode, key_col, rows}
+
+Modes: ``overwrite`` starts a new chain root; ``append`` adds rows;
+``upsert`` adds rows that SHADOW older rows with the same key
+(merge-on-read: the reader unions live version dirs and keeps the
+max-version row per key — exactly Iceberg equality-delete semantics
+without a delete file, because the new row itself is the tombstone).
+``compact`` materializes the current view as a fresh overwrite root so
+read cost stops growing with history.
+
+Scale notes: each snapshot dir is written by a normal distributed
+``df.write.parquet``; the read-side latest-wins window shuffles on the
+key ONCE regardless of version count; manifests are O(versions) JSON —
+driver-side by design (same as every table format's metadata layer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _snap_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"snap-{version:05d}.json")
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """All snapshot manifests, ascending by version."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(table_dir)):
+        m = re.fullmatch(r"snap-(\d{5})\.json", name)
+        if m:
+            with open(os.path.join(table_dir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    key_col: str | None = None,
+) -> int:
+    """Write ``df`` as the next snapshot; returns the new version.
+
+    ``upsert`` requires ``key_col`` (recorded in the manifest — readers
+    use it for latest-wins resolution). The data write is distributed;
+    only the manifest touches the driver.
+    """
+    if mode not in ("append", "overwrite", "upsert"):
+        raise ValueError(f"unknown mode: {mode}")
+    if mode == "upsert" and not key_col:
+        raise ValueError("upsert requires key_col")
+    snaps = snapshots(table_dir)
+    if snaps:
+        prior_key = next(
+            (s["key_col"] for s in reversed(snaps) if s.get("key_col")), None
+        )
+        if mode == "upsert" and prior_key and prior_key != key_col:
+            raise ValueError(
+                f"upsert key {key_col!r} != table key {prior_key!r}"
+            )
+    version = (snaps[-1]["version"] + 1) if snaps else 1
+    rel_dir = f"data/v{version:05d}"
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, rel_dir))
+    manifest = {
+        "version": version,
+        "parent": snaps[-1]["version"] if snaps else None,
+        "mode": mode,
+        "key_col": key_col,
+        "data_dir": rel_dir,
+        "rows": df.count(),
+    }
+    with open(_snap_path(table_dir, version), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return version
+
+
+def _live_chain(snaps: list[dict], version: int | None) -> list[dict]:
+    """Snapshots contributing to the view at ``version`` (default
+    latest): walk back to the most recent overwrite root."""
+    upto = [s for s in snaps if version is None or s["version"] <= version]
+    if version is not None and not any(s["version"] == version for s in snaps):
+        raise ValueError(f"no snapshot version {version}")
+    live: list[dict] = []
+    for s in reversed(upto):
+        live.append(s)
+        if s["mode"] == "overwrite":
+            break
+    return list(reversed(live))
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table view at ``version`` (default: latest) — merge-on-read:
+    union the live snapshot dirs, then latest-version-wins per key when
+    any live snapshot is an upsert. Within one version a key keeps all
+    its rows (append semantics); across versions the newest version
+    that wrote the key owns it entirely.
+    """
+    snaps = snapshots(table_dir)
+    if not snaps:
+        raise ValueError(f"no snapshots in {table_dir}")
+    live = _live_chain(snaps, version)
+    parts = []
+    for s in live:
+        parts.append(
+            spark.read.parquet(os.path.join(table_dir, s["data_dir"]))
+            .withColumn("_v", F.lit(s["version"]))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    key_col = next(
+        (s["key_col"] for s in reversed(live) if s.get("key_col")), None
+    )
+    if key_col is not None:
+        from pyspark.sql import Window
+
+        latest = F.max("_v").over(Window.partitionBy(key_col))
+        df = df.withColumn("_latest", latest).filter(
+            F.col("_v") == F.col("_latest")
+        ).drop("_latest")
+    return df.drop("_v")
+
+
+def compact(spark: SparkSession, table_dir: str) -> int:
+    """Materialize the current view as a new overwrite root — read cost
+    resets to one directory; history remains time-travelable."""
+    snaps = snapshots(table_dir)
+    key_col = next(
+        (s["key_col"] for s in reversed(snaps) if s.get("key_col")), None
+    )
+    current = read_snapshot(spark, table_dir)
+    return write_snapshot(current, table_dir, mode="overwrite", key_col=key_col)

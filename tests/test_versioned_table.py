@@ -1,0 +1,114 @@
+"""Versioned parquet table (sinks/versioned_table.py): snapshot log,
+merge-on-read upsert, time travel, compaction."""
+
+import pytest
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["text"]) for r in df.collect())
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a")], ["doc_id", "text"]), t
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame([(2, "b")], ["doc_id", "text"]), t
+    )
+    assert (v1, v2) == (1, 2)
+    assert _rows(read_snapshot(spark, t)) == [(1, "a"), (2, "b")]
+    assert _rows(read_snapshot(spark, t, version=1)) == [(1, "a")]
+
+
+def test_upsert_latest_wins_per_key(spark, tmp_path):
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"]),
+        t,
+        mode="upsert",
+        key_col="doc_id",
+    )
+    write_snapshot(
+        spark.createDataFrame([(2, "b2"), (3, "c")], ["doc_id", "text"]),
+        t,
+        mode="upsert",
+        key_col="doc_id",
+    )
+    assert _rows(read_snapshot(spark, t)) == [(1, "a"), (2, "b2"), (3, "c")]
+    # time travel sees the pre-upsert value
+    assert _rows(read_snapshot(spark, t, version=1)) == [(1, "a"), (2, "b")]
+
+
+def test_overwrite_resets_chain(spark, tmp_path):
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, "a")], ["doc_id", "text"]), t)
+    write_snapshot(
+        spark.createDataFrame([(9, "z")], ["doc_id", "text"]), t, mode="overwrite"
+    )
+    assert _rows(read_snapshot(spark, t)) == [(9, "z")]
+    assert _rows(read_snapshot(spark, t, version=1)) == [(1, "a")]
+
+
+def test_compact_preserves_view_and_history(spark, tmp_path):
+    from rag_content_spark.sinks.versioned_table import (
+        compact,
+        read_snapshot,
+        snapshots,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    write_snapshot(
+        spark.createDataFrame([(1, "a2")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    v3 = compact(spark, t)
+    assert snapshots(t)[-1]["mode"] == "overwrite"
+    assert _rows(read_snapshot(spark, t)) == [(1, "a2")]
+    # post-compaction reads touch ONE live snapshot dir
+    from rag_content_spark.sinks.versioned_table import _live_chain
+
+    assert len(_live_chain(snapshots(t), None)) == 1
+    # history still resolvable
+    assert _rows(read_snapshot(spark, t, version=2)) == [(1, "a2")]
+    assert v3 == 3
+
+
+def test_upsert_key_mismatch_and_missing_version_raise(spark, tmp_path):
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    with pytest.raises(ValueError, match="key"):
+        write_snapshot(
+            spark.createDataFrame([(1, "a")], ["doc_id", "text"]),
+            t, mode="upsert", key_col="text",
+        )
+    with pytest.raises(ValueError, match="version"):
+        read_snapshot(spark, t, version=99)
