@@ -59,3 +59,36 @@ def start_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_table_stream(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_path: str,
+    key_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Stream -> versioned-table upserts: each micro-batch lands as one
+    snapshot (sinks/versioned_table), so re-crawled documents shadow
+    their old versions latest-wins while readers keep time travel.
+
+    foreachBatch + the streaming checkpoint give exactly-once snapshot
+    writes (a replayed batch re-runs write_snapshot; the data dir's
+    errorifexists mode makes the replay fail loudly instead of
+    double-appending — delete the orphan dir to recover, the standard
+    manual step for half-committed snapshots). Empty batches are
+    skipped (no empty snapshots).
+    """
+    from rag_content_spark.sinks.versioned_table import write_snapshot
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_snapshot(batch_df, table_dir, mode="upsert", key_col=key_col)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -112,3 +112,37 @@ def test_upsert_key_mismatch_and_missing_version_raise(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="version"):
         read_snapshot(spark, t, version=99)
+
+
+def test_streaming_upserts_into_versioned_table(spark, tmp_path):
+    """Two micro-batch rounds of crawl output land as snapshots; the
+    re-crawled doc shadows its old version, history stays queryable."""
+    import json
+
+    import pyspark.sql.types as T
+
+    from rag_content_spark.sinks.versioned_table import read_snapshot, snapshots
+    from rag_content_spark.streaming.ingest import start_table_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def _run(rows, fname):
+        with open(src / fname, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = start_table_stream(stream, t, ck)
+        q.awaitTermination(120)
+
+    _run([{"doc_id": 1, "text": "a"}, {"doc_id": 2, "text": "b"}], "c1.json")
+    _run([{"doc_id": 2, "text": "b2"}], "c2.json")  # re-crawl of doc 2
+
+    assert [s["mode"] for s in snapshots(t)] == ["upsert", "upsert"]
+    assert _rows(read_snapshot(spark, t)) == [(1, "a"), (2, "b2")]
+    assert _rows(read_snapshot(spark, t, version=1)) == [(1, "a"), (2, "b")]
