@@ -117,6 +117,7 @@ HEADLINE = [
     "ccnet_buckets",      # CCNet head-middle-tail perplexity tertiles
     "bpe_fertility",      # tokenizer pieces-per-word by language
     "returned_items",     # TPC-H Q10 shape (returned-item revenue top-20)
+    "zorder_layout",      # Morton z-order clustering codes
 ]
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from rag_content_spark.embedding.mock import mock_embedding_expr
 from rag_content_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from rag_content_spark.functions.layout import morton_code_sql
 from rag_content_spark.functions.text import (
     basename,
     first_line_title,
@@ -4807,6 +4808,31 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_pair_counts(docs, top_n=50).collect()
     ]
     return bpe_token_stats(docs, merges)
+
+
+@register(
+    "zorder_layout",
+    # Morton (z-order) codes over two synthetic filter dimensions —
+    # the write-time clustering key that makes parquet row-group
+    # min/max stats selective on both columns at once. Pure integer
+    # bit math, identical on both engines.
+    f"""
+    SELECT doc_id,
+           doc_id % 256 AS x,
+           n_chars % 256 AS y,
+           {morton_code_sql('(doc_id % 256)', '(n_chars % 256)', 8)} AS zcode
+    FROM documents
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.layout import morton_code
+
+    docs = _docs(spark, sf_dir)
+    x = (F.col("doc_id") % 256).alias("x")
+    y = (F.col("n_chars") % 256).alias("y")
+    return docs.select(
+        "doc_id", x, y, morton_code(F.col("doc_id") % 256, F.col("n_chars") % 256, 8).alias("zcode")
+    )
 
 
 _Q10_START = 881971200  # 1997-12-13 UTC; window = 90 days

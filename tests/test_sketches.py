@@ -168,3 +168,41 @@ def test_bloom_semi_join_reduction(spark):
     survivors = {r["key"] for r in kept.collect()}
     assert {3, 7, 11} <= survivors
     assert len(survivors) < 50  # 3 keys x 5 bits in 4096 -> tiny fp rate
+
+
+def test_morton_code_exact_interleave(spark):
+    from rag_content_spark.functions.layout import morton_code
+
+    # x=3 (011), y=5 (101): z bits 0..5 = x0 y0 x1 y1 x2 y2
+    #  -> 1,1,1,0,0,1 -> 0b100111 = 39
+    df = spark.createDataFrame([(3, 5)], ["x", "y"])
+    assert df.select(morton_code("x", "y", 3).alias("z")).collect()[0]["z"] == 39
+
+
+def test_morton_order_makes_both_dims_prunable(spark):
+    """Split a 16x16 grid into 16 'row groups' of 16 rows each: under
+    row-major order every group spans the full y range, so a y-filter
+    prunes NOTHING; under Morton order groups are 4x4 blocks, so the
+    same filter keeps only the groups whose y min/max covers it — the
+    z-order pruning win, measured exactly like parquet stats do."""
+    from rag_content_spark.functions.layout import morton_code
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    z_ordered = [
+        (r["x"], r["y"]) for r in df.orderBy(morton_code("x", "y", 4)).collect()
+    ]
+    row_major = sorted(rows)
+
+    def groups_containing_y(seq, y, size=16):
+        hits = 0
+        for i in range(0, len(seq), size):
+            chunk = seq[i : i + size]
+            if min(c[1] for c in chunk) <= y <= max(c[1] for c in chunk):
+                hits += 1
+        return hits
+
+    assert groups_containing_y(row_major, 7) == 16   # no pruning
+    assert groups_containing_y(z_ordered, 7) <= 8    # most groups pruned
+    # and x stays prunable too (row-major's only strength)
+    assert groups_containing_y([(y, x) for x, y in z_ordered], 7) <= 8
