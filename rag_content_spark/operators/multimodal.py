@@ -397,3 +397,115 @@ def extract_bmp_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _extract, schema=BMP_FEATURES_SCHEMA
     )
+
+
+def decode_netpbm(content: bytes):
+    """REAL netpbm decode (P5 grayscale / P6 RGB, 8-bit raw) — header
+    parse + numpy frombuffer, stdlib-only like decode_bmp24/decode_wav.
+
+    Returns (width, height, channels, pixels ndarray HxWxC uint8) or
+    None if the payload is not an 8-bit raw PGM/PPM.
+    """
+    import numpy as np
+
+    if not content or content[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(content):
+        c = content[pos:pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = content.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(content) and content[end:end + 1].isdigit():
+                end += 1
+            if end == pos:
+                return None
+            fields.append(int(content[pos:end]))
+            pos = end
+    if len(fields) < 3 or not content[pos:pos + 1].isspace():
+        return None
+    pos += 1  # single whitespace after maxval, then raw samples
+    width, height, maxval = fields
+    if maxval != 255 or width <= 0 or height <= 0:
+        return None
+    channels = 3 if content[:2] == b"P6" else 1
+    need = width * height * channels
+    raw = content[pos:pos + need]
+    if len(raw) < need:
+        return None
+    pixels = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, channels)
+    return width, height, channels, pixels
+
+
+def extract_netpbm_features(media: DataFrame) -> DataFrame:
+    """Per-image features from REAL PGM/PPM pixel decode: dimensions,
+    per-channel means, luma mean/std, edge density (mean absolute
+    horizontal gradient > 32). Same mapInPandas shape as
+    extract_bmp_features; non-netpbm rows pass through with nulls.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        list(media.schema)
+        + [
+            T.StructField("img_width", T.IntegerType()),
+            T.StructField("img_height", T.IntegerType()),
+            T.StructField("img_channels", T.IntegerType()),
+            T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+            T.StructField("luma_mean", T.DoubleType()),
+            T.StructField("luma_std", T.DoubleType()),
+            T.StructField("edge_density", T.DoubleType()),
+        ]
+    )
+
+    def _extract(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            cols = {k: [] for k in (
+                "img_width", "img_height", "img_channels", "mean_rgb",
+                "luma_mean", "luma_std", "edge_density",
+            )}
+            for content in pdf["content"]:
+                dec = decode_netpbm(bytes(content) if content is not None else b"")
+                if dec is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                w, h, c, px = dec
+                pxf = px.astype(np.float64)
+                if c == 3:
+                    mean_rgb = [round(float(m), 4) for m in pxf.mean(axis=(0, 1))]
+                    luma = (
+                        0.299 * pxf[:, :, 0]
+                        + 0.587 * pxf[:, :, 1]
+                        + 0.114 * pxf[:, :, 2]
+                    )
+                else:
+                    mean_rgb = [round(float(pxf.mean()), 4)]
+                    luma = pxf[:, :, 0]
+                grad = np.abs(np.diff(luma, axis=1))
+                cols["img_width"].append(w)
+                cols["img_height"].append(h)
+                cols["img_channels"].append(c)
+                cols["mean_rgb"].append(mean_rgb)
+                cols["luma_mean"].append(round(float(luma.mean()), 4))
+                cols["luma_std"].append(round(float(luma.std()), 4))
+                cols["edge_density"].append(
+                    round(float((grad > 32).mean()), 4) if grad.size else 0.0
+                )
+            for k, v in cols.items():
+                out[k] = pd.Series(v, dtype=object)
+            yield out
+
+    return media.mapInPandas(_extract, schema=schema)

@@ -366,3 +366,45 @@ def test_extract_bmp_features_partial_failure(spark):
     assert abs(out["ok"]["brightness"] - 100.0) < 1e-6
     assert out["ok"]["err"] is None
     assert out["bad"]["err"] is not None and out["bad"]["width"] is None
+
+
+def _ppm(width, height, pixels):
+    """8-bit raw PPM bytes from a nested [[(r,g,b)...]...] list."""
+    body = bytes(v for row in pixels for px in row for v in px)
+    return (f"P6\n# test\n{width} {height}\n255\n").encode() + body
+
+
+def test_decode_netpbm_ppm_roundtrip():
+    from rag_content_spark.operators.multimodal import decode_netpbm
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    w, h, c, arr = decode_netpbm(_ppm(2, 2, px))
+    assert (w, h, c) == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[1, 1].tolist() == [10, 20, 30]
+
+
+def test_decode_netpbm_pgm_and_rejects():
+    from rag_content_spark.operators.multimodal import decode_netpbm
+
+    pgm = b"P5\n2 1\n255\n" + bytes([7, 200])
+    w, h, c, arr = decode_netpbm(pgm)
+    assert (w, h, c) == (2, 1, 1) and arr[0, 1, 0] == 200
+    assert decode_netpbm(b"nonsense") is None
+    assert decode_netpbm(b"P6\n2 2\n65535\n" + b"\0" * 24) is None  # 16-bit
+    assert decode_netpbm(b"P6\n4 4\n255\n" + b"\0" * 5) is None     # truncated
+
+
+def test_extract_netpbm_features_spark(spark):
+    from rag_content_spark.operators.multimodal import extract_netpbm_features
+
+    red = _ppm(2, 2, [[(255, 0, 0)] * 2] * 2)
+    rows = [("img1", bytearray(red)), ("bad", bytearray(b"oops"))]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    got = {r["media_id"]: r for r in extract_netpbm_features(df).collect()}
+    r = got["img1"]
+    assert (r["img_width"], r["img_height"], r["img_channels"]) == (2, 2, 3)
+    assert r["mean_rgb"] == [255.0, 0.0, 0.0]
+    assert abs(r["luma_mean"] - 0.299 * 255) < 0.1
+    assert r["edge_density"] == 0.0
+    assert got["bad"]["img_width"] is None
