@@ -433,8 +433,8 @@ def cmd_tokenize(args: argparse.Namespace) -> int:
     trains-ready handoff after curation."""
     from rag_content_spark.operators.selection import (
         bpe_encode_corpus,
-        bpe_pair_counts,
         bpe_vocab,
+        learn_bpe_merges,
     )
     from rag_content_spark.session import ensure_reader_confs, get_spark
     from rag_content_spark.sinks.megatron import write_megatron_shards
@@ -442,10 +442,9 @@ def cmd_tokenize(args: argparse.Namespace) -> int:
     spark = get_spark("rag-spark-tokenize")
     ensure_reader_confs(spark)
     docs = spark.read.parquet(args.input)
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in bpe_pair_counts(docs, top_n=args.merges).collect()
-    ]
+    # TRUE iterative BPE (count -> merge -> recount) over the
+    # vocabulary-sized word-frequency table
+    merges = learn_bpe_merges(docs, n_merges=args.merges)
     vocab = bpe_vocab(docs, merges)
     encoded = bpe_encode_corpus(docs, merges, vocab=vocab)
     os.makedirs(args.output, exist_ok=True)

@@ -355,6 +355,89 @@ def bpe_pair_counts(
     return out.limit(top_n) if top_n is not None else out
 
 
+def learn_bpe(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """TRUE iterative BPE learning (Sennrich et al. 2016, Algorithm 1):
+    repeatedly take the most frequent adjacent symbol pair and merge
+    ALL its occurrences in the vocabulary, re-counting after each merge
+    (a one-shot top-N of initial pair counts is NOT the same ranking —
+    later merges depend on earlier ones).
+
+    Pure Python over the word-frequency dict; deterministic tie-break
+    (count DESC, pair ASC). Words carry the ``</w>`` marker.
+    """
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in word_freqs.items():
+        if not word:
+            continue
+        syms = list(word)
+        syms[-1] += "</w>"
+        vocab[tuple(syms)] = vocab.get(tuple(syms), 0) + freq
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+) -> list[tuple[str, str]]:
+    """Distributed word-frequency count -> driver-side iterative BPE.
+
+    The collect is VOCABULARY-sized (the documented driver-resident
+    model artifact, same as the k-means centroids); at crawl scale pass
+    ``sample_fraction`` — tokenizer induction on a few million sampled
+    documents is the standard practice, the corpus never loops through
+    Python. Use with :func:`bpe_apply`/:func:`bpe_encode_corpus` for
+    encode.
+    """
+    src = docs
+    if sample_fraction is not None:
+        src = docs.sample(fraction=sample_fraction, seed=7)
+    wf = {
+        r["word"]: r["freq"]
+        for r in (
+            src.select(F.explode(tokens(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .collect()
+        )
+    }
+    return learn_bpe(wf, n_merges)
+
+
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy BPE encode of one word: repeatedly merge the
     lowest-ranked adjacent pair, leftmost occurrence first — the

@@ -214,3 +214,43 @@ def test_dsir_weights_plan_broadcasts_ratio_table(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_learn_bpe_paper_example():
+    """The BPE paper's running example: {low, lower, newest, widest}.
+    With e,s,t dominant in newest/widest, 'es' then 'est' merge first."""
+    from rag_content_spark.operators.selection import learn_bpe
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_bpe(wf, 4)
+    # counts round 1: (e,s)=9, (s,t</w>)... s t</w> also 9; tie-break
+    # pair-ascending -> ('e','s') first; then ('es','t</w>')=9
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t</w>")
+    # 'lo' appears in low(5)+lower(2)=7 -> next
+    assert ("l", "o") in merges[2:]
+
+
+def test_learn_bpe_iterative_differs_from_one_shot():
+    """Iterated learning must produce merges a one-shot top-N cannot:
+    ('es','t</w>') only exists AFTER ('e','s') merges."""
+    from rag_content_spark.operators.selection import learn_bpe
+
+    merges = learn_bpe({"newest": 3, "widest": 2}, 2)
+    assert merges == [("e", "s"), ("es", "t</w>")]
+
+
+def test_learn_bpe_merges_spark_roundtrip(spark):
+    from rag_content_spark.operators.selection import (
+        bpe_encode_corpus,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "newest newest widest"), (2, "newest")], ["doc_id", "text"]
+    )
+    merges = learn_bpe_merges(df, n_merges=3)
+    assert merges[0] == ("e", "s")
+    encoded = {r["doc_id"]: r["token_ids"] for r in
+               bpe_encode_corpus(df, merges).collect()}
+    assert len(encoded) == 2 and all(len(v) > 0 for v in encoded.values())
