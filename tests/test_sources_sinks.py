@@ -358,3 +358,37 @@ def test_fast_reader_glob_and_partitions(spark, tmp_path):
     out = read_text_documents_fast(spark, str(d), glob="*.md", partitions=4)
     assert out.count() == 10
     assert out.rdd.getNumPartitions() == 4
+
+
+def test_read_jsonl_documents_dolma(spark, tmp_path):
+    import gzip
+    import json
+
+    from rag_content_spark.sources.jsonl import (
+        corrupt_line_stats,
+        read_jsonl_documents,
+    )
+
+    good = [
+        {"id": "d1", "text": "hello world", "source": "cc", "added": "2026-01-01",
+         "metadata": json.dumps({"url": "http://a"})},
+        {"text": "no id here", "source": "cc"},   # id falls back to md5(text)
+    ]
+    with open(tmp_path / "a.jsonl", "w") as fh:
+        for r in good:
+            fh.write(json.dumps(r) + "\n")
+        fh.write("{this is not json\n")
+    # gz sibling read through the same glob
+    with gzip.open(tmp_path / "b.jsonl.gz", "wt") as fh:
+        fh.write(json.dumps({"id": "d3", "text": "zipped"}) + "\n")
+
+    docs = read_jsonl_documents(spark, str(tmp_path))
+    rows = {r["doc_id"]: r for r in docs.collect() if r["doc_id"] is not None}
+    assert rows["d1"]["text"] == "hello world"
+    assert rows["d3"]["text"] == "zipped"
+    import hashlib
+
+    md5_id = hashlib.md5(b"no id here").hexdigest()
+    assert rows[md5_id]["source"] == "cc"
+    stats = corrupt_line_stats(docs).collect()[0]
+    assert stats["n_rows"] == 4 and stats["n_corrupt"] == 1
