@@ -263,6 +263,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="documents to keep in the DSIR Gumbel top-k resample (default: half the deduped count)")
     c.set_defaults(func=cmd_curate)
 
+    d = sub.add_parser(
+        "datasheet", help="print a one-line JSON corpus datasheet"
+    )
+    d.add_argument("-i", "--input", required=True, help="documents parquet")
+    d.set_defaults(func=cmd_datasheet)
+
     t = sub.add_parser(
         "tokenize",
         help="learn BPE merges, encode the corpus, write Megatron .bin/.idx shards",
@@ -466,6 +472,49 @@ def cmd_tokenize(args: argparse.Namespace) -> int:
         "total_tokens": sum(m["n_tokens"] for m in manifest),
     }
     print(json.dumps(stats))
+    return 0
+
+
+def cmd_datasheet(args: argparse.Namespace) -> int:
+    """One-JSON-line corpus datasheet (sizes, vocab, language-mix
+    entropy, dup rate, Gopher keep rate) for a documents parquet."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.functions.hashing import stable_hash64
+    from rag_content_spark.functions.text import tokens
+    from rag_content_spark.operators.quality import gopher_rules
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-datasheet")
+    ensure_reader_confs(spark)
+    docs = spark.read.parquet(args.input)
+    tok = tokens(F.col("text"))
+    t = docs.select(
+        F.size(tok).alias("n_tok"), stable_hash64(F.col("text")).alias("h")
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.count_distinct("h").alias("n_distinct"),
+    ).collect()[0]
+    vocab = docs.select(F.explode(tok).alias("tk")).agg(
+        F.count_distinct("tk").alias("v")
+    ).collect()[0]["v"]
+    keep = docs.filter(gopher_rules("text")["keep"]).count()
+    out = {
+        "n_docs": base["n_docs"],
+        "total_tokens": base["total_tokens"],
+        "vocab_size": vocab,
+        "mean_doc_tokens": round(base["total_tokens"] / max(base["n_docs"], 1), 2),
+        "exact_dup_rate": round(1.0 - base["n_distinct"] / max(base["n_docs"], 1), 6),
+        "gopher_keep_rate": round(keep / max(base["n_docs"], 1), 6),
+    }
+    if "lang" in docs.columns:
+        out["langs"] = {
+            r["lang"]: r["n"]
+            for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    print(json.dumps(out))
     return 0
 
 

@@ -224,3 +224,21 @@ def test_cli_ann_build_and_query(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows[0]["vec_id"] == 3 and rows[0]["exact"] == 0.0
     assert len(rows) == 5
+
+
+def test_cli_datasheet(spark, tmp_path, capsys):
+    import json
+
+    from rag_content_spark.cli import main
+
+    base = "the quick brown fox jumps to be sure of the answer and that " * 10
+    rows = [(1, base, "en"), (2, base, "en"), (3, base + "x", "fr")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(src)
+    rc = main(["datasheet", "-i", src])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 3
+    assert abs(out["exact_dup_rate"] - 1 / 3) < 1e-6   # one exact dup
+    assert out["langs"] == {"en": 2, "fr": 1}
+    assert out["gopher_keep_rate"] == 1.0
