@@ -118,6 +118,7 @@ HEADLINE = [
     "bpe_fertility",      # tokenizer pieces-per-word by language
     "returned_items",     # TPC-H Q10 shape (returned-item revenue top-20)
     "zorder_layout",      # Morton z-order clustering codes
+    "mmr_rerank",         # MMR diversity re-ranking (exact integer greedy)
 ]
 
 

@@ -444,3 +444,81 @@ def mine_bitext_np(
             )
 
     return src.select(id_col, embedding_col).mapInPandas(_mine, schema=schema)
+
+
+def mmr_rerank(
+    index,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 30,
+    lam_pct: int = 70,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "DataFrame":
+    """MMR diversity re-ranking (Carbonell & Goldstein 1998): greedily
+    pick the result maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` —
+    the standard answer to near-duplicate hits crowding a result page.
+
+    Exactness: relevance and pairwise sims are FIXED-POINT 1e-6 BIGINTs
+    computed by the same declarative cosine expressions the DuckDB
+    oracle uses (array-order folds — bit-identical), and the greedy
+    loop maximizes the integer ``lam_pct*rel6 - (100-lam_pct)*maxsim6``
+    with ties by id, so the selection is engine-exact. The distributed
+    part is the top-``shortlist`` scan + the shortlist self-join
+    (<= shortlist^2 tiny rows); the greedy itself is a driver loop over
+    <= shortlist candidates — the standard deployment shape (rerank a
+    page, not a corpus).
+    """
+    from rag_content_spark.functions.vector import cosine
+
+    spark = index.sparkSession
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = index.select(
+        F.col(id_col).alias("id"),
+        F.col(embedding_col).alias("_e"),
+        F.round(cosine(embedding_col, qv) * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("rel6"),
+    )
+    cands = scored.orderBy(F.desc("rel6"), "id").limit(shortlist).cache()
+    a = cands.select(F.col("id").alias("ia"), F.col("_e").alias("_ea"))
+    b = cands.select(F.col("id").alias("ib"), F.col("_e").alias("_eb"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine("_ea", "_eb") * F.lit(1_000_000))
+            .cast("bigint")
+            .alias("s6"),
+        )
+    )
+    rel = {r["id"]: r["rel6"] for r in cands.select("id", "rel6").collect()}
+    sim = {(r["ia"], r["ib"]): r["s6"] for r in sims.collect()}
+    cands.unpersist()
+
+    lam, inv = lam_pct, 100 - lam_pct
+    selected: list = []
+    remaining = set(rel)
+    while remaining and len(selected) < k:
+        if not selected:
+            pick = max(remaining, key=lambda c: (rel[c], ), default=None)
+            # ties by smallest id
+            best_rel = max(rel[c] for c in remaining)
+            pick = min(c for c in remaining if rel[c] == best_rel)
+        else:
+            def _score(c):
+                return lam * rel[c] - inv * max(
+                    sim.get((c, s), 0) for s in selected
+                )
+            best = max(_score(c) for c in remaining)
+            pick = min(c for c in remaining if _score(c) == best)
+        selected.append(pick)
+        remaining.discard(pick)
+
+    rows = [
+        (i + 1, s, round(rel[s] / 1e6, 6)) for i, s in enumerate(selected)
+    ]
+    return spark.createDataFrame(rows, ["rank", id_col, "rel"])

@@ -4993,6 +4993,60 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mmr_rerank",
+    # MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy
+    # lam*rel - (1-lam)*max-sim-to-selected over the top-30 shortlist,
+    # lambda=0.7, k=10. Fixed-point integer scores make the greedy
+    # selection engine-exact; the oracle replays it as a single-row
+    # recursive CTE whose state is the selected-id list.
+    f"""
+    WITH RECURSIVE
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id AS id, embedding,
+             CAST(round({cosine_sql('embedding', 'qv')} * 1000000) AS BIGINT)
+               AS rel6
+      FROM embeddings, q
+    ),
+    cands AS (SELECT id, embedding, rel6 FROM scored
+              ORDER BY rel6 DESC, id LIMIT 30),
+    sims AS (
+      SELECT a.id AS ia, b.id AS ib,
+             CAST(round({cosine_sql('a.embedding', 'b.embedding')} * 1000000)
+                  AS BIGINT) AS s6
+      FROM cands a, cands b WHERE a.id <> b.id
+    ),
+    mp AS (SELECT map(list(ia || '|' || ib), list(s6)) AS m FROM sims),
+    state(step, sel) AS (
+      SELECT 1, [(SELECT id FROM cands ORDER BY rel6 DESC, id LIMIT 1)]
+      UNION ALL
+      SELECT s.step + 1,
+        s.sel || [(
+          SELECT c.id FROM cands c, mp
+          WHERE NOT list_contains(s.sel, c.id)
+          ORDER BY 70 * c.rel6 - 30 * list_max(list_transform(s.sel,
+                    x -> coalesce(map_extract(mp.m, c.id || '|' || x)[1], 0)))
+                   DESC,
+                   c.id
+          LIMIT 1)]
+      FROM state s WHERE s.step < 10
+    )
+    SELECT g.i AS rank, t.sel[g.i] AS vec_id,
+           (SELECT round(CAST(c.rel6 AS DOUBLE) / 1000000, 6)
+            FROM cands c WHERE c.id = t.sel[g.i]) AS rel
+    FROM (SELECT sel FROM state WHERE step = 10) t,
+         unnest(generate_series(1, len(t.sel))) AS g(i)
+    """,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return mmr_rerank(emb, list(qvec), k=10, shortlist=30, lam_pct=70)
+
+
+@register(
     "pagerank",
     # Fixed-point PageRank over a synthesized domain link graph (ring +
     # doc-derived edges, so every node has in- and out-links): 10 exact

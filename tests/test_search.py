@@ -214,3 +214,24 @@ def test_mine_bitext_np_equals_exact_on_real_embeddings(spark):
     fast = sorted(map(tuple, mine_bitext_np(src, tgt, k=4, margin_threshold=1.05).collect()))
     assert len(exact) > 0
     assert fast == exact
+
+
+def test_mmr_rerank_deprioritizes_near_duplicates(spark):
+    from rag_content_spark.operators.search import mmr_rerank
+
+    # 1 and 2 are near-identical top hits; 3 is modestly relevant but
+    # nearly orthogonal to them; pure relevance order is 1,2,3 — at a
+    # diversity-heavy lambda MMR must pull 3 ahead of the near-dup 2
+    rows = [
+        (1, [1.0, 0.0, 0.05]),
+        (2, [1.0, 0.0, 0.06]),
+        (3, [0.1, 1.0, 0.0]),
+        (4, [0.0, 0.1, 1.0]),
+    ]
+    index = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = [r["vec_id"] for r in mmr_rerank(
+        index, [1.0, 0.05, 0.0], k=3, shortlist=4, lam_pct=30
+    ).orderBy("rank").collect()]
+    assert got[0] == 1            # best relevance first
+    assert got[1] in (3, 4)       # a diverse doc beats the near-dup
+    assert got[2] != 2            # the near-dup stays last of the four
