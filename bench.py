@@ -119,6 +119,7 @@ HEADLINE = [
     "returned_items",     # TPC-H Q10 shape (returned-item revenue top-20)
     "zorder_layout",      # Morton z-order clustering codes
     "mmr_rerank",         # MMR diversity re-ranking (exact integer greedy)
+    "rrf_hybrid",         # reciprocal-rank fusion of two rankings
 ]
 
 

@@ -522,3 +522,34 @@ def mmr_rerank(
         (i + 1, s, round(rel[s] / 1e6, 6)) for i, s in enumerate(selected)
     ]
     return spark.createDataFrame(rows, ["rank", id_col, "rel"])
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int | None = None,
+) -> "DataFrame":
+    """Reciprocal Rank Fusion (Cormack et al. 2009):
+    ``score(d) = sum_r 1 / (k + rank_r(d))`` over the input rankings —
+    the rank-based fusion that needs no score normalization (the
+    Elasticsearch/Vespa hybrid default, k=60 from the paper).
+
+    Each input DataFrame must carry ``(id_col, rank)`` with dense
+    1-based ranks. Scores are exact rationals summed as rounded
+    doubles; ordering ties break by id. A document absent from a
+    ranking simply contributes nothing (the RRF convention).
+    """
+    fused = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("_c"),
+        )
+        fused = part if fused is None else fused.unionByName(part)
+    out = (
+        fused.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), id_col)
+    )
+    return out.limit(top_n) if top_n is not None else out

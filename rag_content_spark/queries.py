@@ -4992,6 +4992,70 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_TERMS_B = ["table", "scan", "hash"]
+_RRF_TERMS_B_SQL = "('table', 'scan', 'hash')"
+
+
+def _rrf_side_sql(terms_sql: str) -> str:
+    return f"""(
+      SELECT doc_id,
+             row_number() OVER (ORDER BY kw_score DESC, doc_id) AS rank
+      FROM (
+        WITH post AS (
+          SELECT doc_id, u.token, count(*) AS tf
+          FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+               unnest(t.tk) AS u(token)
+          WHERE u.token IN {terms_sql}
+          GROUP BY doc_id, u.token
+        ),
+        idf AS (
+          SELECT token, ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+          FROM post GROUP BY token
+        )
+        SELECT p.doc_id, round(sum(p.tf * i.idf), 6) AS kw_score
+        FROM post p JOIN idf i USING (token)
+        GROUP BY p.doc_id
+      )
+    )"""
+
+
+@register(
+    "rrf_hybrid",
+    # Reciprocal Rank Fusion (Cormack et al. 2009; the Elastic/Vespa
+    # hybrid default, k=60): fuse two query formulations' TF-IDF
+    # rankings by sum 1/(60+rank) — rank-based, so no score
+    # normalization and the fusion is exact given exact ranks.
+    f"""
+    WITH a AS {_rrf_side_sql(_KW_TERMS_SQL)},
+    b AS {_rrf_side_sql(_RRF_TERMS_B_SQL)},
+    parts AS (
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM a
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rank) AS c FROM b
+    )
+    SELECT doc_id, round(sum(c), 6) AS rrf_score
+    FROM parts GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from rag_content_spark.operators.search import keyword_scores, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("kw_score"), "doc_id")
+
+    def _ranked(terms):
+        return keyword_scores(docs, terms).select(
+            "doc_id", F.row_number().over(w).alias("rank")
+        )
+
+    return rrf_fuse(
+        [_ranked(_KW_TERMS), _ranked(_RRF_TERMS_B)], top_n=20
+    )
+
+
 @register(
     "mmr_rerank",
     # MMR diversity re-ranking (Carbonell & Goldstein 1998): greedy

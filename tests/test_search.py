@@ -235,3 +235,18 @@ def test_mmr_rerank_deprioritizes_near_duplicates(spark):
     assert got[0] == 1            # best relevance first
     assert got[1] in (3, 4)       # a diverse doc beats the near-dup
     assert got[2] != 2            # the near-dup stays last of the four
+
+
+def test_rrf_fuse_hand_example(spark):
+    from rag_content_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(3, 1), (2, 2), (4, 3)], ["doc_id", "rank"])
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a, b], k=60).collect()}
+    assert abs(got[2] - (1 / 62 + 1 / 62)) < 1e-6   # rank 2 both sides
+    assert abs(got[3] - (1 / 63 + 1 / 61)) < 1e-6
+    assert abs(got[1] - 1 / 61) < 1e-6              # absent from b
+    assert abs(got[4] - 1 / 63) < 1e-6
+    # docs appearing in BOTH rankings outrank one-sided top hits
+    assert got[2] > got[1] and got[3] > got[1]
+    assert got[2] > got[4] and got[3] > got[4]
