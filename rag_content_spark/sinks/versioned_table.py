@@ -127,7 +127,10 @@ def read_snapshot(
         )
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        # schema evolution: a column added in a later snapshot reads as
+        # NULL for older rows (additive evolution, the lakehouse norm;
+        # drops/renames need a compact() rewrite)
+        df = df.unionByName(p, allowMissingColumns=True)
     key_col = next(
         (s["key_col"] for s in reversed(live) if s.get("key_col")), None
     )

@@ -146,3 +146,25 @@ def test_streaming_upserts_into_versioned_table(spark, tmp_path):
     assert [s["mode"] for s in snapshots(t)] == ["upsert", "upsert"]
     assert _rows(read_snapshot(spark, t)) == [(1, "a"), (2, "b2")]
     assert _rows(read_snapshot(spark, t, version=1)) == [(1, "a"), (2, "b")]
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """A column added in a later snapshot reads as NULL for older rows
+    (additive evolution); upsert semantics still apply."""
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    write_snapshot(
+        spark.createDataFrame([(2, "b", "en")], ["doc_id", "text", "lang"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    got = {r["doc_id"]: r for r in read_snapshot(spark, t).collect()}
+    assert got[1]["text"] == "a" and got[1]["lang"] is None
+    assert got[2]["lang"] == "en"
