@@ -254,3 +254,17 @@ def test_learn_bpe_merges_spark_roundtrip(spark):
     encoded = {r["doc_id"]: r["token_ids"] for r in
                bpe_encode_corpus(df, merges).collect()}
     assert len(encoded) == 2 and all(len(v) > 0 for v in encoded.values())
+
+
+def test_dsir_subset_path_equals_general_path(spark):
+    """target_subset_of_raw must produce byte-identical weights to the
+    general two-corpus path when the target is in fact a raw slice."""
+    from rag_content_spark.operators.selection import dsir_log_weights
+
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "tgt")
+    a = sorted(map(tuple, dsir_log_weights(docs, target, buckets=64).collect()))
+    b = sorted(map(tuple, dsir_log_weights(
+        docs, target, buckets=64, target_subset_of_raw=True
+    ).collect()))
+    assert a == b
