@@ -263,6 +263,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="documents to keep in the DSIR Gumbel top-k resample (default: half the deduped count)")
     c.set_defaults(func=cmd_curate)
 
+    tb = sub.add_parser("table", help="versioned-table snapshot/log/read/compact")
+    tb.add_argument("table_cmd", choices=("snapshot", "log", "read", "compact"))
+    tb.add_argument("-t", "--table", required=True, help="table directory")
+    tb.add_argument("-i", "--input", help="parquet to snapshot (snapshot cmd)")
+    tb.add_argument("-o", "--output", help="write the view here (read cmd)")
+    tb.add_argument("--mode", choices=("append", "overwrite", "upsert"), default="append")
+    tb.add_argument("--key", default=None, help="upsert key column")
+    tb.add_argument("--version", type=int, default=None, help="time-travel version (read cmd)")
+    tb.add_argument("--limit", type=int, default=20, help="rows to print (read cmd)")
+    tb.set_defaults(func=cmd_table)
+
     d = sub.add_parser(
         "datasheet", help="print a one-line JSON corpus datasheet"
     )
@@ -473,6 +484,43 @@ def cmd_tokenize(args: argparse.Namespace) -> int:
     }
     print(json.dumps(stats))
     return 0
+
+
+def cmd_table(args: argparse.Namespace) -> int:
+    """Versioned-table maintenance: snapshot / log / read / compact."""
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+    from rag_content_spark.sinks.versioned_table import (
+        compact,
+        read_snapshot,
+        snapshots,
+        write_snapshot,
+    )
+
+    spark = get_spark("rag-spark-table")
+    ensure_reader_confs(spark)
+    if args.table_cmd == "log":
+        for s in snapshots(args.table):
+            print(json.dumps(s))
+        return 0
+    if args.table_cmd == "snapshot":
+        df = spark.read.parquet(args.input)
+        v = write_snapshot(df, args.table, mode=args.mode, key_col=args.key)
+        print(json.dumps({"version": v, "mode": args.mode}))
+        return 0
+    if args.table_cmd == "read":
+        df = read_snapshot(spark, args.table, version=args.version)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+        else:
+            for row in df.limit(args.limit).toJSON().collect():
+                print(row)
+        return 0
+    if args.table_cmd == "compact":
+        v = compact(spark, args.table)
+        print(json.dumps({"version": v, "mode": "overwrite"}))
+        return 0
+    raise SystemExit(f"unknown table command {args.table_cmd}")
 
 
 def cmd_datasheet(args: argparse.Namespace) -> int:

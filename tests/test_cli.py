@@ -242,3 +242,34 @@ def test_cli_datasheet(spark, tmp_path, capsys):
     assert abs(out["exact_dup_rate"] - 1 / 3) < 1e-6   # one exact dup
     assert out["langs"] == {"en": 2, "fr": 1}
     assert out["gopher_keep_rate"] == 1.0
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    import json
+
+    from rag_content_spark.cli import main
+
+    src1 = str(tmp_path / "v1.parquet")
+    src2 = str(tmp_path / "v2.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"]).write.parquet(src1)
+    spark.createDataFrame([(2, "b2")], ["doc_id", "text"]).write.parquet(src2)
+    t = str(tmp_path / "tbl")
+
+    assert main(["table", "snapshot", "-t", t, "-i", src1,
+                 "--mode", "upsert", "--key", "doc_id"]) == 0
+    assert main(["table", "snapshot", "-t", t, "-i", src2,
+                 "--mode", "upsert", "--key", "doc_id"]) == 0
+    capsys.readouterr()
+
+    assert main(["table", "log", "-t", t]) == 0
+    log = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [s["version"] for s in log] == [1, 2]
+
+    out = str(tmp_path / "view.parquet")
+    assert main(["table", "read", "-t", t, "-o", out]) == 0
+    view = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert view == {1: "a", 2: "b2"}
+
+    capsys.readouterr()
+    assert main(["table", "compact", "-t", t]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 3
