@@ -120,6 +120,7 @@ HEADLINE = [
     "zorder_layout",      # Morton z-order clustering codes
     "mmr_rerank",         # MMR diversity re-ranking (exact integer greedy)
     "rrf_hybrid",         # reciprocal-rank fusion of two rankings
+    "sales_cube",         # CUBE with GROUPING() markers
 ]
 
 
