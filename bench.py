@@ -121,6 +121,7 @@ HEADLINE = [
     "mmr_rerank",         # MMR diversity re-ranking (exact integer greedy)
     "rrf_hybrid",         # reciprocal-rank fusion of two rankings
     "sales_cube",         # CUBE with GROUPING() markers
+    "events_pivot",       # long-to-wide pivot with explicit value list
 ]
 
 
