@@ -122,6 +122,7 @@ HEADLINE = [
     "rrf_hybrid",         # reciprocal-rank fusion of two rankings
     "sales_cube",         # CUBE with GROUPING() markers
     "events_pivot",       # long-to-wide pivot with explicit value list
+    "events_unpivot",     # wide-to-long melt (unpivot)
 ]
 
 

@@ -5023,6 +5023,37 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_unpivot",
+    # Unpivot (wide -> long, the melt inverse of events_pivot): the
+    # per-user count columns stack back to (user_id, event_type, n),
+    # zero rows dropped — round-trips to the plain groupBy counts.
+    f"""
+    WITH wide AS (
+      SELECT user_id,
+        {', '.join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_type, n FROM (
+      {' UNION ALL '.join(f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM wide" for t in _EVENT_TYPES)}
+    ) WHERE n > 0
+    """,
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_events_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type",
+        "n",
+    ).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n",
+    )
+    return long.filter(F.col("n") > 0)
+
+
+@register(
     "sales_cube",
     # CUBE: all four grouping combinations with GROUPING() markers —
     # the marker distinguishes a subtotal row from a genuine NULL key
