@@ -123,6 +123,7 @@ HEADLINE = [
     "sales_cube",         # CUBE with GROUPING() markers
     "events_pivot",       # long-to-wide pivot with explicit value list
     "events_unpivot",     # wide-to-long melt (unpivot)
+    "session_window_native", # built-in session_window (merged-window gap rule)
 ]
 
 

@@ -4996,6 +4996,54 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @register(
+    "session_window_native",
+    # Spark's BUILT-IN session_window aggregation (the declarative twin
+    # of the custom stateful sessionizer): merged-window semantics — a
+    # new session starts when the gap is >= 30 min (strictly-less-than
+    # overlap rule, unlike the islands query's <=), and session_end =
+    # last event + gap. The oracle replicates exactly those semantics.
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_sec,
+             CASE WHEN lag(ts_sec) OVER w IS NULL
+                       OR ts_sec - lag(ts_sec) OVER w >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_sec,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts_sec) AS session_start,
+           max(ts_sec) + 1800 AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.timestamp_seconds(F.col("ts_sec")).alias("ts")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start")).alias("session_start"),
+            F.unix_seconds(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "events_pivot",
     # Pivot (long -> wide): per-user event-type counts as columns. The
     # pivot value list is EXPLICIT — with an inferred list Spark runs a
