@@ -124,6 +124,7 @@ HEADLINE = [
     "events_pivot",       # long-to-wide pivot with explicit value list
     "events_unpivot",     # wide-to-long melt (unpivot)
     "session_window_native", # built-in session_window (merged-window gap rule)
+    "rolling_30min",      # RANGE-frame trailing window (fixed-point sums)
 ]
 
 

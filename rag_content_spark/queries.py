@@ -4996,6 +4996,49 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @register(
+    "rolling_30min",
+    # RANGE-frame window: per event, the count and value-sum of the
+    # trailing 30 minutes (value-based frame incl. peers — a ROWS frame
+    # cannot express this). Values sum as fixed-point BIGINT micros so
+    # the windowed sum is order-exact on both engines.
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(round(value * 1000000) AS BIGINT) AS v6
+      FROM events
+    )
+    SELECT user_id, event_id, ts_sec,
+           CAST(count(*) OVER w AS BIGINT) AS n_30min,
+           round(CAST(sum(v6) OVER w AS DOUBLE) / 1000000, 6) AS sum_value_30min
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("v6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30min"),
+        F.round(F.sum("v6").over(w).cast("double") / 1_000_000, 6).alias(
+            "sum_value_30min"
+        ),
+    )
+
+
+@register(
     "session_window_native",
     # Spark's BUILT-IN session_window aggregation (the declarative twin
     # of the custom stateful sessionizer): merged-window semantics — a
