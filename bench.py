@@ -125,6 +125,7 @@ HEADLINE = [
     "events_unpivot",     # wide-to-long melt (unpivot)
     "session_window_native", # built-in session_window (merged-window gap rule)
     "rolling_30min",      # RANGE-frame trailing window (fixed-point sums)
+    "small_quantity_revenue", # TPC-H Q17 shape (decorrelated scalar subquery)
 ]
 
 

@@ -4996,6 +4996,51 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @register(
+    "small_quantity_revenue",
+    # TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    # 20% of their part's average — the correlated-scalar-subquery
+    # pattern, decorrelated to a per-part aggregate + join (what the
+    # optimizer does; written explicitly so the join is broadcastable).
+    # Threshold compare on DECIMAL, result DECIMAL/7.
+    """
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(avg(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,6)) < CAST(0.2 AS DECIMAL(18,6)) * a.aq
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.avg(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("aq")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)")
+            < F.lit(0.2).cast("decimal(18,6)") * F.col("aq")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
     "rolling_30min",
     # RANGE-frame window: per event, the count and value-sum of the
     # trailing 30 minutes (value-based frame incl. peers — a ROWS frame
