@@ -126,6 +126,7 @@ HEADLINE = [
     "session_window_native", # built-in session_window (merged-window gap rule)
     "rolling_30min",      # RANGE-frame trailing window (fixed-point sums)
     "small_quantity_revenue", # TPC-H Q17 shape (decorrelated scalar subquery)
+    "conversion_latency", # first-signup to first-purchase seconds
 ]
 
 

@@ -4996,6 +4996,55 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @register(
+    "conversion_latency",
+    # Time-to-conversion: per user, seconds from first signup to the
+    # first purchase AT OR AFTER it (purchases before signup don't
+    # count) — exact integer event-time math, the product-analytics
+    # companion of conversion_funnel.
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    s AS (SELECT user_id, min(ts_sec) AS signup_ts FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts_sec) AS purchase_ts
+      FROM e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_sec >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts,
+           p.purchase_ts,
+           (p.purchase_ts - s.signup_ts) AS latency_sec
+    FROM s JOIN p ON p.user_id = s.user_id
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select("user_id", "event_type", "ts_sec")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts_sec") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("purchase_ts"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        (F.col("purchase_ts") - F.col("signup_ts")).alias("latency_sec"),
+    )
+
+
+@register(
     "small_quantity_revenue",
     # TPC-H Q17 shape: revenue from lineitems whose quantity is below
     # 20% of their part's average — the correlated-scalar-subquery
