@@ -127,6 +127,7 @@ HEADLINE = [
     "rolling_30min",      # RANGE-frame trailing window (fixed-point sums)
     "small_quantity_revenue", # TPC-H Q17 shape (decorrelated scalar subquery)
     "conversion_latency", # first-signup to first-purchase seconds
+    "md_plain",           # markdown -> plain training text
 ]
 
 

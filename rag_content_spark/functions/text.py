@@ -152,3 +152,36 @@ def normalize_text_sql(expr: str) -> str:
         f"trim(regexp_replace(translate(lower({expr}), "
         f"'{ACCENT_FROM.lower()}', '{ACCENT_TO.lower()}'), '\\s+', ' ', 'g'))"
     )
+
+
+def markdown_to_text(col: Column | str) -> Column:
+    """Markdown -> plain text for LM training corpora: images to alt
+    text, links to anchor text, inline code and bold/italic unwrapped,
+    ATX heading markers stripped. Regex subset chosen to render
+    identically under Java regex and RE2 (no lookarounds, non-greedy
+    quantifiers only), so the DuckDB twin is exact.
+    """
+    from pyspark.sql import functions as F
+
+    c = _c(col)
+    # images BEFORE links (an image is a '!' + link)
+    c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", r"$1")
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", r"$1")
+    c = F.regexp_replace(c, r"`([^`]*)`", r"$1")
+    c = F.regexp_replace(c, r"\*\*([^*]+)\*\*", r"$1")
+    c = F.regexp_replace(c, r"\*([^*]+)\*", r"$1")
+    c = F.regexp_replace(c, r"(?m)^#{1,6}[ \t]+", "")
+    return c
+
+
+def markdown_to_text_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`markdown_to_text` (same passes, same
+    order; DuckDB backreferences use \\1 and the 'm' flag argument)."""
+    e = expr
+    e = f"regexp_replace({e}, '!\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g')"
+    e = f"regexp_replace({e}, '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g')"
+    e = f"regexp_replace({e}, '`([^`]*)`', '\\1', 'g')"
+    e = f"regexp_replace({e}, '\\*\\*([^*]+)\\*\\*', '\\1', 'g')"
+    e = f"regexp_replace({e}, '\\*([^*]+)\\*', '\\1', 'g')"
+    e = f"regexp_replace({e}, '(?m)^#{{1,6}}[ \\t]+', '', 'g')"
+    return e

@@ -24,6 +24,7 @@ from rag_content_spark.functions.hashing import stable_hash64, stable_hash64_sql
 from rag_content_spark.functions.layout import morton_code_sql
 from rag_content_spark.functions.text import (
     basename,
+    markdown_to_text_sql,
     first_line_title,
     frontmatter_field,
     normalize_text_sql,
@@ -4993,6 +4994,40 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "md_plain",
+    # Markdown -> plain training text: the synthesized md corpus gets
+    # deterministic literal markup injected (bold around 'value', a
+    # link around 'table'), then markdown_to_text strips headings,
+    # emphasis, links, inline code — same regex subset (no lookarounds)
+    # rendering identically under Java regex and RE2.
+    f"""
+    WITH md AS (SELECT doc_id, {_md_doc_sql()} AS m FROM documents),
+    marked AS (
+      SELECT doc_id,
+        replace(replace(m, 'value', '**value**'),
+                'table', '[table](http://t)') AS m
+      FROM md
+    )
+    SELECT doc_id, {markdown_to_text_sql('m')} AS plain
+    FROM marked
+    """,
+)
+def q_md_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.functions.text import markdown_to_text
+
+    md = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("m"))
+    marked = md.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("m"), F.lit("value"), F.lit("**value**")),
+            F.lit("table"),
+            F.lit("[table](http://t)"),
+        ).alias("m"),
+    )
+    return marked.select("doc_id", markdown_to_text("m").alias("plain"))
 
 
 @register(

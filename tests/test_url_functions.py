@@ -54,3 +54,21 @@ def test_normalize_text_folds_accents_case_whitespace(spark):
     assert got[1] == "hello world"
     assert got[1] == got[2]
     assert got[3] == "aeiou c n"
+
+
+def test_markdown_to_text_strips_markup(spark):
+    from rag_content_spark.functions.text import markdown_to_text
+
+    md = (
+        "# Title\n"
+        "**bold** and *ital* and [anchor](http://x) and `code` "
+        "and ![alt](img.png)\n"
+        "## Sub heading\n"
+        "plain line"
+    )
+    df = spark.createDataFrame([(1, md)], ["id", "t"])
+    out = df.select(markdown_to_text("t").alias("p")).collect()[0]["p"]
+    assert out == (
+        "Title\nbold and ital and anchor and code and alt\n"
+        "Sub heading\nplain line"
+    )
