@@ -128,6 +128,7 @@ HEADLINE = [
     "small_quantity_revenue", # TPC-H Q17 shape (decorrelated scalar subquery)
     "conversion_latency", # first-signup to first-purchase seconds
     "md_plain",           # markdown -> plain training text
+    "html_plain",         # crawl-scale HTML tag-strip to text
 ]
 
 

@@ -4996,6 +4996,60 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+_HTML_STRIP_SPARK = [
+    (r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " "),
+    (r"(?s)<[^>]+>", " "),
+]
+# identical passes; RE2-safe (alternation, not the backreference form
+# sources/warc.py can use under Java regex)
+_HTML_STRIP_SQL = [
+    ("(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " "),
+    ("(?s)<[^>]+>", " "),
+]
+
+
+@register(
+    "html_plain",
+    # The crawl-scale HTML -> text pass (warc_responses_to_documents'
+    # cheap extractor) with an exact oracle: synthesized HTML wrapping
+    # of the corpus, script/style dropped (RE2-safe alternation — no
+    # backreferences), tags to spaces, whitespace collapsed.
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><script>var x=1;</script><style>p{{{{}}}}</style></head>'
+        || '<body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p></body></html>'
+          AS html
+      FROM documents
+    )
+    SELECT doc_id,
+      trim(regexp_replace(
+        {''.join('')}regexp_replace(regexp_replace(html,
+          '{_HTML_STRIP_SQL[0][0]}', ' ', 'g'),
+          '{_HTML_STRIP_SQL[1][0]}', ' ', 'g'),
+        '\\s+', ' ', 'g')) AS plain
+    FROM h
+    """,
+)
+def q_html_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<html><head><script>var x=1;</script><style>p{}</style></head>"
+            "<body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    c = html
+    for pat, rep in _HTML_STRIP_SPARK:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.select("doc_id", c.alias("plain"))
+
+
 @register(
     "md_plain",
     # Markdown -> plain training text: the synthesized md corpus gets
