@@ -184,7 +184,11 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     html = F.col("payload").cast("string")
-    text = F.regexp_replace(html, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    # RE2-safe alternation (no backreference) — the exact form the
+    # oracle-checked html_plain query replays
+    text = F.regexp_replace(
+        html, r"(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " "
+    )
     text = F.regexp_replace(text, r"(?s)<[^>]+>", " ")
     text = F.trim(F.regexp_replace(text, r"\s+", " "))
     return (
