@@ -129,6 +129,7 @@ HEADLINE = [
     "conversion_latency", # first-signup to first-purchase seconds
     "md_plain",           # markdown -> plain training text
     "html_plain",         # crawl-scale HTML tag-strip to text
+    "median_latency",     # exact rank-selected median (no interpolation)
 ]
 
 

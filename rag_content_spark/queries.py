@@ -5009,6 +5009,61 @@ _HTML_STRIP_SQL = [
 
 
 @register(
+    "median_latency",
+    # EXACT median of the conversion latencies by rank selection (the
+    # two middle BIGINTs averaged) — engine-built-in medians interpolate
+    # with float math that need not agree cross-engine; picking ranked
+    # integers does. One row: n, median_latency_sec.
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    s AS (SELECT user_id, min(ts_sec) AS signup_ts FROM e
+          WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts_sec) AS purchase_ts
+      FROM e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_sec >= s.signup_ts
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT (p.purchase_ts - s.signup_ts) AS latency_sec
+      FROM s JOIN p ON p.user_id = s.user_id
+    ),
+    ranked AS (
+      SELECT latency_sec,
+             row_number() OVER (ORDER BY latency_sec) AS rn,
+             count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(avg(CAST(latency_sec AS DOUBLE)), 6) AS median_latency_sec
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+)
+def q_median_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = q_conversion_latency(spark, sf_dir).select("latency_sec")
+    w_n = Window.partitionBy()
+    ranked = lat.select(
+        "latency_sec",
+        F.row_number().over(Window.orderBy("latency_sec")).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(F.avg(F.col("latency_sec").cast("double")), 6).alias(
+            "median_latency_sec"
+        ),
+    )
+
+
+@register(
     "html_plain",
     # The crawl-scale HTML -> text pass (warc_responses_to_documents'
     # cheap extractor) with an exact oracle: synthesized HTML wrapping
