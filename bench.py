@@ -130,6 +130,7 @@ HEADLINE = [
     "md_plain",           # markdown -> plain training text
     "html_plain",         # crawl-scale HTML tag-strip to text
     "median_latency",     # exact rank-selected median (no interpolation)
+    "weekly_growth",      # week-over-week growth (lag ratio)
 ]
 
 

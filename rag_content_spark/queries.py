@@ -5009,6 +5009,43 @@ _HTML_STRIP_SQL = [
 
 
 @register(
+    "weekly_growth",
+    # Week-over-week growth: epoch-week bucketing (integer division),
+    # lag window, ratio rounded once — the reporting shape on top of
+    # the event stream.
+    """
+    WITH w AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+             count(*) AS n
+      FROM events GROUP BY week
+    )
+    SELECT week, CAST(n AS BIGINT) AS n,
+           CAST(lag(n) OVER (ORDER BY week) AS BIGINT) AS prev_n,
+           round(CAST(n - lag(n) OVER (ORDER BY week) AS DOUBLE)
+                 / lag(n) OVER (ORDER BY week), 6) AS wow_growth
+    FROM w
+    """,
+)
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        ev.select(F.expr("ts_sec DIV 604800").alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.orderBy("week")
+    prev = F.lag("n").over(win)
+    return w.select(
+        "week",
+        F.col("n").cast("bigint").alias("n"),
+        prev.cast("bigint").alias("prev_n"),
+        F.round((F.col("n") - prev).cast("double") / prev, 6).alias(
+            "wow_growth"
+        ),
+    )
+
+
+@register(
     "median_latency",
     # EXACT median of the conversion latencies by rank selection (the
     # two middle BIGINTs averaged) — engine-built-in medians interpolate
