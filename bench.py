@@ -131,6 +131,7 @@ HEADLINE = [
     "html_plain",         # crawl-scale HTML tag-strip to text
     "median_latency",     # exact rank-selected median (no interpolation)
     "weekly_growth",      # week-over-week growth (lag ratio)
+    "locf_values",        # last-observation-carried-forward (IGNORE NULLS)
 ]
 
 

@@ -5009,6 +5009,49 @@ _HTML_STRIP_SQL = [
 
 
 @register(
+    "locf_values",
+    # Last-observation-carried-forward: error events get their value
+    # nulled (deterministic synthesis), then each row carries the most
+    # recent non-null value per user — IGNORE NULLS window semantics,
+    # values copied not computed (no float arithmetic to diverge).
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id, ts_sec, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_sec, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM e
+    """,
+)
+def q_locf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+@register(
     "weekly_growth",
     # Week-over-week growth: epoch-week bucketing (integer division),
     # lag window, ratio rounded once — the reporting shape on top of
