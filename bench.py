@@ -132,6 +132,7 @@ HEADLINE = [
     "median_latency",     # exact rank-selected median (no interpolation)
     "weekly_growth",      # week-over-week growth (lag ratio)
     "locf_values",        # last-observation-carried-forward (IGNORE NULLS)
+    "id_gaps",            # gaps-and-islands complement (missing id ranges)
 ]
 
 

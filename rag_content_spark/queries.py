@@ -5009,6 +5009,30 @@ _HTML_STRIP_SQL = [
 
 
 @register(
+    "id_gaps",
+    # Gaps-and-islands complement: ranges missing from the event_id
+    # sequence (every 7th id filtered out deterministically so gaps
+    # exist) — lead() over the surviving ids, pure integer bounds.
+    """
+    WITH e AS (SELECT event_id FROM events WHERE event_id % 7 <> 0),
+    n AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM e)
+    SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - event_id - 1 AS BIGINT) AS gap_len
+    FROM n WHERE nxt - event_id > 1
+    """,
+)
+def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 != 0)
+    w = Window.orderBy("event_id")
+    n = ev.select("event_id", F.lead("event_id").over(w).alias("nxt"))
+    return n.filter(F.col("nxt") - F.col("event_id") > 1).select(
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("event_id") - 1).cast("bigint").alias("gap_len"),
+    )
+
+
+@register(
     "locf_values",
     # Last-observation-carried-forward: error events get their value
     # nulled (deterministic synthesis), then each row carries the most
