@@ -133,6 +133,7 @@ HEADLINE = [
     "weekly_growth",      # week-over-week growth (lag ratio)
     "locf_values",        # last-observation-carried-forward (IGNORE NULLS)
     "id_gaps",            # gaps-and-islands complement (missing id ranges)
+    "hourly_profile",     # hour-of-day seasonality (integer epoch math)
 ]
 
 

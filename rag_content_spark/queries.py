@@ -5009,6 +5009,29 @@ _HTML_STRIP_SQL = [
 
 
 @register(
+    "hourly_profile",
+    # Hour-of-day seasonality per event type — pure integer epoch
+    # arithmetic (no calendar functions, whose timezone/DST rules are
+    # the classic cross-engine divergence).
+    """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour,
+           event_type,
+           count(*) AS n
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr("(ts_sec % 86400) DIV 3600").alias("hour"), "event_type"
+        )
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "id_gaps",
     # Gaps-and-islands complement: ranges missing from the event_id
     # sequence (every 7th id filtered out deterministically so gaps
