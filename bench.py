@@ -113,6 +113,7 @@ HEADLINE = [
     "robots_filter",      # robots.txt politeness gate over a crawl frontier
     "c4_clean",           # C4 line-cleaning rules (terminal punct, junk markers)
     "bitext_margin",      # LASER margin-criterion bitext mining
+    "bitext_margin_ivf",  # beyond-memory IVF-shortlist bitext path
     "pagerank",           # fixed-point power iteration, exact integer oracle
     "ccnet_buckets",      # CCNet head-middle-tail perplexity tertiles
     "bpe_fertility",      # tokenizer pieces-per-word by language

@@ -317,6 +317,16 @@ def mine_contrastive_pairs(
     )
 
 
+def _round_half_away(x, decimals: int = 0):
+    """Round half away from zero — Spark F.round / DuckDB round()
+    semantics. numpy's np.round is banker's (half-even) and diverges
+    from both engines at exact .5 boundaries of the fixed-point grid."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def mine_bitext(
     src,
     tgt,
@@ -335,8 +345,12 @@ def mine_bitext(
     identical ranking runs over an ANN shortlist (operators/similarity
     top_k_batch / query_ann_index) — the margin math is unchanged.
     Determinism: scores are fixed-point 1e-6 BIGINTs, so the top-k sum
-    is an exact integer and margin = best*k/sum is identical on any
-    engine and partitioning. Ties break by target id.
+    is an exact integer and margin = best*n/sum is identical on any
+    engine and partitioning (n = the ACTUAL top-list size, which is
+    < k when fewer than k targets exist — a constant k would overstate
+    the neighborhood mean and inflate margins past the threshold,
+    deviating from the Artetxe & Schwenk definition). Ties break by
+    target id.
     """
     from pyspark.sql import Window
 
@@ -363,6 +377,7 @@ def mine_bitext(
         F.min_by(F.col("id_b"), F.col("_rn")).alias("id_b"),
         F.max("s6").alias("_best6"),
         F.sum("s6").alias("_sum6"),
+        F.count(F.lit(1)).alias("_nk"),
     )
     return (
         agg.select(
@@ -370,7 +385,8 @@ def mine_bitext(
             "id_b",
             F.round(F.col("_best6").cast("double") / 1e6, 6).alias("score"),
             F.round(
-                F.col("_best6").cast("double") * k / F.col("_sum6"), 6
+                F.col("_best6").cast("double") * F.col("_nk") / F.col("_sum6"),
+                6,
             ).alias("margin"),
         )
         .filter(F.col("margin") >= margin_threshold)
@@ -388,10 +404,12 @@ def mine_bitext_np(
     """Vectorized twin of :func:`mine_bitext`: one numpy cosine matrix
     per Arrow batch of sources against the materialized target matrix
     (driver-collected and broadcast — the target side must fit in
-    memory; at larger scale IVF-shortlist targets first, same as the
-    ANN build twins). Identical fixed-point ranking and tie-break
-    (targets pre-sorted by id + stable argsort), equality-pinned
-    against the exact operator in tests.
+    memory; :func:`mine_bitext_ivf` is the beyond-memory variant).
+    Identical fixed-point ranking and tie-break (targets pre-sorted by
+    id + stable argsort), equality-pinned against the exact operator in
+    tests. Rounding is HALF-AWAY-FROM-ZERO (sign*floor(|x|+0.5)) to
+    match Spark's F.round / DuckDB's round exactly — numpy's default
+    np.round is banker's (half-even) and diverges at .5 boundaries.
 
     Measured: 205 s exact all-pairs at 2.5k x 2.5k x 64-d -> ~2 s here.
     """
@@ -424,7 +442,7 @@ def mine_bitext_np(
                 continue
             A = np.array([list(v) for v in pdf[embedding_col]], dtype=np.float64)
             An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-            s6 = np.round(An @ Mn.T * 1_000_000).astype(np.int64)
+            s6 = _round_half_away(An @ Mn.T * 1_000_000).astype(np.int64)
             # stable argsort over -s6: ties resolve in target-id order
             # because the target axis is pre-sorted by id
             order = np.argsort(-s6, axis=1, kind="stable")[:, :k]
@@ -432,18 +450,191 @@ def mine_bitext_np(
             top6 = s6[r[:, None], order]
             best6 = top6[:, 0].astype(np.float64)
             sum6 = top6.sum(axis=1).astype(np.float64)
-            margin = np.round(best6 * k / sum6, 6)
+            # order.shape[1] = the ACTUAL top width (< k when fewer
+            # targets exist) — a constant k would inflate the margin
+            margin = _round_half_away(best6 * order.shape[1] / sum6, 6)
             keep = margin >= margin_threshold
             yield pd.DataFrame(
                 {
                     "id_a": pdf[id_col].to_numpy()[keep],
                     "id_b": tids[order[:, 0]][keep],
-                    "score": np.round(best6 / 1e6, 6)[keep],
+                    "score": _round_half_away(best6 / 1e6, 6)[keep],
                     "margin": margin[keep],
                 }
             )
 
     return src.select(id_col, embedding_col).mapInPandas(_mine, schema=schema)
+
+
+def _probe_cells_np(
+    df: DataFrame,
+    centroids: list,
+    nprobe: int,
+    id_col: str,
+    embedding_col: str,
+    out_id: str,
+    out_emb: str,
+) -> DataFrame:
+    """Explode each row into its ``nprobe`` nearest IVF cells:
+    (out_id, out_emb, _cell). Distances are true euclidean rounded to
+    1e-6 with ties by centroid id — the same total order the exact SQL
+    probe uses (and :func:`assign_ivf_cells_np`'s assignment rule)."""
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    cent_ids = np.array([c[0] for c in centroids], dtype=np.int64)
+    order = np.argsort(cent_ids, kind="stable")
+    cent_ids = cent_ids[order]
+    cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    p = min(nprobe, len(cent_ids))
+
+    schema = T.StructType(
+        [
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField(out_emb, df.schema[embedding_col].dataType),
+            T.StructField("_cell", T.LongType()),
+        ]
+    )
+
+    def _probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.array(pdf[embedding_col].tolist(), dtype=np.float64)
+            xnorm = (emb * emb).sum(axis=1)
+            d2 = xnorm[:, None] + cnorm[None, :] - 2.0 * (emb @ cmat.T)
+            np.maximum(d2, 0.0, out=d2)
+            d = np.round(np.sqrt(d2), 6)
+            # centroid axis is pre-sorted by id, so a stable argsort on
+            # distance resolves ties by centroid id
+            near = np.argsort(d, axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy().repeat(p),
+                    out_emb: pdf[embedding_col].to_numpy().repeat(p),
+                    "_cell": cent_ids[near].reshape(-1),
+                }
+            )
+
+    return df.select(id_col, embedding_col).mapInPandas(_probe, schema=schema)
+
+
+def mine_bitext_ivf(
+    src,
+    tgt,
+    centroids: list,
+    k: int = 4,
+    nprobe: int = 4,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> "DataFrame":
+    """Beyond-memory bitext mining: the IVF-shortlist variant of
+    :func:`mine_bitext` / :func:`mine_bitext_np`.
+
+    Neither side is ever collected to the driver (only ``centroids`` —
+    a vocabulary-sized model artifact, same as the ANN index build):
+
+    1. targets are assigned to their nearest IVF cell (vectorized per
+       Arrow batch, distributed);
+    2. sources probe their ``nprobe`` nearest cells (exploded rows);
+    3. a **cogrouped per-cell matmul** scores each (source-batch x
+       cell) block and keeps the per-cell top-k — shuffle is one
+       equi-join-shaped cogroup on cell, never all-pairs;
+    4. a global rank window merges the per-cell top-ks (<= nprobe*k
+       rows per source) and the margin uses the ACTUAL top width, like
+       the exact operator.
+
+    With ``nprobe >= len(centroids)`` every candidate is scored and the
+    result is EXACTLY mine_bitext (equality-pinned in tests); smaller
+    nprobe trades recall for touching only nprobe/n_cells of the target
+    corpus per source — the Artetxe & Schwenk production shape. All
+    scores are fixed-point 1e-6 BIGINTs rounded half-away (engine-exact
+    grid; same caveats as mine_bitext_np).
+    """
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    from pyspark.sql import Window
+
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
+
+    assigned = assign_ivf_cells_np(
+        tgt.select(id_col, embedding_col), centroids,
+        embedding_col=embedding_col, id_col=id_col,
+    ).select(
+        F.col(id_col).alias("id_b"),
+        F.col(embedding_col).alias("_eb"),
+        F.col("centroid_id").alias("_cell"),
+    )
+    probes = _probe_cells_np(
+        src, centroids, nprobe, id_col, embedding_col, "id_a", "_ea"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("s6", T.LongType()),
+        ]
+    )
+
+    def _cell_topk(_key, left: "pd.DataFrame", right: "pd.DataFrame"):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "s6": []})
+        # pre-sort targets by id so the stable argsort breaks score
+        # ties in target-id order (the exact operator's total order)
+        right = right.sort_values("id_b")
+        tids = right["id_b"].to_numpy(dtype=np.int64)
+        B = np.array(right["_eb"].tolist(), dtype=np.float64)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        A = np.array(left["_ea"].tolist(), dtype=np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        s6 = _round_half_away(An @ Bn.T * 1_000_000).astype(np.int64)
+        kk = min(k, s6.shape[1])
+        order = np.argsort(-s6, axis=1, kind="stable")[:, :kk]
+        r = np.arange(len(left))
+        return pd.DataFrame(
+            {
+                "id_a": left["id_a"].to_numpy(dtype=np.int64).repeat(kk),
+                "id_b": tids[order].reshape(-1),
+                "s6": s6[r[:, None], order].reshape(-1),
+            }
+        )
+
+    merged = (
+        probes.groupBy("_cell")
+        .cogroup(assigned.groupBy("_cell"))
+        .applyInPandas(_cell_topk, schema=out_schema)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("s6"), "id_b")
+    top = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = top.groupBy("id_a").agg(
+        F.min_by(F.col("id_b"), F.col("_rn")).alias("id_b"),
+        F.max("s6").alias("_best6"),
+        F.sum("s6").alias("_sum6"),
+        F.count(F.lit(1)).alias("_nk"),
+    )
+    return (
+        agg.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_best6").cast("double") / 1e6, 6).alias("score"),
+            F.round(
+                F.col("_best6").cast("double") * F.col("_nk") / F.col("_sum6"),
+                6,
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") >= margin_threshold)
+    )
 
 
 def mmr_rerank(
@@ -502,21 +693,25 @@ def mmr_rerank(
     lam, inv = lam_pct, 100 - lam_pct
     selected: list = []
     remaining = set(rel)
+    # maxsim[c] = max similarity of c to any already-selected item,
+    # updated incrementally as picks land: O(n) per step total instead
+    # of recomputing max-over-selected for every candidate (and the
+    # scores dict means each step evaluates each candidate ONCE — the
+    # old max-then-min tie-break re-scored all of `remaining` twice).
+    maxsim: dict = {}
     while remaining and len(selected) < k:
         if not selected:
-            pick = max(remaining, key=lambda c: (rel[c], ), default=None)
-            # ties by smallest id
-            best_rel = max(rel[c] for c in remaining)
-            pick = min(c for c in remaining if rel[c] == best_rel)
+            scores = {c: rel[c] for c in remaining}
         else:
-            def _score(c):
-                return lam * rel[c] - inv * max(
-                    sim.get((c, s), 0) for s in selected
-                )
-            best = max(_score(c) for c in remaining)
-            pick = min(c for c in remaining if _score(c) == best)
+            scores = {c: lam * rel[c] - inv * maxsim[c] for c in remaining}
+        best = max(scores.values())
+        pick = min(c for c in remaining if scores[c] == best)
         selected.append(pick)
         remaining.discard(pick)
+        for c in remaining:
+            s = sim.get((c, pick), 0)
+            if s > maxsim.get(c, -(1 << 62)):
+                maxsim[c] = s
 
     rows = [
         (i + 1, s, round(rel[s] / 1e6, 6)) for i, s in enumerate(selected)

@@ -17,6 +17,10 @@ Scale shapes (100 TB):
   rows, and the per-document scoring join is a **broadcast** of a
   <= buckets-row log-ratio table — no shuffle of the corpus beyond the
   final per-doc partial aggregate.
+* The per-doc feature table is **materialized once** (localCheckpoint,
+  on by default): the composed weight/select plans reference it up to
+  three times, and without materialization each reference re-scans and
+  re-tokenizes the corpus — the dominant cost at 100 TB.
 * Log-ratios are fixed-point BIGINTs (ln * 1e6, rounded): per-document
   weights are then *integer* sums — exact, order-independent, identical
   across engines and across partitionings. A double sum would depend on
@@ -167,6 +171,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     buckets: int = 4096,
     target_subset_of_raw: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-raw-document DSIR importance weight: (id, n_ngrams, logw).
 
@@ -187,8 +192,22 @@ def dsir_log_weights(
     re-exploding it is cheaper than the semi-join + regroup (6.4 s vs
     8.3 s), so the flag is opt-in — flip it when the target is a large
     fraction of raw or expensive to re-tokenize.
+
+    ``materialize=True`` (default) localCheckpoints the per-doc feature
+    table: the lazy plan references it two-to-three times (raw bucket
+    sums, optional target semi-join sums, the final scoring join), and
+    without materialization Catalyst re-derives it — re-scanning and
+    re-tokenizing the corpus — once per reference. At 100 TB each extra
+    derivation is the cost of the whole job again; checkpointing caps
+    the plan at ONE corpus scan. Pass ``materialize=False`` only to
+    inspect the fully-lazy composed plan. (localCheckpoint over
+    persist() for the same reason as ``jaccard_pairs``: the checkpoint
+    truncates lineage and stays AQE-replannable; on a real cluster
+    prefer reliable checkpoints if executor loss must not recompute.)
     """
     feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
+    if materialize:
+        feats = feats.localCheckpoint(eager=True)
     rc = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
     pr = _smoothed(rc, buckets)
     if target_subset_of_raw:
@@ -201,6 +220,13 @@ def dsir_log_weights(
         pt = _smoothed(tc, buckets)
     else:
         pt = bucket_distribution(target, text_col, buckets)
+    if materialize:
+        # the distribution tables are <= buckets rows but _smoothed /
+        # _ratio_table reference each twice (counts + total agg, join +
+        # max-total) — without this the TARGET corpus is scanned and
+        # re-tokenized 4x per plan. Checkpointing <= 4096 rows is free.
+        pr = pr.localCheckpoint(eager=True)
+        pt = pt.localCheckpoint(eager=True)
     ratios = _ratio_table(pr, pt, buckets)
     return (
         feats.join(F.broadcast(ratios), "bucket")
@@ -239,6 +265,7 @@ def dsir_select(
     buckets: int = 4096,
     salt: str = "dsir",
     target_subset_of_raw: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Gumbel top-k importance resample: the k raw documents to keep.
 
@@ -250,6 +277,7 @@ def dsir_select(
     w = dsir_log_weights(
         raw, target, text_col, id_col, buckets,
         target_subset_of_raw=target_subset_of_raw,
+        materialize=materialize,
     )
     keyed = w.select(
         F.col(id_col),

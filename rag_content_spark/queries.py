@@ -5748,14 +5748,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a,
              arg_min(id_b, rn) AS id_b,
              CAST(max(s6) AS BIGINT) AS best6,
-             CAST(sum(s6) AS BIGINT) AS sum6
+             CAST(sum(s6) AS BIGINT) AS sum6,
+             CAST(count(*) AS BIGINT) AS nk
       FROM ranked WHERE rn <= 4 GROUP BY id_a
     )
     SELECT id_a, id_b,
            round(CAST(best6 AS DOUBLE) / 1000000, 6) AS score,
-           round(CAST(best6 AS DOUBLE) * 4 / sum6, 6) AS margin
+           round(CAST(best6 AS DOUBLE) * nk / sum6, 6) AS margin
     FROM agg
-    WHERE round(CAST(best6 AS DOUBLE) * 4 / sum6, 6) >= 1.05
+    WHERE round(CAST(best6 AS DOUBLE) * nk / sum6, 6) >= 1.05
     """,
 )
 def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5768,6 +5769,80 @@ def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     return mine_bitext_np(src, tgt, k=4, margin_threshold=1.05)
+
+
+@register(
+    "bitext_margin_ivf",
+    # The beyond-memory bitext path: targets bucketed into IVF cells
+    # (centroids = target vectors with vec_id % 50 == 1 — deterministic
+    # and SQL-expressible, same seeding as ann_ivf), sources probe their
+    # 3 nearest cells, margin ranked over the probed shortlist only.
+    # The oracle replicates the cell assignment, the probe set, and the
+    # actual-top-width margin exactly.
+    f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings WHERE vec_id % 2 = 1),
+    cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 1),
+    assigned AS (
+      SELECT id_b, eb, cid FROM (
+        SELECT b.id_b, b.eb, c.cid,
+               row_number() OVER (PARTITION BY b.id_b
+                                  ORDER BY round({euclidean_sql('b.eb', 'c.cv')}, 6) ASC,
+                                           c.cid ASC) AS rk
+        FROM b CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT id_a, ea, cid FROM (
+        SELECT a.id_a, a.ea, c.cid,
+               row_number() OVER (PARTITION BY a.id_a
+                                  ORDER BY round({euclidean_sql('a.ea', 'c.cv')}, 6) ASC,
+                                           c.cid ASC) AS rk
+        FROM a CROSS JOIN cent c
+      ) WHERE rk <= 3
+    ),
+    scored AS (
+      SELECT p.id_a, t.id_b,
+             CAST(round({cosine_sql('p.ea', 't.eb')} * 1000000) AS BIGINT) AS s6
+      FROM probes p JOIN assigned t ON p.cid = t.cid
+    ),
+    ranked AS (
+      SELECT id_a, id_b, s6,
+             row_number() OVER (PARTITION BY id_a ORDER BY s6 DESC, id_b) AS rn
+      FROM scored
+    ),
+    agg AS (
+      SELECT id_a,
+             arg_min(id_b, rn) AS id_b,
+             CAST(max(s6) AS BIGINT) AS best6,
+             CAST(sum(s6) AS BIGINT) AS sum6,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM ranked WHERE rn <= 4 GROUP BY id_a
+    )
+    SELECT id_a, id_b,
+           round(CAST(best6 AS DOUBLE) / 1000000, 6) AS score,
+           round(CAST(best6 AS DOUBLE) * nk / sum6, 6) AS margin
+    FROM agg
+    WHERE round(CAST(best6 AS DOUBLE) * nk / sum6, 6) >= 1.05
+    """,
+)
+def q_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import mine_bitext_ivf
+
+    emb = _emb(spark, sf_dir)
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    # centroids: one driver collect of a deterministic vocabulary-sized
+    # sample of target vectors (the documented ANN model-artifact shape)
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 50 == 1)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return mine_bitext_ivf(
+        src, tgt, centroids, k=4, nprobe=3, margin_threshold=1.05
+    )
 
 
 @register(
@@ -6107,7 +6182,9 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
       CAST(len(lines) AS BIGINT) AS n_lines,
-      round(CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+      -- coalesce: list_sum([]) is NULL in DuckDB but the Spark fold
+      -- yields 0 for zero-non-empty-line docs — both sides must say 0.0
+      round(CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS DOUBLE)
             / greatest(len(lines), 1), 6) AS mean_line_chars,
       round(CAST(len(list_filter(lines, x -> right(x, 1) IN ('.', '!', '?', '"'))) AS DOUBLE)
             / greatest(len(lines), 1), 6) AS frac_end_punct,
@@ -6172,23 +6249,81 @@ def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The targeted-selection flagship: gate -> DSIR resample -> pack,
-    one lazy plan."""
+    """The targeted-selection flagship: gate -> DSIR resample -> pack.
+
+    The gated corpus is materialized ONCE (localCheckpoint): the plan
+    references it four times (target slice, DSIR raw side, the kept
+    join, the final stamp-back), and the DSIR feature table inside
+    dsir_select is checkpointed too (materialize=True default), so the
+    whole pipeline reads `documents` exactly once — previously 16
+    scans. target_subset_of_raw=True derives the target distribution
+    from the checkpointed feature table via a semi-join instead of
+    re-tokenizing the slice (identical integer counts, equality-pinned
+    in tests/test_selection.py).
+    """
     from rag_content_spark.operators.packing import pack_sequences
     from rag_content_spark.operators.quality import gopher_rules
     from rag_content_spark.operators.selection import dsir_select
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    gated = docs.filter(gopher_rules("text")["keep"])
+    gated = docs.filter(gopher_rules("text")["keep"]).localCheckpoint(eager=True)
     target = gated.filter(F.col("lang") == "en")
-    sel = dsir_select(gated, target, k=200, buckets=_DSIR_B).select(
-        "doc_id", "logw"
-    )
+    sel = dsir_select(
+        gated, target, k=200, buckets=_DSIR_B, target_subset_of_raw=True
+    ).select("doc_id", "logw")
     kept = gated.join(sel, "doc_id")
     packed = pack_sequences(kept, budget=500, shards=4)
     return packed.join(
         kept.select("doc_id", "lang", "logw"), "doc_id"
     ).select("doc_id", "lang", "logw", "shard", "n_tokens", "seq_bucket")
+
+
+@register(
+    "streaming_ingest_parity",
+    # Batch-equivalence of the Structured Streaming ingest path: an
+    # availableNow file-source stream over the documents parquet runs a
+    # narrow projection and lands via foreachBatch -> versioned-table
+    # upserts (exactly-once via batch_id manifests); the query returns
+    # the MATERIALIZED table, which must hash-equal the plain batch
+    # projection the oracle computes. doc_ids are unique, so the
+    # upsert view is exactly the input set.
+    f"""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_streaming_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rag_content_spark.sinks.versioned_table import read_snapshot
+    from rag_content_spark.streaming.ingest import start_table_stream
+
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        # the file source needs a DIRECTORY basePath; the testdata table
+        # is a single file, so stream the dir with a glob pinned to it
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="sgraft_stream_parity_")
+    q = start_table_stream(
+        stream,
+        os.path.join(base, "tbl"),
+        os.path.join(base, "ckpt"),
+        key_col="doc_id",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, os.path.join(base, "tbl"))
 
 
 # ---------------------------------------------------------------------------

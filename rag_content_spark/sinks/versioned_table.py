@@ -56,18 +56,32 @@ def write_snapshot(
     table_dir: str,
     mode: str = "append",
     key_col: str | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot; returns the new version.
 
     ``upsert`` requires ``key_col`` (recorded in the manifest — readers
     use it for latest-wins resolution). The data write is distributed;
     only the manifest touches the driver.
+
+    ``batch_id`` is the idempotence token for streaming foreachBatch
+    sinks: it is recorded in the manifest, and a call whose batch_id
+    already has a committed manifest is a NO-OP returning the existing
+    version. Without it a replayed micro-batch (manifest committed, but
+    the streaming checkpoint crashed before advancing) would recompute
+    the next version from the manifests and silently write a duplicate
+    snapshot — the upsert view stays correct via shadowing, but the log
+    gains phantom versions and time-travel numbering shifts.
     """
     if mode not in ("append", "overwrite", "upsert"):
         raise ValueError(f"unknown mode: {mode}")
     if mode == "upsert" and not key_col:
         raise ValueError("upsert requires key_col")
     snaps = snapshots(table_dir)
+    if batch_id is not None:
+        dup = next((s for s in snaps if s.get("batch_id") == batch_id), None)
+        if dup is not None:
+            return dup["version"]
     if snaps:
         prior_key = next(
             (s["key_col"] for s in reversed(snaps) if s.get("key_col")), None
@@ -86,6 +100,7 @@ def write_snapshot(
         "key_col": key_col,
         "data_dir": rel_dir,
         "rows": df.count(),
+        "batch_id": batch_id,
     }
     with open(_snap_path(table_dir, version), "w") as f:
         json.dump(manifest, f, indent=2)

@@ -72,11 +72,11 @@ def start_table_stream(
     snapshot (sinks/versioned_table), so re-crawled documents shadow
     their old versions latest-wins while readers keep time travel.
 
-    foreachBatch + the streaming checkpoint give exactly-once snapshot
-    writes (a replayed batch re-runs write_snapshot; the data dir's
-    errorifexists mode makes the replay fail loudly instead of
-    double-appending — delete the orphan dir to recover, the standard
-    manual step for half-committed snapshots). Empty batches are
+    Exactly-once: the micro-batch's ``batch_id`` is recorded in the
+    snapshot manifest and ``write_snapshot`` skips a batch_id that
+    already has a committed manifest — so a replayed batch (manifest
+    committed but the streaming checkpoint crashed before advancing) is
+    a no-op instead of a phantom duplicate snapshot. Empty batches are
     skipped (no empty snapshots).
     """
     from rag_content_spark.sinks.versioned_table import write_snapshot
@@ -84,7 +84,10 @@ def start_table_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        write_snapshot(batch_df, table_dir, mode="upsert", key_col=key_col)
+        write_snapshot(
+            batch_df, table_dir, mode="upsert", key_col=key_col,
+            batch_id=batch_id,
+        )
 
     writer = stream.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_path

@@ -84,3 +84,19 @@ def test_shard_bytes_deterministic(spark, tmp_path):
         }
 
     assert _digests(str(tmp_path / "a")) == _digests(str(tmp_path / "b"))
+
+
+def test_uint16_overflow_raises_before_writing(tmp_path):
+    # np.asarray(..., 'uint16') would silently wrap 65536 -> 0; the sink
+    # must refuse loudly and leave NO partial .bin behind
+    import pytest
+
+    from rag_content_spark.sinks.megatron import write_indexed_pair
+
+    prefix = str(tmp_path / "bad")
+    with pytest.raises(ValueError, match="out of range"):
+        write_indexed_pair(prefix, [[1, 2], [65536]], dtype="uint16")
+    assert not (tmp_path / "bad.bin").exists()
+    assert not (tmp_path / "bad.idx").exists()
+    with pytest.raises(ValueError, match="out of range"):
+        write_indexed_pair(prefix, [[-1]], dtype="uint16")

@@ -196,3 +196,20 @@ def test_c4_line_filter_rules(spark):
         "A third keeper makes the doc pass?",
     ]
     assert got[2]["keep"] is False and got[2]["n_kept"] == 0
+
+
+def test_line_stats_zero_nonempty_lines_yields_zero_means(spark):
+    # a doc of only blank lines: Spark's fold gives 0 total chars and the
+    # safe_n guard makes every stat 0.0 — the DuckDB oracle coalesces
+    # list_sum([]) (NULL) to 0 to agree (ADVICE r4)
+    from rag_content_spark.operators.quality import line_stats
+
+    # NB only spaces: trim() strips ' ' (not \t) on BOTH engines
+    docs = spark.createDataFrame(
+        [(1, "\n   \n  \n"), (2, "real line.\n")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in line_stats(docs).collect()}
+    assert got[1]["n_lines"] == 0
+    assert got[1]["mean_line_chars"] == 0.0
+    assert got[1]["frac_end_punct"] == 0.0
+    assert got[2]["n_lines"] == 1 and got[2]["mean_line_chars"] == 10.0

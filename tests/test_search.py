@@ -250,3 +250,75 @@ def test_rrf_fuse_hand_example(spark):
     # docs appearing in BOTH rankings outrank one-sided top hits
     assert got[2] > got[1] and got[3] > got[1]
     assert got[2] > got[4] and got[3] > got[4]
+
+
+def test_mine_bitext_fewer_targets_than_k_uses_actual_width(spark):
+    # Artetxe & Schwenk margin = best / mean(actual top list): with a
+    # single target the margin is exactly 1.0 — a constant-k denominator
+    # would report best*k/best = k and wrongly pass any threshold
+    from rag_content_spark.operators.search import mine_bitext, mine_bitext_np
+
+    src = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    tgt = spark.createDataFrame([(10, [1.0, 0.0])], ["vec_id", "embedding"])
+    exact = mine_bitext(src, tgt, k=4, margin_threshold=0.0).collect()
+    fast = mine_bitext_np(src, tgt, k=4, margin_threshold=0.0).collect()
+    assert len(exact) == 1 and exact[0]["margin"] == 1.0
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, exact))
+    # and a >1 threshold filters it out on both paths
+    assert mine_bitext(src, tgt, k=4, margin_threshold=1.05).count() == 0
+    assert mine_bitext_np(src, tgt, k=4, margin_threshold=1.05).count() == 0
+
+
+def test_mine_bitext_ivf_full_probe_equals_exact(spark):
+    # with nprobe >= n_cells every candidate is scored, so the IVF path
+    # must reproduce the exact all-pairs operator bit-for-bit
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import mine_bitext, mine_bitext_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 20 == 1).orderBy("vec_id").collect()
+    ]
+    exact = sorted(map(tuple, mine_bitext(src, tgt, k=4, margin_threshold=1.05).collect()))
+    ivf = sorted(map(tuple, mine_bitext_ivf(
+        src, tgt, centroids, k=4, nprobe=len(centroids), margin_threshold=1.05
+    ).collect()))
+    assert len(exact) > 0
+    assert ivf == exact
+
+
+def test_mine_bitext_ivf_recall_grows_with_nprobe(spark):
+    # pruning is approximate (the synthetic embeddings are near-uniform,
+    # so cell membership correlates weakly with true neighbors); the
+    # structural guarantee is that widening the probe monotonically
+    # recovers the exact best-matches, reaching equality at full probe
+    # (pinned in the test above)
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import mine_bitext, mine_bitext_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 20 == 1).orderBy("vec_id").collect()
+    ]
+    exact = {r["id_a"]: r for r in mine_bitext(src, tgt, k=4, margin_threshold=1.05).collect()}
+
+    def agree(nprobe):
+        ivf = {r["id_a"]: r for r in mine_bitext_ivf(
+            src, tgt, centroids, k=4, nprobe=nprobe, margin_threshold=1.05
+        ).collect()}
+        assert len(ivf) > 0
+        return sum(
+            1 for i, r in ivf.items()
+            if i in exact and r["id_b"] == exact[i]["id_b"]
+        )
+
+    narrow, wide = agree(2), agree(8)
+    assert narrow < wide  # deterministic on the fixed testdata

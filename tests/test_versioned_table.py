@@ -168,3 +168,25 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     got = {r["doc_id"]: r for r in read_snapshot(spark, t).collect()}
     assert got[1]["text"] == "a" and got[1]["lang"] is None
     assert got[2]["lang"] == "en"
+
+
+def test_batch_id_replay_is_noop(spark, tmp_path):
+    # foreachBatch exactly-once: a replayed micro-batch (same batch_id)
+    # must NOT mint a phantom snapshot version
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        snapshots,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    v1 = write_snapshot(df, t, mode="upsert", key_col="doc_id", batch_id=0)
+    again = write_snapshot(df, t, mode="upsert", key_col="doc_id", batch_id=0)
+    assert (v1, again) == (1, 1)
+    assert len(snapshots(t)) == 1
+    # a genuinely new batch still advances the version
+    df2 = spark.createDataFrame([(1, "b")], ["doc_id", "text"])
+    v2 = write_snapshot(df2, t, mode="upsert", key_col="doc_id", batch_id=1)
+    assert v2 == 2
+    assert _rows(read_snapshot(spark, t)) == [(1, "b")]
