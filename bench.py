@@ -135,6 +135,16 @@ HEADLINE = [
     "locf_values",        # last-observation-carried-forward (IGNORE NULLS)
     "id_gaps",            # gaps-and-islands complement (missing id ranges)
     "hourly_profile",     # hour-of-day seasonality (integer epoch math)
+    "customer_order_distribution",  # TPC-H Q13 shape (outer-join count dist)
+    "disjunctive_revenue",          # TPC-H Q19 shape (OR-of-ANDs pushdown)
+    "waiting_suppliers",            # TPC-H Q21 shape (EXISTS + NOT EXISTS)
+    "sales_opportunity",            # TPC-H Q22 shape (decimal avg + anti join)
+    "semdedup",                     # embedding-space semantic dedup (cells)
+    "k_anonymity",        # privacy release gate (quasi-identifier classes)
+    "running_revenue",    # ROWS-frame cumulative per-customer totals
+    "forecast_revenue",   # TPC-H Q6 shape (tight-filter scan-and-sum)
+    "balance_rank_profile",  # percent_rank / cume_dist / ntile trio
+    "doc_embedding_pool", # chunk -> embed -> exact per-dim mean pooling
 ]
 
 

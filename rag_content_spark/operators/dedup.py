@@ -832,3 +832,74 @@ def cdc_chunks(
         "n_tokens",
         stable_hash64("_chunk").alias("chunk_hash"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list,
+    threshold6: int = 950_000,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+    embedding space. Cluster the corpus into IVF cells, compare pairs
+    ONLY within a cell, and drop every vector whose cosine to a
+    LOWER-id cell-mate reaches ``threshold6`` (fixed-point 1e-6).
+    Returns (id, cell, keep).
+
+    ``materialize=True`` localCheckpoints the assignment table: the plan
+    references it three times (both self-join sides + the final keep
+    join), and centroid assignment is the expensive distributed step —
+    without materialization it runs three times per query.
+
+    Scale shape: the cell partitioning is the paper's central trick —
+    pairwise work is quadratic within a cell but the equi-join on cell
+    keeps it linear in the corpus (cells are capacity-bounded by the
+    centroid count). Assignment is the exact declarative
+    :func:`~rag_content_spark.operators.similarity.assign_ivf_cells`
+    (oracle-parity path; swap in ``assign_ivf_cells_np`` on a build
+    path, same contract). The lower-id-survives rule makes the keep
+    set deterministic on any engine and partitioning — no iterative
+    clustering needed, unlike connected-components dedup, because
+    SemDeDup's drop rule is per-pair, not transitive.
+    """
+    from rag_content_spark.functions.vector import cosine
+    from rag_content_spark.operators.similarity import assign_ivf_cells
+
+    assigned = assign_ivf_cells(
+        emb.select(id_col, embedding_col), centroids,
+        embedding_col=embedding_col, id_col=id_col,
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col(embedding_col).alias("_ea"),
+        F.col("centroid_id").alias("_cell"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col(embedding_col).alias("_eb"),
+        F.col("centroid_id").alias("_cell"),
+    )
+    dropped = (
+        a.join(b, "_cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine("_ea", "_eb") * F.lit(1_000_000)).cast("bigint")
+            >= F.lit(threshold6)
+        )
+        .select(F.col("_idb").alias("_drop"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["_drop"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("centroid_id").cast("bigint").alias("cell"),
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

@@ -6279,6 +6279,481 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_distribution",
+    # TPC-H Q13 shape: LEFT OUTER join with a join-condition filter
+    # (orders of one priority class excluded IN THE ON CLAUSE, so
+    # customers keep their row at count 0), per-customer order count,
+    # then the count-of-counts distribution.
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "disjunctive_revenue",
+    # TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    # both join sides (brand x size-band x quantity-band) — the classic
+    # pushdown/join-planning stress. part broadcasts; money through
+    # DECIMAL.
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1  AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(25, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q21_LATE_GAP = 60 * 86400  # ship more than 60 days after order date
+
+
+@register(
+    "waiting_suppliers",
+    # TPC-H Q21 shape (the EXISTS + NOT-EXISTS anti-join stress):
+    # suppliers who shipped late on a multi-supplier order where EVERY
+    # OTHER supplier shipped on time — the sole blocker. Late = shipped
+    # > 60 days after the order date (integer epoch seconds).
+    f"""
+    WITH lo AS (
+      SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk,
+             (floor(epoch(l.l_shipdate)) - floor(epoch(o.o_orderdate))
+               > {_Q21_LATE_GAP}) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pairs AS (SELECT ok, sk FROM lo GROUP BY ok, sk),
+    late_pairs AS (SELECT DISTINCT ok, sk FROM lo WHERE late)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late_pairs l1
+    JOIN supplier s ON s.s_suppkey = l1.sk
+    WHERE EXISTS (SELECT 1 FROM pairs p2
+                  WHERE p2.ok = l1.ok AND p2.sk <> l1.sk)
+      AND NOT EXISTS (SELECT 1 FROM late_pairs l3
+                      WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lo = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").alias("sk"),
+            (
+                _ts_sec_col(li, "l_shipdate") - _ts_sec_col(o, "o_orderdate")
+                > _Q21_LATE_GAP
+            ).alias("late"),
+        )
+        .distinct()
+    )
+    pairs = lo.select("ok", "sk").distinct()
+    late_pairs = lo.filter(F.col("late")).select("ok", "sk").distinct()
+    other = pairs.select(
+        F.col("ok").alias("ok2"), F.col("sk").alias("sk2")
+    )
+    other_late = late_pairs.select(
+        F.col("ok").alias("ok3"), F.col("sk").alias("sk3")
+    )
+    # EXISTS another supplier on the order -> left-semi;
+    # NOT EXISTS another LATE supplier -> left-anti
+    cand = late_pairs.join(
+        other,
+        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(s), cand["sk"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "sales_opportunity",
+    # TPC-H Q22 shape: customers with above-average positive balance and
+    # no RECENT order (every synthetic customer has some order, so the
+    # anti-join uses the dormancy window — same two-shape composition:
+    # scalar-subquery threshold + NOT EXISTS), grouped by nation. The
+    # average threshold compares CROSS-MULTIPLIED decimals
+    # (c_acctbal * n_pos > total_pos) so both engines decide boundaries
+    # with exact arithmetic — no double-avg ulp drift.
+    f"""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.cnt > pos.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND floor(epoch(o.o_orderdate)) >= {_DORMANT_CUTOFF})
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    recent = o.filter(_ts_sec_col(o, "o_orderdate") >= _DORMANT_CUTOFF).select(
+        "o_custkey"
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(18,4)") * F.col("cnt") > F.col("total")
+    )
+    dormant_rich = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return dormant_rich.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+@register(
+    "k_anonymity",
+    # Privacy gate for training-data release: group sizes over the
+    # quasi-identifier tuple (nation, market segment, balance sign) —
+    # a record is k-anonymous iff its equivalence class has >= k
+    # members; classes below k must be suppressed or generalized
+    # before export (Sweeney 2002). Output: one row per class with
+    # its size and the release verdict.
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           c_mktsegment AS segment,
+           (c_acctbal >= 0.0) AS positive_balance,
+           CAST(count(*) AS BIGINT) AS class_n,
+           (count(*) >= 10) AS releasable
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, positive_balance
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        c.select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("c_acctbal") >= 0.0).alias("positive_balance"),
+        )
+        .groupBy("nationkey", "segment", "positive_balance")
+        .agg(F.count(F.lit(1)).alias("class_n"))
+        .withColumn("releasable", F.col("class_n") >= 10)
+    )
+
+
+@register(
+    "running_revenue",
+    # ROWS-frame cumulative window: per-customer running order total in
+    # order-date order (ties by orderkey) — the complement of the
+    # RANGE-frame rolling_30min. Money through DECIMAL so the running
+    # sum is exact at any position.
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY floor(epoch(o_orderdate)), o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS running_total,
+           CAST(row_number()
+                OVER (PARTITION BY o_custkey
+                      ORDER BY floor(epoch(o_orderdate)), o_orderkey)
+             AS BIGINT) AS order_seq
+    FROM orders
+    """,
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        _ts_sec_col(o, "o_orderdate"), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+@register(
+    "forecast_revenue",
+    # TPC-H Q6 shape: the canonical tight-filter scan-and-sum — revenue
+    # delta from a hypothetical discount change (date band + discount
+    # band + quantity cap). No joins: the query IS the pushdown test.
+    f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE floor(epoch(l_shipdate)) >= {_DORMANT_CUTOFF}
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (_ts_sec_col(li, "l_shipdate") >= _DORMANT_CUTOFF)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "balance_rank_profile",
+    # Rank-function breadth over one total order (acctbal, custkey):
+    # percent_rank / cume_dist / ntile(4) — the distribution-profile
+    # window trio. All three are rank-derived rationals of identical
+    # integer inputs, so doubles match bit-for-bit; rounded to 6 anyway.
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "doc_embedding_pool",
+    # Chunk -> embed -> POOL: the document-embedding build step (mean of
+    # chunk embeddings, the llama-index/SBERT document-vector recipe).
+    # Exactness: mock-embedding values x 1e6 are integers by
+    # construction, so the per-dimension mean is an exact BIGINT sum
+    # over an exact count; floor(sum/count) serializes without float
+    # drift. One narrow explode + two partial-agg shuffles.
+    f"""
+    WITH ch AS ({{chunks}}),
+    e AS (
+      SELECT doc_id, g.i AS dim,
+             CAST(round((({stable_hash64_sql("(chunk_text || ':' || g.i)")} % 1000000)
+                         / 1000000.0 * 2.0 - 1.0) * 1000000) AS BIGINT) AS v6
+      FROM ch, unnest(generate_series(0, 7)) AS g(i)
+    ),
+    agg AS (
+      SELECT doc_id, dim,
+             CAST(sum(v6) AS BIGINT) AS s6,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM e GROUP BY doc_id, dim
+    )
+    SELECT doc_id,
+           array_to_string(
+             list(CAST(floor(CAST(s6 AS DOUBLE) / cnt) AS BIGINT) ORDER BY dim),
+             ',') AS doc_embedding,
+           CAST(max(cnt) AS BIGINT) AS n_chunks
+    FROM agg GROUP BY doc_id
+    """.format(
+        chunks=_CHUNK_SQL.format(tokens=_TOKENS_SQL, size=16, overlap=0, stride=16)
+    ),
+)
+def q_doc_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_fixed(
+        _docs(spark, sf_dir).select("doc_id", "text"), size=16, overlap=0
+    ).select(
+        "doc_id",
+        mock_embedding_expr("chunk_text", dim=8).alias("_emb"),
+    )
+    per_dim = (
+        chunks.select(
+            "doc_id", F.posexplode(F.col("_emb")).alias("dim", "_v")
+        )
+        .select(
+            "doc_id",
+            "dim",
+            F.round(F.col("_v") * F.lit(1_000_000)).cast("bigint").alias("v6"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(
+            F.sum("v6").alias("s6"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return per_dim.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim"),
+                            F.floor(
+                                F.col("s6").cast("double") / F.col("cnt")
+                            ).cast("bigint").alias("mfp"),
+                        )
+                    )
+                ),
+                lambda s: s["mfp"].cast("string"),
+            ),
+            ",",
+        ).alias("doc_embedding"),
+        F.max("cnt").alias("n_chunks"),
+    )
+
+
+_SEMDEDUP_T6 = 950_000  # cosine >= 0.95, fixed-point 1e-6
+
+
+@register(
+    "semdedup",
+    # SemDeDup (Abbas et al. 2023): embedding-space semantic dedup —
+    # cluster the embedding table (IVF cells; centroids = vec_id % 50
+    # == 0, SQL-expressible like ann_ivf), compare pairs ONLY within a
+    # cell, drop every vector that is >= 0.95-cosine-similar to a
+    # lower-id cell-mate. The cell partitioning bounds the pairwise
+    # blow-up (the paper's trick: within-cluster quadratic, never
+    # corpus quadratic).
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
+                                           c.cid ASC) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(round({cosine_sql('a.embedding', 'b.embedding')} * 1000000) AS BIGINT)
+              >= {_SEMDEDUP_T6}
+    ),
+    dropped AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cell,
+           (d.id_b IS NULL) AS keep
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.dedup import semdedup
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
+    ]
+    return semdedup(emb, centroids, threshold6=_SEMDEDUP_T6)
+
+
+@register(
     "streaming_ingest_parity",
     # Batch-equivalence of the Structured Streaming ingest path: an
     # availableNow file-source stream over the documents parquet runs a
@@ -6301,12 +6776,21 @@ def q_streaming_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.streaming.ingest import start_table_stream
 
     schema = _docs(spark, sf_dir).schema
+    table = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(table):
+        # multi-file table (e.g. scale-probe replicas): the dir IS a
+        # valid stream basePath
+        reader = spark.readStream.schema(schema)
+        src_path = table
+    else:
+        # single-file testdata: the file source needs a DIRECTORY
+        # basePath, so stream the parent dir with a glob pinned to it
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "documents.parquet"
+        )
+        src_path = sf_dir
     stream = (
-        # the file source needs a DIRECTORY basePath; the testdata table
-        # is a single file, so stream the dir with a glob pinned to it
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        reader.parquet(src_path)
         .select(
             "doc_id",
             "lang",
@@ -6398,6 +6882,10 @@ def _changed_queries() -> set[str]:
         cur_src = f.read()
 
     def _fn_sources(src: str) -> dict[str, str]:
+        """Top-level symbol -> source text (functions WITH decorators —
+        @register(ORACLE_SQL) changes are query changes even when the
+        def body is untouched — plus classes and plain assignments, so
+        an edited module constant flags its users)."""
         try:
             tree = _ast.parse(src)
         except SyntaxError:
@@ -6405,14 +6893,32 @@ def _changed_queries() -> set[str]:
         lines = src.splitlines()
         out = {}
         for n in tree.body:
-            if isinstance(n, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
-                # include decorators: @register(ORACLE_SQL) changes are
-                # query changes even when the def body is untouched
+            if isinstance(
+                n, (_ast.FunctionDef, _ast.AsyncFunctionDef, _ast.ClassDef)
+            ):
                 start = min(
                     [n.lineno] + [d.lineno for d in n.decorator_list]
                 )
                 out[n.name] = "\n".join(lines[start - 1 : n.end_lineno])
+            elif isinstance(n, (_ast.Assign, _ast.AnnAssign)):
+                targets = n.targets if isinstance(n, _ast.Assign) else [n.target]
+                for t in targets:
+                    if isinstance(t, _ast.Name):
+                        out[t.id] = "\n".join(lines[n.lineno - 1 : n.end_lineno])
         return out
+
+    def _module_changed_syms(rel_path: str) -> set[str]:
+        """Symbol-level diff of a changed package module: only the
+        top-level defs whose SOURCE differs vs the base revision —
+        appending one new operator to a module must not flag every
+        query that imports its neighbors."""
+        try:
+            with open(os.path.join(root, rel_path)) as fh:
+                cur = _fn_sources(fh.read())
+        except OSError:
+            return set()
+        base_m = _fn_sources(_git("show", f"{base}:{rel_path}"))
+        return {name for name in cur if base_m.get(name) != cur[name]}
 
     changed_syms: set[str] = set()
 
@@ -6428,31 +6934,44 @@ def _changed_queries() -> set[str]:
 
     # (b) symbols imported here from changed rag_content_spark modules —
     # walk the WHOLE tree (most query fns import their operator locally)
+    # and keep a symbol only if ITS definition changed in the module
+    mod_syms: dict[str, set[str]] = {}
+    for f in changed_files:
+        if f.startswith("rag_content_spark/") and f.endswith(".py"):
+            mod_syms[f] = _module_changed_syms(f)
     try:
         tree = _ast.parse(cur_src)
     except SyntaxError:
         return set()
+    # module-alias imports (`from pkg import mod`): flag `alias.sym`
+    # attribute uses of changed symbols
+    mod_alias_pats: list[str] = []
     for node in _ast.walk(tree):
         if isinstance(node, _ast.ImportFrom) and node.module:
             pkg = node.module.replace(".", "/")
             for a in node.names:
-                # `from pkg.mod import sym` (mod changed) or
-                # `from pkg import mod` (pkg/mod.py changed)
-                if pkg + ".py" in changed_files or (
-                    f"{pkg}/{a.name}.py" in changed_files
-                ):
+                syms = mod_syms.get(pkg + ".py")
+                if syms is not None and a.name in syms:
                     changed_syms.add(a.asname or a.name)
+                msyms = mod_syms.get(f"{pkg}/{a.name}.py")
+                if msyms:
+                    alias = a.asname or a.name
+                    mod_alias_pats.extend(
+                        rf"{alias}\.{s}\b" for s in sorted(msyms)
+                    )
 
-    if not changed_syms:
+    if not changed_syms and not mod_alias_pats:
         return set()
 
     # a query is changed if its own def changed or its body references a
-    # changed helper/operator symbol
+    # changed helper/operator symbol (directly or as alias.sym)
     import re as _re
 
-    pat = _re.compile(
-        r"\b(" + "|".join(_re.escape(s) for s in sorted(changed_syms)) + r")\b"
-    )
+    parts = [
+        r"\b(?:" + "|".join(_re.escape(s) for s in sorted(changed_syms)) + r")\b"
+    ] if changed_syms else []
+    parts.extend(mod_alias_pats)
+    pat = _re.compile("|".join(parts))
     fns = _fn_sources(cur_src)
     reg = {fn.__name__: name for name, fn in QUERIES.items()}
     out: set[str] = set()

@@ -253,3 +253,34 @@ def test_cdc_chunks_insertion_robust(spark):
             assert start == pos
             pos += n
         assert pos == len(text.split())
+
+
+def test_semdedup_drops_higher_id_near_duplicates(spark):
+    from rag_content_spark.operators.dedup import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid/cell anchor
+        (1, [0.99, 0.14, 0.0]), # near-dup of 0 within its cell -> dropped
+        (2, [0.0, 1.0, 0.0]),   # own direction
+        (3, [0.0, 0.995, 0.1]), # near-dup of 2 -> dropped
+        (4, [0.0, 0.0, 1.0]),   # isolated -> kept
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0])]
+    got = {r["vec_id"]: r for r in semdedup(emb, cents, threshold6=950_000).collect()}
+    assert got[0]["keep"] and got[2]["keep"] and got[4]["keep"]
+    assert not got[1]["keep"] and not got[3]["keep"]
+    # lower id survives: the drop rule is directional, not transitive
+    assert got[1]["cell"] == 0 and got[3]["cell"] == 2
+
+
+def test_semdedup_cross_cell_pairs_never_compared(spark):
+    from rag_content_spark.operators.dedup import semdedup
+
+    # 10 and 11 are identical vectors but live in different cells
+    # (assignment is by nearest centroid): SemDeDup never compares them
+    rows = [(10, [1.0, 0.05, 0.0]), (11, [1.0, -0.05, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.1, 0.0]), (1, [1.0, -0.1, 0.0])]
+    got = {r["vec_id"]: r["keep"] for r in semdedup(emb, cents, threshold6=900_000).collect()}
+    assert got == {10: True, 11: True}

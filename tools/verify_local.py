@@ -27,6 +27,9 @@ TABLES = (
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    if len(df) == 0:
+        # 0-row agg below returns a DataFrame (not a Series) and crashes
+        return df.reset_index(drop=True)
     for col in df.columns:
         s = df[col]
         if s.dtype == object:
