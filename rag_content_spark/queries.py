@@ -6744,13 +6744,20 @@ _SEMDEDUP_T6 = 950_000  # cosine >= 0.95, fixed-point 1e-6
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.dedup import semdedup
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     centroids = [
         (r["vec_id"], list(r["embedding"]))
         for r in emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
     ]
-    return semdedup(emb, centroids, threshold6=_SEMDEDUP_T6)
+    # vectorized cell assignment (numpy matmul per Arrow batch) — both
+    # paths round distances to 1e-6 before the argmin, so the oracle
+    # stays exact; equality vs the declarative assignment is pinned in
+    # tests/test_dedup_similarity.py
+    return semdedup(
+        emb, centroids, threshold6=_SEMDEDUP_T6, assign_fn=assign_ivf_cells_np
+    )
 
 
 @register(

@@ -284,3 +284,27 @@ def test_semdedup_cross_cell_pairs_never_compared(spark):
     cents = [(0, [1.0, 0.1, 0.0]), (1, [1.0, -0.1, 0.0])]
     got = {r["vec_id"]: r["keep"] for r in semdedup(emb, cents, threshold6=900_000).collect()}
     assert got == {10: True, 11: True}
+
+
+def test_semdedup_np_assignment_matches_exact(spark):
+    """The registered query's vectorized assignment path (q_semdedup uses
+    assign_ivf_cells_np) must produce the identical keep-set as the exact
+    declarative assignment on real corpus data — both round distances to
+    1e-6 before the argmin."""
+    from rag_content_spark.operators.dedup import semdedup
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 10 == 0).orderBy("vec_id").collect()
+    ]
+    exact = semdedup(emb, cents, threshold6=400_000).orderBy("vec_id").collect()
+    fast = semdedup(
+        emb, cents, threshold6=400_000, assign_fn=assign_ivf_cells_np
+    ).orderBy("vec_id").collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in fast]
+    assert any(not r["keep"] for r in exact)  # the corpus has near-dups
