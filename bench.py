@@ -145,6 +145,8 @@ HEADLINE = [
     "forecast_revenue",   # TPC-H Q6 shape (tight-filter scan-and-sum)
     "balance_rank_profile",  # percent_rank / cume_dist / ntile trio
     "doc_embedding_pool", # chunk -> embed -> exact per-dim mean pooling
+    "dup_spans",          # ExactSubstr duplicate-span profile (Lee et al. 2022)
+    "dup_span_scrub",     # ExactSubstr-cut: remove duplicated spans
 ]
 
 

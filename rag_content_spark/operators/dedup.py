@@ -911,3 +911,157 @@ def semdedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+def _gram_positions(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, gh) for every k-token window of every document; ``pos``
+    is the 0-based start-token index and ``gh`` the 60-bit cross-engine
+    hash of the space-joined window text."""
+    tok = tokens(text_col)
+    m = F.size(tok) - (k - 1)
+    # sequence(0, -1) would run DESCENDING; guard docs shorter than k
+    idx = F.when(m >= 1, F.sequence(F.lit(0), m - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(tok, i + 1, k), " ")
+            )
+        ).alias("pos", "_gram"),
+    ).select(id_col, "pos", stable_hash64("_gram").alias("gh"))
+
+
+def duplicate_span_positions(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate detection at word granularity, the
+    distributed shape of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499): a token position
+    is DUPLICATED when any k-token window covering it occurs at least
+    ``min_count`` times corpus-wide (the paper's suffix-array criterion,
+    restricted to word-aligned windows of one fixed length so it
+    distributes as plain relational algebra). Returns distinct
+    (id, tok_idx) covered positions.
+
+    Scale shape (100 TB): one explode to ~n_tokens (id, pos, hash) rows;
+    duplicated hashes found by a map-side-combinable count on the 64-bit
+    gram hash (never the gram text — the shuffle carries 20 bytes/row);
+    hits come back via an equi-join on the hash; coverage explodes only
+    the DUPLICATED windows (x k) before a (id, idx) distinct. No
+    driver-side state, no O(n^2) pair scan, and no suffix array — the
+    fixed-k window trades the paper's variable-length matches for a
+    shuffle-even plan (windows longer than k are caught as runs of
+    overlapping duplicated k-windows and merge into one span).
+    60-bit gram-hash collisions can mark a false duplicate position at
+    corpus scale; acceptable for scrubbing (Lee et al.'s Bloom variants
+    accept the same), and the identical hash runs in the DuckDB oracle.
+    """
+    grams = _gram_positions(docs, k, id_col, text_col)
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("gh")
+    )
+    return (
+        grams.join(dup, "gh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("tok_idx"),
+        )
+        .distinct()
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicate-span profile over
+    :func:`duplicate_span_positions`: token count, duplicated-token
+    count, number of maximal duplicated runs (gaps-and-islands over the
+    covered positions), and the duplicated fraction."""
+    covered = duplicate_span_positions(docs, k, min_count, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("tok_idx")
+    per = (
+        covered.withColumn(
+            "_grp", F.col("tok_idx") - F.row_number().over(w)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_tokens"),
+            F.countDistinct("_grp").alias("n_spans"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(per, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every duplicated span (Lee et al. 2022's ExactSubstr-cut):
+    rebuild each document from the tokens NOT covered by a duplicated
+    k-window. Documents with zero tokens disappear (no token rows on
+    either engine); fully-duplicated documents survive with
+    ``clean_text = ''``. Per-doc reassembly is a collect_list bounded by
+    document length — the standard per-key bound, never corpus-sized."""
+    covered = duplicate_span_positions(docs, k, min_count, id_col, text_col)
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("tok_idx", "_tok")
+    )
+    joined = toks.join(
+        covered.withColumn("_dup", F.lit(True)), [id_col, "tok_idx"], "left"
+    ).select(
+        id_col,
+        "tok_idx",
+        "_tok",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("_dup"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("tok_idx", "_dup", "_tok"))
+                    ),
+                    lambda s: ~s["_dup"],
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )

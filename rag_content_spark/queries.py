@@ -6818,6 +6818,78 @@ def q_streaming_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+# Shared CTE prefix for the duplicate-span family (Lee et al. 2022
+# ExactSubstr, word-aligned fixed-k windows; see operators/dedup.py
+# duplicate_span_positions for the scale analysis). k=5, min_count=2.
+_DUPSPAN_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(r.range AS BIGINT) AS pos,
+             {stable_hash64_sql("array_to_string(list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 5 AS INT)), ' ')")} AS gh
+      FROM toks CROSS JOIN range(0, 100000) r WHERE r.range <= len(tk) - 5
+    ),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, g.pos + o.range AS tok_idx
+      FROM grams g JOIN dup USING (gh) CROSS JOIN range(0, 5) o
+    )
+"""
+
+
+@register(
+    "dup_spans",
+    # Per-doc duplicate-span profile: a token position is duplicated when
+    # any 5-token window covering it occurs >= 2 times corpus-wide;
+    # n_spans counts maximal runs (gaps-and-islands over covered idx).
+    f"""
+    WITH {_DUPSPAN_CTES},
+    isl AS (SELECT doc_id, tok_idx,
+                   tok_idx - row_number() OVER (PARTITION BY doc_id ORDER BY tok_idx) AS grp
+            FROM covered),
+    per AS (SELECT doc_id, count(*) AS dup_tokens, count(DISTINCT grp) AS n_spans
+            FROM isl GROUP BY doc_id),
+    base AS (SELECT doc_id, len(tk) AS n_tokens FROM toks)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           round(coalesce(p.dup_tokens, 0) * 1.0 / greatest(b.n_tokens, 1), 6) AS dup_ratio
+    FROM base b LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), k=5, min_count=2)
+
+
+@register(
+    "dup_span_scrub",
+    # ExactSubstr-cut: rebuild each document from the tokens NOT covered
+    # by a duplicated 5-window. Zero-token docs vanish on both engines
+    # (no token rows); fully-duplicated docs survive with clean_text=''.
+    f"""
+    WITH {_DUPSPAN_CTES},
+    tokpos AS (
+      SELECT doc_id, CAST(r.range AS BIGINT) AS tok_idx, tk[CAST(r.range + 1 AS INT)] AS tok
+      FROM toks CROSS JOIN range(0, 100000) r WHERE r.range < len(tk)
+    )
+    SELECT t.doc_id,
+           coalesce(string_agg(t.tok, ' ' ORDER BY t.tok_idx)
+                    FILTER (WHERE c.tok_idx IS NULL), '') AS clean_text,
+           CAST(count(c.tok_idx) AS BIGINT) AS n_removed,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tokpos t LEFT JOIN covered c
+      ON t.doc_id = c.doc_id AND t.tok_idx = c.tok_idx
+    GROUP BY t.doc_id
+    """,
+)
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.dedup import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(_docs(spark, sf_dir), k=5, min_count=2)
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

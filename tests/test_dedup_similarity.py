@@ -308,3 +308,50 @@ def test_semdedup_np_assignment_matches_exact(spark):
     ).orderBy("vec_id").collect()
     assert [tuple(r) for r in exact] == [tuple(r) for r in fast]
     assert any(not r["keep"] for r in exact)  # the corpus has near-dups
+
+
+def test_duplicate_span_stats_merges_overlapping_windows(spark):
+    """A duplicated run longer than k shows up as ONE maximal span (the
+    overlapping duplicated k-windows merge), and unique text is untouched."""
+    from rag_content_spark.operators.dedup import duplicate_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens, k=5 -> 2 windows
+    rows = [
+        (1, f"{shared} unique one tail"),
+        (2, f"other head words {shared}"),
+        (3, "completely unrelated text with no repeats at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in duplicate_span_stats(docs, k=5).collect()}
+    assert got[1]["dup_tokens"] == 6 and got[1]["n_spans"] == 1
+    assert got[2]["dup_tokens"] == 6 and got[2]["n_spans"] == 1
+    assert got[3]["dup_tokens"] == 0 and got[3]["n_spans"] == 0
+    assert got[1]["n_tokens"] == 9 and got[3]["dup_ratio"] == 0.0
+
+
+def test_scrub_duplicate_spans_cuts_only_covered_tokens(spark):
+    from rag_content_spark.operators.dedup import scrub_duplicate_spans
+
+    shared = "a b c d e"  # exactly one 5-window
+    rows = [
+        (1, f"{shared} keep these words"),
+        (2, f"front matter {shared}"),
+        (3, shared),  # fully duplicated -> empty clean_text
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_duplicate_spans(docs, k=5).collect()}
+    assert got[1]["clean_text"] == "keep these words"
+    assert got[2]["clean_text"] == "front matter"
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 5
+    assert got[1]["n_removed"] == 5 and got[1]["n_tokens"] == 8
+
+
+def test_duplicate_spans_within_single_doc_repeat(spark):
+    """min_count counts corpus-wide occurrences, so a k-gram repeated
+    WITHIN one document is duplicated too (Lee et al. count all suffixes)."""
+    from rag_content_spark.operators.dedup import duplicate_span_stats
+
+    rows = [(1, "p q r s t filler words here p q r s t")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    (row,) = duplicate_span_stats(docs, k=5).collect()
+    assert row["dup_tokens"] == 10 and row["n_spans"] == 2
