@@ -147,6 +147,7 @@ HEADLINE = [
     "doc_embedding_pool", # chunk -> embed -> exact per-dim mean pooling
     "dup_spans",          # ExactSubstr duplicate-span profile (Lee et al. 2022)
     "dup_span_scrub",     # ExactSubstr-cut: remove duplicated spans
+    "kn_bigram_xent",     # interpolated Kneser-Ney bigram cross-entropy
 ]
 
 

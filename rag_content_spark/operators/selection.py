@@ -345,6 +345,72 @@ def bigram_logloss(
     )
 
 
+def kneser_ney_logloss(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an in-plan interpolated
+    Kneser-Ney bigram LM (Kneser & Ney 1995; the interpolated form of
+    Chen & Goodman 1999 eq. 4.25): (id, n_bigrams, kn_xent).
+
+    ``p(w2|w1) = max(c(w1,w2) - D, 0) / c(w1.)
+                 + (D * N1+(w1,.) / c(w1.)) * (N1+(.,w2) / N1+(..))``
+
+    where N1+(w1,.) counts distinct continuations of w1, N1+(.,w2)
+    distinct left-contexts of w2 (the continuation probability that
+    makes KN the strongest count-based smoother), and N1+(..) the total
+    distinct bigram types. Scoring the corpus under its own LM: every
+    observed bigram has c12 >= 1, the interpolation weight is > 0, so
+    p > 0 always. Docs with < 2 tokens have no bigrams and drop out.
+
+    Scale: identical shape to :func:`bigram_logloss` plus one extra
+    vocabulary-sized aggregate per side — two token-key groupBys with
+    map-side combining, one broadcast scalar, equi-joins on w1 / (w1,w2)
+    / w2 with AQE skew-split on the Zipf heads. All model tables are
+    vocabulary-sized, never corpus-sized.
+    """
+    tok = tokens(text_col)
+    n = F.size(tok)
+    big = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # c1 (context mass) and N1+(w1,.) from the same shuffle over c12
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    types = c12.agg(F.count(F.lit(1)).alias("n_types"))
+
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("fanout") / F.col("c1"))
+        * (F.col("n_left").cast("double") / F.col("n_types"))
+    )
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(types))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("kn_xent"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge-pair counting (the distributed step of tokenizer induction)
 

@@ -4684,6 +4684,41 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logloss(_docs(spark, sf_dir))
 
 
+@register(
+    "kn_bigram_xent",
+    # Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
+    # Chen & Goodman 1999 eq. 4.25), D = 0.75: the strongest count-based
+    # smoother, scored over the corpus under its own LM (c12 >= 1 so
+    # p > 0). The float expression mirrors the Spark operator term by
+    # term so both engines evaluate the identical IEEE tree.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    big AS (
+      SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS fanout
+            FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_left FROM c12 GROUP BY w2),
+    ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c12)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(
+             greatest(c12.c12 - 0.75, 0.0) / ctx.c1
+             + (0.75 * ctx.fanout / ctx.c1)
+               * (cont.n_left::DOUBLE / (SELECT n_types FROM ty))
+           )), 6) AS kn_xent
+    FROM big b JOIN c12 USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
+    GROUP BY b.doc_id
+    """,
+)
+def q_kn_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import kneser_ney_logloss
+
+    return kneser_ney_logloss(_docs(spark, sf_dir))
+
+
 # shared CTE text: corpus word-frequency table -> char symbols (</w>
 # marker on the last) -> adjacent pairs, weighted by word frequency
 _BPE_BASE_SQL = f"""

