@@ -148,6 +148,7 @@ HEADLINE = [
     "dup_spans",          # ExactSubstr duplicate-span profile (Lee et al. 2022)
     "dup_span_scrub",     # ExactSubstr-cut: remove duplicated spans
     "kn_bigram_xent",     # interpolated Kneser-Ney bigram cross-entropy
+    "doremi_weights",     # DoReMi domain mixture reweighting (fixed-point MW)
 ]
 
 

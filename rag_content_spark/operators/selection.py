@@ -411,6 +411,93 @@ def kneser_ney_logloss(
     )
 
 
+def _intdiv(a: Column, b) -> Column:
+    """Exact integer division of non-negative BIGINTs without leaving the
+    Column API: (a - pmod(a, b)) is an exact multiple of b, so the double
+    division is exact while values stay < 2^53. A bare ``a / b`` rounds
+    the quotient to the nearest double, which can land ON an integer the
+    rational quotient sits just below — floor() then disagrees with the
+    oracle's integer ``//`` by one."""
+    bb = F.lit(b) if isinstance(b, int) else b
+    return ((a - F.pmod(a, bb)) / bb).cast("bigint")
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    eta6: int = 200_000,
+    rounds: int = 10,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429), the engine-native deterministic variant:
+    multiplicative-weights over domains with per-domain excess loss as
+    the Group-DRO signal — high-loss (hard) domains are upweighted.
+
+    Deviations from the paper, by construction: the per-domain loss is
+    the corpus's own add-1 bigram LM cross-entropy
+    (:func:`bigram_logloss`) instead of a trained proxy model, the MW
+    update is the linear Hedge form ``w *= 1 + eta * excess`` instead of
+    exponential, and the output is the final-round weights rather than
+    the per-round average. Every step is fixed-point integer math
+    (1e-6 resolution, exact integer sums / truncating divisions), so the
+    weights are bit-identical on any engine and partitioning:
+
+    * loss6(d)  = intdiv(sum over docs of round(xent2 * 1e6), n_docs)
+    * excess6(d)= intdiv((loss6 - min6) * 1e6, max6 - min6)   (0 if flat)
+    * T rounds of w = intdiv(w * (1e6 + intdiv(eta6 * excess6, 1e6)), 1e6)
+      starting from w = 1e6; per-domain independent, so the iteration is
+      one narrow fold per row — no per-round shuffle or driver loop.
+    * weight(d) = round(w_T / sum w_T, 6)
+
+    Bounds: excess6 <= 1e6, so the per-round multiplier <= 1e6 + eta6;
+    with eta6 = 0.2e6 and T = 10, w_T <= 1e6 * 1.2^10 < 6.2e6 and every
+    intermediate product < 2^43 — no int64 (or double-exactness) risk.
+
+    Scale: the corpus-heavy step is the bigram LM (vocabulary-sized
+    aggregates); everything after is a |domains|-row table. One
+    broadcast of the 2-value min/max row and one of the weight total.
+    """
+    per_doc = bigram_logloss(docs, text_col=text_col, id_col=id_col)
+    joined = docs.select(F.col(id_col), F.col(domain_col).alias("domain")).join(
+        per_doc, id_col
+    )
+    dom = joined.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("xent2") * LOG_SCALE).cast("bigint")).alias("_s6"),
+    )
+    dom = dom.select(
+        "domain", "n_docs", _intdiv(F.col("_s6"), F.col("n_docs")).alias("loss6")
+    )
+    mm = dom.agg(F.min("loss6").alias("_lo"), F.max("loss6").alias("_hi"))
+    dom = dom.join(F.broadcast(mm)).withColumn(
+        "_ex6",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint")).otherwise(
+            _intdiv(
+                (F.col("loss6") - F.col("_lo")) * LOG_SCALE,
+                F.col("_hi") - F.col("_lo"),
+            )
+        ),
+    )
+    mult = F.lit(LOG_SCALE).cast("bigint") + _intdiv(
+        F.lit(int(eta6)) * F.col("_ex6"), LOG_SCALE
+    )
+    w_t = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(rounds))),
+        F.lit(LOG_SCALE).cast("bigint"),
+        lambda acc, _: _intdiv(acc * mult, LOG_SCALE),
+    )
+    dom = dom.select("domain", "n_docs", "loss6", w_t.alias("_w"))
+    tot = dom.agg(F.sum("_w").alias("_tot"))
+    return dom.join(F.broadcast(tot)).select(
+        "domain",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "loss6",
+        F.round(F.col("_w") / F.col("_tot"), 6).alias("weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge-pair counting (the distributed step of tokenizer induction)
 

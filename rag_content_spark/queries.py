@@ -4719,6 +4719,65 @@ def q_kn_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_logloss(_docs(spark, sf_dir))
 
 
+@register(
+    "doremi_weights",
+    # DoReMi-style domain reweighting (Xie et al. 2023): per-domain
+    # excess bigram-LM loss drives a 10-round linear multiplicative-
+    # weights update — ALL fixed-point integer math (exact sums,
+    # truncating divisions), so the recursive CTE reproduces the Spark
+    # fold bit for bit. See operators/selection.py doremi_domain_weights
+    # for the documented deviations from the paper.
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    big AS (
+      SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS v
+          FROM t, unnest(t.tk) AS u(token)),
+    xent AS (
+      SELECT b.doc_id,
+             round(avg(-ln((c12.c12 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v)))), 6)
+               AS xent2
+      FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY b.doc_id
+    ),
+    dom AS (
+      SELECT d.lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(round(x.xent2 * 1000000) AS BIGINT)) AS BIGINT) AS s6
+      FROM documents d JOIN xent x USING (doc_id) GROUP BY d.lang
+    ),
+    l AS (SELECT domain, n_docs, s6 // n_docs AS loss6 FROM dom),
+    mm AS (SELECT min(loss6) AS lo, max(loss6) AS hi FROM l),
+    e AS (
+      SELECT domain, n_docs, loss6,
+             CASE WHEN (SELECT hi FROM mm) = (SELECT lo FROM mm) THEN CAST(0 AS BIGINT)
+                  ELSE ((loss6 - (SELECT lo FROM mm)) * 1000000)
+                       // ((SELECT hi FROM mm) - (SELECT lo FROM mm)) END AS ex6
+      FROM l
+    ),
+    it AS (
+      SELECT domain, n_docs, loss6,
+             1000000 + (200000 * ex6) // 1000000 AS mult,
+             CAST(1000000 AS BIGINT) AS w, 0 AS i FROM e
+      UNION ALL
+      SELECT domain, n_docs, loss6, mult, (w * mult) // 1000000, i + 1
+      FROM it WHERE i < 10
+    ),
+    fin AS (SELECT domain, n_docs, loss6, w FROM it WHERE i = 10)
+    SELECT domain, n_docs, loss6,
+           round(w * 1.0 / (SELECT sum(w) FROM fin), 6) AS weight
+    FROM fin
+    """,
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import doremi_domain_weights
+
+    return doremi_domain_weights(_docs(spark, sf_dir))
+
+
 # shared CTE text: corpus word-frequency table -> char symbols (</w>
 # marker on the last) -> adjacent pairs, weighted by word frequency
 _BPE_BASE_SQL = f"""

@@ -306,3 +306,26 @@ def test_kneser_ney_probabilities_sum_below_one(spark):
     per_doc = kneser_ney_logloss(docs)
     rows = per_doc.collect()
     assert len(rows) == 3 and all(r["kn_xent"] > 0 for r in rows)
+
+
+def test_doremi_upweights_high_loss_domains(spark):
+    """The domain whose text is hardest under the corpus bigram LM gets
+    the largest mixture weight; weights are a distribution."""
+    from rag_content_spark.operators.selection import doremi_domain_weights
+
+    rows = []
+    # 'easy' domain: one sentence repeated -> very predictable bigrams
+    for i in range(6):
+        rows.append((i, "the cat sat on the mat", "easy"))
+    # 'hard' domain: every doc distinct vocabulary -> high loss
+    words = "q w e r t y u i o p a s d f g h j k l z x c v b n m".split()
+    for i in range(6):
+        rows.append((100 + i, " ".join(words[4 * (i % 5):4 * (i % 5) + 4]), "hard"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["domain"]: r for r in doremi_domain_weights(docs).collect()}
+    assert set(got) == {"easy", "hard"}
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 2e-6
+    assert got["hard"]["loss6"] > got["easy"]["loss6"]
+    assert got["hard"]["weight"] > got["easy"]["weight"]
+    # linear-Hedge bound: w_T <= 1.2^10 * w_0, so max weight < 6.2x uniform
+    assert got["hard"]["weight"] < 0.9
