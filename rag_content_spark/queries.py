@@ -7081,17 +7081,35 @@ def _changed_queries() -> set[str]:
         return out
 
     def _module_changed_syms(rel_path: str) -> set[str]:
-        """Symbol-level diff of a changed package module: only the
-        top-level defs whose SOURCE differs vs the base revision —
-        appending one new operator to a module must not flag every
-        query that imports its neighbors."""
+        """Symbol-level diff of a changed package module: the top-level
+        defs whose SOURCE differs vs the base revision — appending one
+        new operator to a module must not flag every query that imports
+        its neighbors — PLUS transitive intra-module dependents: an edit
+        to a private helper (e.g. ``_smoothed``) must flag the public
+        operators whose bodies reference it even though their own text
+        is unchanged (round-5 ADVICE)."""
         try:
             with open(os.path.join(root, rel_path)) as fh:
                 cur = _fn_sources(fh.read())
         except OSError:
             return set()
         base_m = _fn_sources(_git("show", f"{base}:{rel_path}"))
-        return {name for name in cur if base_m.get(name) != cur[name]}
+        changed = {name for name in cur if base_m.get(name) != cur[name]}
+        # fixed-point closure over "body references a changed symbol"
+        import re as _re
+
+        while True:
+            pat = _re.compile(
+                r"\b(?:" + "|".join(_re.escape(s) for s in sorted(changed)) + r")\b"
+            ) if changed else None
+            grew = False
+            if pat is not None:
+                for name, src in cur.items():
+                    if name not in changed and pat.search(src):
+                        changed.add(name)
+                        grew = True
+            if not grew:
+                return changed
 
     changed_syms: set[str] = set()
 
@@ -7155,6 +7173,28 @@ def _changed_queries() -> set[str]:
     return out
 
 
+def _row_counts() -> dict[str, int]:
+    """query name -> number of rounds with ANY driver row. Tie-breaker:
+    among equally-stale queries, the least-historically-verified drains
+    first, so a query repeatedly bumped off the end of a full tie group
+    (e.g. 53 stale vs a 50-slot prefix) gains priority instead of losing
+    the same registration-order tie every round."""
+    import glob as _glob
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    counts: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except Exception:
+            continue
+        for name in rows:
+            counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def _sample_order(names: list[str]) -> list[str]:
     try:
         last = _last_sampled_rounds()
@@ -7164,9 +7204,14 @@ def _sample_order(names: list[str]) -> list[str]:
         changed = _changed_queries()
     except Exception:
         changed = set()
+    try:
+        counts = _row_counts()
+    except Exception:
+        counts = {}
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
-        names, key=lambda n: (n not in changed, last.get(n, -1), idx[n])
+        names,
+        key=lambda n: (n not in changed, last.get(n, -1), counts.get(n, 0), idx[n]),
     )
 
 

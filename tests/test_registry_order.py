@@ -37,30 +37,34 @@ def test_order_degrades_to_recency_on_git_failure(monkeypatch):
 
 
 def test_no_query_goes_long_unsampled():
-    # the rotation guarantee: a query that HAS a driver row must never
-    # age more than one round without sitting in the next 50-entry
-    # sample prefix. Never-sampled queries (a burst of new operators can
-    # exceed one prefix) drain at prefix rate instead — they must fill
-    # the front of the order before any previously-sampled query that
-    # is not flagged changed.
+    # the FEASIBLE rotation guarantee (round-5 verdict): with N
+    # registered queries and a 50-slot driver prefix, a full rotation
+    # takes ceil(N/50) rounds, so a sampled query may age at most
+    # ceil(N/50)-1 rounds before it MUST occupy the next prefix.
+    # (The old "never more than one round" form is unsatisfiable once
+    # N > 100.) Oldest-first drain keeps the bound tight.
     last = Q._last_sampled_rounds()
     names = list(Q.QUERIES)
     if not last:
         return
     newest = max(last.values())
-    stale_sampled = [
-        n for n in names if n in last and last[n] < newest - 1
-    ]
-    assert all(names.index(n) < 50 for n in stale_sampled)
+    period = -(-len(names) // 50)  # ceil(N/50)
+    overdue = [n for n in names if n in last and last[n] <= newest - period]
+    assert all(names.index(n) < 50 for n in overdue)
+    try:
+        changed = Q._changed_queries()
+    except Exception:
+        changed = set()
+    # oldest-first drain: among previously-sampled, non-changed queries
+    # the order must be non-decreasing in last-sampled round, so the
+    # ceil(N/50)-1 bound is actually achieved
+    drain_rounds = [last[n] for n in names if n in last and n not in changed]
+    assert drain_rounds == sorted(drain_rounds)
     # the sample prefix is spent only on queries that NEED a driver row:
     # never-sampled ones, changed ones (must re-enter the gate), or
     # stale ones — an unchanged fresh query may not occupy a prefix slot
-    # while unsampled queries wait
+    # while queries that need a row wait
     never = {n for n in names if n not in last}
-    if never:
-        try:
-            changed = Q._changed_queries()
-        except Exception:
-            changed = set()
-        needs_row = never | changed | set(stale_sampled)
-        assert set(names[: min(50, len(needs_row))]) <= needs_row
+    stale = {n for n in names if n in last and last[n] < newest}
+    needs_row = never | changed | stale
+    assert set(names[: min(50, len(needs_row))]) <= needs_row
