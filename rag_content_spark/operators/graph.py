@@ -16,10 +16,10 @@ deterministic choice; renormalize downstream if the L1 norm matters.
 
 Scale shape: each iteration is one (src) equi-join + one (dst)
 map-side-combining aggregate — the standard Pregel step. The lazy plan
-grows one join per iteration; at real scale checkpoint/persist every
-few iterations to cut lineage (documented, same as any Spark iterative
-workload). N arrives as a driver scalar (same tiny-collect pattern as
-the k-means centroids).
+would grow one join per iteration; ``checkpoint_every`` (default 5)
+localCheckpoints the rank table to cut lineage, so long runs have flat
+per-iteration cost. N arrives as a driver scalar (same tiny-collect
+pattern as the k-means centroids).
 """
 
 from __future__ import annotations
@@ -35,9 +35,18 @@ def pagerank_fixed(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, rank6) after ``iters`` exact integer power iterations;
-    rank6 is the fixed-point rank descaled to a 1e-6-rounded double."""
+    rank6 is the fixed-point rank descaled to a 1e-6-rounded double.
+
+    ``checkpoint_every`` bounds the lazy plan: every N iterations the
+    rank table is localCheckpoint'ed (same lineage-cut discipline as
+    ``connected_components`` in dedup.py), so a 50-iteration run is
+    ~N joins deep instead of 50 — without it the static plan grows one
+    join + one aggregate per iteration and the optimizer re-walks the
+    whole lineage each action (the iterative-DataFrame scale trap).
+    Set 0 to disable (tiny graphs / plan inspection)."""
     src, dst = F.col(src_col), F.col(dst_col)
     nodes = (
         edges.select(src.alias("node"))
@@ -45,10 +54,15 @@ def pagerank_fixed(
         .distinct()
     )
     outdeg = edges.groupBy(src.alias("node")).agg(F.count(F.lit(1)).alias("out"))
+    if checkpoint_every:
+        # reused every iteration — pin them so the per-iteration plan
+        # starts from materialized tables, not the raw-edges lineage
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
     n = nodes.count()  # driver scalar: the graph's node count
     base = (100 - damping_pct) * SCALE // 100 // n
     ranks = nodes.select("node", F.lit(SCALE // n).cast("bigint").alias("r"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             edges.select(src.alias("node"), dst.alias("_dst"))
             .join(ranks, "node")
@@ -67,6 +81,8 @@ def pagerank_fixed(
                 + F.expr(f"{damping_pct} * coalesce(_sum, 0) div 100")
             ).cast("bigint").alias("r"),
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node", F.round(F.col("r").cast("double") / SCALE, 6).alias("rank6")
     )

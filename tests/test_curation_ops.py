@@ -492,3 +492,22 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_pagerank_checkpoint_invariant(spark):
+    # localCheckpoint is purely physical: ranks must be bit-identical
+    # with and without lineage cuts (exact integer arithmetic)
+    from rag_content_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)], ["src", "dst"]
+    )
+    plain = {
+        r["node"]: r["rank6"]
+        for r in pagerank_fixed(edges, iters=12, checkpoint_every=0).collect()
+    }
+    cut = {
+        r["node"]: r["rank6"]
+        for r in pagerank_fixed(edges, iters=12, checkpoint_every=5).collect()
+    }
+    assert plain == cut
