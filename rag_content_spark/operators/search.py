@@ -423,14 +423,16 @@ def mine_bitext_np(
             id_col, embedding_col
         ).collect()
     )
-    tids = np.array([r[0] for r in rows], dtype=np.int64)
+    tids = np.array([r[0] for r in rows])  # dtype inferred: int ids or str ids
     M = np.array([r[1] for r in rows], dtype=np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
 
+    # id types follow the inputs (the exact operator is generic in the
+    # id column; a hardcoded LongType would corrupt string ids)
     schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", src.schema[id_col].dataType),
+            T.StructField("id_b", tgt.schema[id_col].dataType),
             T.StructField("score", T.DoubleType()),
             T.StructField("margin", T.DoubleType()),
         ]
@@ -577,10 +579,12 @@ def mine_bitext_ivf(
         src, centroids, nprobe, id_col, embedding_col, "id_a", "_ea"
     )
 
+    # id types follow the inputs, like _probe_cells_np (the exact
+    # operator is generic in the id column)
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", src.schema[id_col].dataType),
+            T.StructField("id_b", tgt.schema[id_col].dataType),
             T.StructField("s6", T.LongType()),
         ]
     )
@@ -591,7 +595,7 @@ def mine_bitext_ivf(
         # pre-sort targets by id so the stable argsort breaks score
         # ties in target-id order (the exact operator's total order)
         right = right.sort_values("id_b")
-        tids = right["id_b"].to_numpy(dtype=np.int64)
+        tids = right["id_b"].to_numpy()
         B = np.array(right["_eb"].tolist(), dtype=np.float64)
         Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
         A = np.array(left["_ea"].tolist(), dtype=np.float64)
@@ -602,7 +606,7 @@ def mine_bitext_ivf(
         r = np.arange(len(left))
         return pd.DataFrame(
             {
-                "id_a": left["id_a"].to_numpy(dtype=np.int64).repeat(kk),
+                "id_a": left["id_a"].to_numpy().repeat(kk),
                 "id_b": tids[order].reshape(-1),
                 "s6": s6[r[:, None], order].reshape(-1),
             }

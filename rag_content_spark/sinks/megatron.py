@@ -52,23 +52,33 @@ def write_indexed_pair(
         acc += int(n) * itemsize
     doc_idx = np.arange(len(sequences) + 1, dtype="<i8")
 
-    # guard BEFORE writing anything: np.asarray(..., dtype='uint16')
-    # silently wraps token ids >= 65536 (or negatives), corrupting the
-    # shard with no error — validate the whole batch first so a failure
-    # never leaves a truncated .bin behind.
-    arrays = [np.asarray(s) for s in sequences]
-    if np.issubdtype(np_dtype, np.integer):
-        info = np.iinfo(np_dtype)
-        for arr in arrays:
-            if len(arr) and (arr.min() < info.min or arr.max() > info.max):
-                raise ValueError(
-                    f"token id out of range for dtype {dtype}: "
-                    f"[{int(arr.min())}, {int(arr.max())}] outside "
-                    f"[{info.min}, {info.max}]"
-                )
-    with open(prefix + ".bin", "wb") as fb:
-        for arr in arrays:
-            fb.write(arr.astype(np_dtype).tobytes())
+    # guard: np.asarray(..., dtype='uint16') silently wraps token ids
+    # >= 65536 (or negatives), corrupting the shard with no error —
+    # validate each sequence as it is written, streaming into a temp
+    # file renamed on success, so a failure never leaves a (truncated
+    # or partially-valid) .bin behind AND peak memory stays one
+    # sequence, not the whole shard (round-5 ADVICE: an up-front
+    # arrays = [...] list doubled resident memory).
+    info = np.iinfo(np_dtype) if np.issubdtype(np_dtype, np.integer) else None
+    tmp_bin = prefix + ".bin.tmp"
+    try:
+        with open(tmp_bin, "wb") as fb:
+            for s in sequences:
+                arr = np.asarray(s)
+                if info is not None and len(arr) and (
+                    arr.min() < info.min or arr.max() > info.max
+                ):
+                    raise ValueError(
+                        f"token id out of range for dtype {dtype}: "
+                        f"[{int(arr.min())}, {int(arr.max())}] outside "
+                        f"[{info.min}, {info.max}]"
+                    )
+                fb.write(arr.astype(np_dtype).tobytes())
+        os.replace(tmp_bin, prefix + ".bin")
+    except BaseException:
+        if os.path.exists(tmp_bin):
+            os.remove(tmp_bin)
+        raise
     with open(prefix + ".idx", "wb") as fi:
         fi.write(_MAGIC)
         fi.write(struct.pack("<Q", 1))

@@ -57,6 +57,7 @@ def write_snapshot(
     mode: str = "append",
     key_col: str | None = None,
     batch_id: int | None = None,
+    txn_app_id: str | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot; returns the new version.
 
@@ -64,14 +65,21 @@ def write_snapshot(
     use it for latest-wins resolution). The data write is distributed;
     only the manifest touches the driver.
 
-    ``batch_id`` is the idempotence token for streaming foreachBatch
-    sinks: it is recorded in the manifest, and a call whose batch_id
-    already has a committed manifest is a NO-OP returning the existing
-    version. Without it a replayed micro-batch (manifest committed, but
-    the streaming checkpoint crashed before advancing) would recompute
-    the next version from the manifests and silently write a duplicate
-    snapshot — the upsert view stays correct via shadowing, but the log
-    gains phantom versions and time-travel numbering shifts.
+    ``(txn_app_id, batch_id)`` is the idempotence token for streaming
+    foreachBatch sinks (the Delta txnAppId/txnVersion pattern): both
+    are recorded in the manifest, and a call whose PAIR already has a
+    committed manifest is a NO-OP returning the existing version.
+    Without it a replayed micro-batch (manifest committed, but the
+    streaming checkpoint crashed before advancing) would recompute the
+    next version from the manifests and silently write a duplicate
+    snapshot. The pair — not batch_id alone — matters when a stream's
+    checkpoint is deleted and recreated against an existing table:
+    batch ids restart at 0 and would collide with historical manifests,
+    silently dropping every new micro-batch. ``txn_app_id`` should be
+    the streaming query id (``start_table_stream`` reads it from the
+    checkpoint metadata, so a fresh checkpoint is a fresh id) or any
+    caller-chosen stable run identity. A bare ``batch_id`` with no
+    ``txn_app_id`` keeps the old whole-table scope.
     """
     if mode not in ("append", "overwrite", "upsert"):
         raise ValueError(f"unknown mode: {mode}")
@@ -79,7 +87,15 @@ def write_snapshot(
         raise ValueError("upsert requires key_col")
     snaps = snapshots(table_dir)
     if batch_id is not None:
-        dup = next((s for s in snaps if s.get("batch_id") == batch_id), None)
+        dup = next(
+            (
+                s
+                for s in snaps
+                if s.get("batch_id") == batch_id
+                and s.get("txn_app_id") == txn_app_id
+            ),
+            None,
+        )
         if dup is not None:
             return dup["version"]
     if snaps:
@@ -101,6 +117,7 @@ def write_snapshot(
         "data_dir": rel_dir,
         "rows": df.count(),
         "batch_id": batch_id,
+        "txn_app_id": txn_app_id,
     }
     with open(_snap_path(table_dir, version), "w") as f:
         json.dump(manifest, f, indent=2)

@@ -72,21 +72,38 @@ def start_table_stream(
     snapshot (sinks/versioned_table), so re-crawled documents shadow
     their old versions latest-wins while readers keep time travel.
 
-    Exactly-once: the micro-batch's ``batch_id`` is recorded in the
-    snapshot manifest and ``write_snapshot`` skips a batch_id that
-    already has a committed manifest — so a replayed batch (manifest
-    committed but the streaming checkpoint crashed before advancing) is
-    a no-op instead of a phantom duplicate snapshot. Empty batches are
-    skipped (no empty snapshots).
+    Exactly-once: the pair (streaming query id, ``batch_id``) is
+    recorded in the snapshot manifest and ``write_snapshot`` skips a
+    pair that already has a committed manifest — so a replayed batch
+    (manifest committed but the streaming checkpoint crashed before
+    advancing) is a no-op instead of a phantom duplicate snapshot. The
+    query id scopes the dedup to THIS checkpoint's run: deleting and
+    recreating the checkpoint restarts batch ids at 0, but the fresh
+    checkpoint mints a fresh query id, so restarted batches land as new
+    snapshots instead of silently no-op'ing against historical
+    manifests. Empty batches are skipped (no empty snapshots).
     """
+    import json
+    import os
+
     from rag_content_spark.sinks.versioned_table import write_snapshot
+
+    def _query_id() -> str | None:
+        # the stable UUID Structured Streaming writes to
+        # <checkpoint>/metadata at query start — regenerated iff the
+        # checkpoint is recreated, which is exactly the scope we want
+        try:
+            with open(os.path.join(checkpoint_path, "metadata")) as f:
+                return json.load(f)["id"]
+        except Exception:
+            return None
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         write_snapshot(
             batch_df, table_dir, mode="upsert", key_col=key_col,
-            batch_id=batch_id,
+            batch_id=batch_id, txn_app_id=_query_id(),
         )
 
     writer = stream.writeStream.foreachBatch(_sink).option(

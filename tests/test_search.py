@@ -322,3 +322,37 @@ def test_mine_bitext_ivf_recall_grows_with_nprobe(spark):
 
     narrow, wide = agree(2), agree(8)
     assert narrow < wide  # deterministic on the fixed testdata
+
+
+def test_mine_bitext_string_ids_all_paths(spark):
+    # the exact operator is generic in the id column; the np and IVF
+    # twins must preserve string ids instead of crashing on an int64
+    # cast (round-5 ADVICE)
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import (
+        mine_bitext,
+        mine_bitext_ivf,
+        mine_bitext_np,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    named = emb.select(
+        F.concat(F.lit("v"), F.format_string("%05d", "vec_id")).alias("vec_id"),
+        "embedding",
+        (F.col("vec_id") % 2).alias("_par"),
+    )
+    src = named.filter(F.col("_par") == 0).drop("_par")
+    tgt = named.filter(F.col("_par") == 1).drop("_par")
+    exact = sorted(map(tuple, mine_bitext(src, tgt, k=4, margin_threshold=1.05).collect()))
+    fast = sorted(map(tuple, mine_bitext_np(src, tgt, k=4, margin_threshold=1.05).collect()))
+    assert len(exact) > 0 and fast == exact
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 20 == 1).orderBy("vec_id").collect()
+    ]
+    # nprobe >= n_cells scores every candidate -> exactly mine_bitext
+    ivf = sorted(map(tuple, mine_bitext_ivf(
+        src, tgt, centroids, k=4, nprobe=len(centroids), margin_threshold=1.05
+    ).collect()))
+    assert ivf == exact

@@ -190,3 +190,29 @@ def test_batch_id_replay_is_noop(spark, tmp_path):
     v2 = write_snapshot(df2, t, mode="upsert", key_col="doc_id", batch_id=1)
     assert v2 == 2
     assert _rows(read_snapshot(spark, t)) == [(1, "b")]
+
+
+def test_batch_id_scoped_to_txn_app(spark, tmp_path):
+    # checkpoint-recreation scenario: a fresh stream run restarts batch
+    # ids at 0, but carries a fresh txn_app_id — its batch 0 must land
+    # as a NEW snapshot, not silently no-op against run A's batch 0,
+    # while a true replay (same pair) still no-ops
+    from rag_content_spark.sinks.versioned_table import (
+        snapshots,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    v1 = write_snapshot(
+        df, t, mode="upsert", key_col="doc_id", batch_id=0, txn_app_id="runA"
+    )
+    v2 = write_snapshot(
+        df, t, mode="upsert", key_col="doc_id", batch_id=0, txn_app_id="runB"
+    )
+    assert v2 == v1 + 1
+    replay = write_snapshot(
+        df, t, mode="upsert", key_col="doc_id", batch_id=0, txn_app_id="runA"
+    )
+    assert replay == v1
+    assert len(snapshots(t)) == 2
