@@ -22,10 +22,11 @@ def has_whitespace(col: Column | str = "text") -> Column:
     """P2: a chunk with no whitespace at all is invalid
     (reference _got_whitespace, document_processor.py:131-137).
 
-    DuckDB: regexp_matches(x, '\\s')
+    DuckDB: regexp_matches(x, queries._PY_WS_SQL) — the same explicit
+    Python-whitespace class on both engines.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.rlike(r"\s")
+    return c.rlike(f"[{_PY_WS}]")
 
 
 # Exact _got_content semantics (reference document_processor.py:139-199).
@@ -38,7 +39,16 @@ def has_whitespace(col: Column | str = "text") -> Column:
 # reference tests/test_document_processor_llama_index.py:118-155.
 
 _EQ_DASH_RE = r"^[=\-]+$"
-_PYSTRIP_RE = r"(^\s+)|(\s+$)"  # Python str.strip(); Spark trim() is spaces-only
+# Python's whitespace set (re \s == str.strip() == str.isspace(), exact
+# enumeration): Java's default \s is ASCII-only and misses 1C-1F, NEL,
+# NBSP and the Zs block — the reference strips/matches the full set
+_PY_WS = (
+    "\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680"
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+)
+_PYSTRIP_RE = f"(^[{_PY_WS}]+)|([{_PY_WS}]+$)"  # Python str.strip()
+# str.splitlines() separators beyond \n (CRLF first so it counts as ONE)
+_LINEBREAK_RE = "\\r\\n|[\\r\\u000B\\f\\u001C\\u001D\\u001E\\u0085\\u2028\\u2029]"
 
 
 def got_content_py(text: str) -> bool:
@@ -84,6 +94,11 @@ def markdown_has_content(col: Column | str = "text") -> Column:
     queries._HAS_CONTENT_SQL).
     """
     c = F.col(col) if isinstance(col, str) else col
+    # normalize the full str.splitlines() separator set to \n BEFORE
+    # splitting — the reference walks splitlines() output, so a CRLF (or
+    # NEL/VT/FF/FS/GS/RS/LS/PS) corpus must see the same lines with no
+    # stray \r surviving into the raw-prefix checks
+    c = F.regexp_replace(c, _LINEBREAK_RE, "\n")
     lines = F.split(c, "\n")
     # Pair each raw line with its successor for the setext lookahead.
     # zip_with pads the shorter side with NULL, so the last line gets

@@ -706,7 +706,7 @@ def q_markdown_llama(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no-space ATX headers, setext underlines, fenced code with header-looking
 # content, '***' (NOT a =/- horizontal rule), setext-consumes-a-line.
 _DEGENERATE_SQL = """
-CASE CAST(doc_id % 12 AS INT)
+CASE CAST(doc_id % 15 AS INT)
   WHEN 0 THEN '# Only Header'
   WHEN 1 THEN '# H1' || chr(10) || '## H2'
   WHEN 2 THEN '```' || chr(10) || '```'
@@ -719,6 +719,10 @@ CASE CAST(doc_id % 12 AS INT)
   WHEN 9 THEN '  # Header' || chr(10) || 'Another header' || chr(10) || '===='
               || chr(10) || chr(10) || '===='
   WHEN 10 THEN ' # H' || chr(10) || '    # indented code'
+  WHEN 11 THEN 'Title' || chr(13) || '===='
+  WHEN 12 THEN 'text' || chr(12) || '===='
+  WHEN 13 THEN 'A' || chr(13) || chr(10) || '====' || chr(13) || chr(10)
+               || '    code'
   ELSE '# Doc ' || doc_id || chr(10) || text
 END
 """.strip()
@@ -726,7 +730,7 @@ END
 
 def _degenerate_expr():
     i = F.col("doc_id").cast("string")
-    m = F.col("doc_id") % 12
+    m = F.col("doc_id") % 15
     return (
         F.when(m == 0, F.lit("# Only Header"))
         .when(m == 1, F.lit("# H1\n## H2"))
@@ -739,8 +743,22 @@ def _degenerate_expr():
         .when(m == 8, F.lit("***"))
         .when(m == 9, F.lit("  # Header\nAnother header\n====\n\n===="))
         .when(m == 10, F.lit(" # H\n    # indented code"))
+        # splitlines-separator cases: \r-only and \f-only separators
+        # must split (setext -> no content); a CRLF corpus must both
+        # consume the setext pair and still see indented code
+        .when(m == 11, F.lit("Title\r===="))
+        .when(m == 12, F.lit("text\f===="))
+        .when(m == 13, F.lit("A\r\n====\r\n    code"))
         .otherwise(F.concat(F.lit("# Doc "), i, F.lit("\n"), F.col("text")))
     )
+
+
+# Python's whitespace set for RE2 (re \s == str.strip(), exact
+# enumeration; RE2's \s is ASCII-only) — twin of filters._PY_WS
+_PY_WS_SQL = (
+    r"\s\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
+)
 
 
 # DuckDB twin of the exact _got_content fold (operators/filters.py).
@@ -760,10 +778,18 @@ def _degenerate_expr():
 
 
 def _has_content_sql(x: str) -> str:
-    lines = f"regexp_split_to_array({x}, chr(10))"
+    # normalize the full str.splitlines() separator set first, matching
+    # the Spark fold's _LINEBREAK_RE (CRLF counts as one separator)
+    brk = r"\r\n|[\r\x0B\x0C\x1C\x1D\x1E\x{0085}\x{2028}\x{2029}]"
+    lines = (
+        f"regexp_split_to_array(regexp_replace({x}, '{brk}', chr(10), 'g'),"
+        " chr(10))"
+    )
 
     def strip(v: str) -> str:
-        return f"regexp_replace({v}, '^\\s+|\\s+$', '', 'g')"
+        return (
+            f"regexp_replace({v}, '^[{_PY_WS_SQL}]+|[{_PY_WS_SQL}]+$', '', 'g')"
+        )
 
     def eq(v: str) -> str:  # stripped line is a nonempty all-=/- string
         return f"regexp_matches({strip(v)}, '^[=-]+$')"
@@ -809,9 +835,9 @@ def _has_content_sql(x: str) -> str:
     f"""
     WITH d AS (SELECT doc_id, {_DEGENERATE_SQL} AS t FROM documents)
     SELECT doc_id,
-           regexp_matches(t, '\\s') AS got_whitespace,
+           regexp_matches(t, '[{_PY_WS_SQL}]') AS got_whitespace,
            {_has_content_sql('t')} AS got_content,
-           (regexp_matches(t, '\\s') AND {_has_content_sql('t')}) AS valid
+           (regexp_matches(t, '[{_PY_WS_SQL}]') AND {_has_content_sql('t')}) AS valid
     FROM d
     """,
 )
@@ -2000,7 +2026,7 @@ _WS_TRIM = "' ' || chr(9) || chr(13) || chr(10)"
     ),
     valid AS (
       SELECT * FROM units
-      WHERE regexp_matches(unit_text, '\\s')
+      WHERE regexp_matches(unit_text, '[{_PY_WS_SQL}]')
         AND {_has_content_sql('unit_text')}
     ),
     toks AS (
@@ -2021,7 +2047,7 @@ _WS_TRIM = "' ' || chr(9) || chr(13) || chr(10)"
            title, docs_url, true AS url_reachable, text,
            {_ser_num_array_sql(_mock_embed_sql('text'))} AS embedding
     FROM chunks
-    WHERE regexp_matches(text, '\\s')
+    WHERE regexp_matches(text, '[{_PY_WS_SQL}]')
     """,
 )
 def q_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

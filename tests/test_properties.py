@@ -75,6 +75,14 @@ def test_filter_predicates_agree_with_python_model(spark):
         for n in (1, 2, 3)
         for c in itertools.product(pieces, repeat=n)
     ]
+    # every str.splitlines() separator the reference's state walk sees:
+    # the fold must normalize them before its "\n" split (CRLF as ONE)
+    seps = ["\r\n", "\r", "\x0b", "\x0c", "\x85", "\u2028", "\u2029"]
+    pieces2 = pieces + ["    code"]
+    texts += [
+        s.join(c) for s in seps for c in itertools.product(pieces2, repeat=2)
+    ]
+    texts += ["A\r\n====\r\n    code", "Title\r====", "body\n====\r\n# h"]
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     got = df.select(
         "text",
