@@ -1,11 +1,13 @@
 """Multimodal columns (north-star extension).
 
 Images/audio/video are opaque ``binary`` columns + typed metadata; the
-heavy decode/feature steps are Arrow-batched mapInPandas UDFs. The decode
-libraries are not in this container, so decoding is STUBBED behind a
-deterministic fake (clearly marked); the Spark-side plumbing — schema,
+heavy decode/feature steps are Arrow-batched mapInPandas UDFs. PNG
+(zlib-deflate + per-scanline filters), BMP24, netpbm and PCM16 WAV are
+REAL stdlib decoders; only the compressed codecs that need external
+libraries (JPEG/GIF pixel data, video containers) fall back to a
+clearly-marked deterministic fake. The Spark-side plumbing — schema,
 size-balanced partitioning, UDF signature, batch shape — is real and
-tested.
+tested either way.
 """
 
 from __future__ import annotations
@@ -39,10 +41,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
-    """DETERMINISTIC FAKE decode (no image libs in container): pretends the
-    binary is an image, derives (width, height, 8-d feature) from its md5.
-    Replace body with PIL/torchvision when available — the UDF signature,
-    Arrow batching, and schema do not change."""
+    """DETERMINISTIC FAKE decode for COMPRESSED codecs only (JPEG/GIF
+    pixel data needs libjpeg/LZW, not in this container): derives
+    (width, height, 8-d feature) from the content md5. PNG/BMP/netpbm
+    take the REAL decoders below — this fake is the documented last
+    resort, and the UDF signature/schema are identical either way."""
     digest = hashlib.md5(content or b"").digest()
     width = 64 + digest[0]
     height = 64 + digest[1]
@@ -50,17 +53,56 @@ def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _real_decode(content: bytes):
+    """Try the real stdlib decoders (PNG, BMP24, netpbm); returns an
+    (h, w, c) uint8 array or None when the format needs an external
+    codec (JPEG/GIF) or the bytes are not an image."""
+    try:
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(content)
+        if content[:2] == b"BM":
+            return decode_bmp24(content)
+        if content[:2] in (b"P5", b"P6"):
+            dec = decode_netpbm(content)
+            return dec[3] if dec is not None else None
+    except ValueError:
+        return None
+    return None
+
+
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Decode + featurize image rows. One worker-side model instance per
-    task in the real implementation; Arrow batches bound memory."""
+    """Decode + featurize image rows: REAL pixel decode for PNG/BMP/
+    netpbm (dims + normalized 8-bin luma histogram as the 8-d feature);
+    the deterministic fake only for compressed codecs (JPEG/GIF) whose
+    libraries are not in this container. Arrow batches bound memory."""
+    import numpy as np
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "width": [], "height": [], "feature": []}
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, feat = _fake_decode(
-                    bytes(content) if content is not None else b""
-                )
+                raw = bytes(content) if content is not None else b""
+                img = _real_decode(raw)
+                if img is not None:
+                    if img.ndim == 2:
+                        img = img[:, :, None]
+                    pxf = img.astype(np.float64)
+                    if pxf.shape[2] >= 3:
+                        luma = (
+                            0.2126 * pxf[:, :, 0]
+                            + 0.7152 * pxf[:, :, 1]
+                            + 0.0722 * pxf[:, :, 2]
+                        )
+                    else:  # gray / gray+alpha: channel 0 is the luma
+                        luma = pxf[:, :, 0]
+                    hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+                    feat = [
+                        round(float(v), 6)
+                        for v in hist / max(luma.size, 1)
+                    ]
+                    w, h = int(img.shape[1]), int(img.shape[0])
+                else:
+                    w, h, feat = _fake_decode(raw)
                 rows["media_id"].append(media_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -509,3 +551,112 @@ def extract_netpbm_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_extract, schema=schema)
+
+
+def decode_png(content: bytes):
+    """REAL PNG pixel decode, stdlib ``zlib`` + ``struct`` + numpy — no
+    image libraries. Returns an (height, width, channels) uint8 array
+    (channels: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; palette images are
+    expanded to RGB/RGBA). Raises ValueError on anything outside the
+    supported profile: 8-bit depth, non-interlaced, filter methods 0-4.
+
+    PNG is IDAT zlib-deflate over per-scanline filtered bytes
+    (RFC 2083): each scanline = 1 filter-type byte + width*bpp bytes;
+    filters None/Sub/Up/Average/Paeth reconstruct against the left /
+    upper / upper-left neighbors. Sub is a modular prefix-sum per
+    channel (vectorized); Up is a vectorized previous-row add; Average
+    and Paeth are sequential in x (byte loop, those rows only).
+    """
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(content) < 8 or content[:8] != sig:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    trns = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported bit depth {bit_depth} (8-bit only)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None:
+        raise ValueError(f"unknown color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette image without PLTE")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * n_ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad decompressed length")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = lines[:, 0]
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    bpp = n_ch  # bytes per pixel (8-bit depth)
+    for y in range(height):
+        f = int(filters[y])
+        cur = lines[y, 1:].astype(np.int64)
+        prev = recon[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:  # None
+            recon[y] = cur
+        elif f == 1:  # Sub: modular prefix-sum per channel offset
+            row = cur.copy()
+            for c in range(bpp):
+                row[c::bpp] = np.cumsum(cur[c::bpp]) % 256
+            recon[y] = row
+        elif f == 2:  # Up
+            recon[y] = (cur + prev) % 256
+        elif f == 3:  # Average (sequential: needs reconstructed left)
+            row = np.zeros(stride, np.int64)
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (cur[x] + (left + prev[x]) // 2) % 256
+            recon[y] = row
+        elif f == 4:  # Paeth (sequential)
+            row = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (cur[x] + pred) % 256
+            recon[y] = row
+        else:
+            raise ValueError(f"unknown filter type {f}")
+    img = recon.reshape(height, width, n_ch)
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if trns is not None:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            img = np.dstack([palette[idx], alpha[idx]])
+        else:
+            img = palette[idx]
+    return img.copy()

@@ -408,3 +408,135 @@ def test_extract_netpbm_features_spark(spark):
     assert abs(r["luma_mean"] - 0.299 * 255) < 0.1
     assert r["edge_density"] == 0.0
     assert got["bad"]["img_width"] is None
+
+
+def _encode_png(img, color_type, filters, palette=None, trns=None):
+    """Minimal test-side PNG encoder: applies the requested filter type
+    per scanline (computing filtered bytes from the raw pixels with the
+    RFC 2083 formulas), so decode_png's unfilter paths are each driven
+    by a true round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    n_ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * n_ch).astype(np.int64)
+    bpp = n_ch
+    out_lines = []
+    prev = np.zeros(w * n_ch, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        if f == 0:
+            filt = cur % 256
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            filt = (cur - (left + prev) // 2) % 256
+        elif f == 4:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) % 256
+        out_lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(out_lines)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if palette is not None:
+        parts.append(chunk(b"PLTE", bytes(palette.reshape(-1))))
+    if trns is not None:
+        parts.append(chunk(b"tRNS", bytes(trns)))
+    parts.append(chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def test_decode_png_roundtrip_all_filters():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    # RGB image, every filter type exercised across scanlines
+    img = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _encode_png(img, color_type=2, filters=filters)
+        got = decode_png(data)
+        assert got.shape == (7, 5, 3)
+        assert np.array_equal(got, img), f"filters={filters}"
+    # grayscale and RGBA
+    gray = rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+    got = decode_png(_encode_png(gray, color_type=0, filters=[4]))
+    assert got.shape == (4, 6, 1) and np.array_equal(got[:, :, 0], gray)
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    got = decode_png(_encode_png(rgba, color_type=6, filters=[1, 3]))
+    assert np.array_equal(got, rgba)
+
+
+def test_decode_png_palette_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from rag_content_spark.operators.multimodal import decode_png
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    got = decode_png(_encode_png(idx, color_type=3, filters=[0], palette=palette))
+    assert np.array_equal(got, palette[idx])
+    # tRNS expands to RGBA
+    got = decode_png(
+        _encode_png(idx, color_type=3, filters=[0], palette=palette,
+                    trns=bytes([10, 20]))
+    )
+    assert got.shape == (2, 2, 4)
+    assert got[0, 0, 3] == 10 and got[0, 1, 3] == 20 and got[1, 0, 3] == 255
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_extract_image_features_real_png(spark):
+    # a REAL PNG row gets its true dimensions + a luma histogram that
+    # sums to 1; a non-decodable row falls back to the marked fake
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import extract_image_features
+
+    img = np.zeros((10, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red
+    png = _encode_png(img, color_type=2, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [("png1", "image", bytearray(png), len(png), {}),
+         ("junk", "image", bytearray(b"\xff\xd8 jpeg-ish"), 9, {})],
+        schema="media_id string, media_type string, content binary, "
+               "n_bytes long, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert rows["png1"]["width"] == 8 and rows["png1"]["height"] == 10
+    assert abs(sum(rows["png1"]["feature"]) - 1.0) < 1e-6
+    # pure red -> luma 0.2126*255 = 54.2 -> second of 8 bins [32,64)
+    assert rows["png1"]["feature"][1] == 1.0
+    assert rows["junk"]["width"] is not None  # fake path still plumbs
