@@ -7,6 +7,12 @@ Prints ONE JSON line:
 Each query is forced with .count() (materializes the whole plan without
 driver-side transfer overhead). First query pays JVM/session warmup; a
 throwaway warmup action runs first so per-query numbers are comparable.
+
+Usage: python bench.py [--materialize] [query ...]
+  --materialize  force EVERY output column via a JVM-side row hash
+                 (honest numbers for projection-only queries, where
+                 .count() lets Catalyst prune the projected columns)
+  query ...      subset of HEADLINE names (default: all)
 """
 
 from __future__ import annotations
@@ -152,10 +158,37 @@ HEADLINE = [
 ]
 
 
+def _force(df, materialize: bool) -> None:
+    """Run the query to completion. Default: .count() — full plan, no
+    driver transfer, but Catalyst may prune columns a pure projection
+    never aggregates (fine for join/agg queries; understates scan+eval
+    cost for projection-only ones). --materialize: hash every output
+    column JVM-side (xxhash64 over the row struct, to_json fallback for
+    unhashable types) so all columns are computed, like the correctness
+    gate's value hash — the honest number for projection queries."""
+    if not materialize:
+        df.count()
+        return
+    from pyspark.sql import functions as F
+
+    try:
+        df.select(
+            F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h")
+        ).collect()
+    except Exception:
+        df.select(
+            F.bit_xor(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("h")
+        ).collect()
+
+
 def main() -> None:
     from rag_content_spark.session import get_spark
 
     import __spark_entry__ as entrymod
+
+    args = sys.argv[1:]
+    materialize = "--materialize" in args
+    names = [a for a in args if not a.startswith("--")] or HEADLINE
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -172,15 +205,15 @@ def main() -> None:
     # the suite total); the min is the stable steady-state number a
     # long-lived cluster session sees. cold_total_s preserves the
     # first-run total for transparency.
-    for name in HEADLINE:
+    for name in names:
         fn = queries.get(name)
         if fn is None:
             continue
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        _force(fn(spark, sf_dir), materialize)
         cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        _force(fn(spark, sf_dir), materialize)
         timings[name] = round(min(cold[name], time.time() - t0), 3)
 
     total = round(sum(timings.values()), 3)
@@ -193,6 +226,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_s": cold_total,
+                "materialize": materialize,
                 "sf": sf,
                 # Measured 2026-08-14 by tools/baseline_ref/run_baseline.py
                 # (reference document_processor.py runs unmodified over
