@@ -5,7 +5,12 @@ DuckDB at sf0.01, compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted by all
 columns, floats normalized).
 
-Usage: python tools/verify_local.py [query_name ...]
+Usage: python tools/verify_local.py [--json OUT.json] [query_name ...]
+
+--json writes a per-query artifact (status/rows/seconds + pass/fail
+totals) — the per-round protocol is one full run committed as
+VERIFY_LOCAL_rN.json, so every round records the WHOLE registry rather
+than depending on the driver's 50-query prefix sample for the rest.
 """
 
 from __future__ import annotations
@@ -71,7 +76,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    results: dict[str, dict] = {}
 
     spark = get_spark("verify-local", shuffle_partitions=8)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -93,15 +105,22 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            results[name] = {"status": "fail", "err": f"spark error: {exc}"[:500]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle)  [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(sdf),
+                "s": round(time.time() - t0, 1),
+            }
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {exc}")
+            results[name] = {"status": "fail", "err": f"oracle error: {exc}"[:500]}
             n_fail += 1
             continue
         ns, no = normalize(sdf), normalize(odf)
@@ -123,11 +142,44 @@ def main() -> int:
                         break
         if status:
             print(f"FAIL {name}: {'; '.join(status)}  [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "fail", "err": "; ".join(status)[:500]}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(ns)} rows  [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "pass",
+                "rows": len(ns),
+                "s": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        import json as _json
+        import subprocess as _sp
+
+        try:
+            head = _sp.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            head = None
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "git_head": head,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": sum(
+                        1 for r in results.values() if r["status"] == "rows_only"
+                    ),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 
