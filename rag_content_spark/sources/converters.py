@@ -96,6 +96,32 @@ def _fallback_decode(content: bytes, doc_type: str) -> str:
     return ""
 
 
+def convert_html_string_to_markdown(
+    html_content: str, document_name: str | None = None
+) -> str:
+    """String-in/string-out HTML → markdown convenience API (reference
+    html_reader.py:132-160): the real path uses docling's string
+    converter when importable; otherwise the same deterministic
+    markdown-shaped downgrade the binary path uses, so both entry
+    points produce identical structure for downstream C2/P3.
+
+    Empty input returns "" (reference parity); a docling failure raises
+    RuntimeError like the reference."""
+    if not html_content:
+        return ""
+    try:
+        converter = _get_docling("html")
+    except Exception:
+        return _html_to_markdown(html_content)
+    try:  # pragma: no cover - docling not importable in this container
+        result = converter.convert_string(
+            content=html_content, format="html", name=document_name
+        )
+        return result.document.export_to_markdown()
+    except Exception as exc:
+        raise RuntimeError(f"Failed to convert HTML string: {exc}") from exc
+
+
 def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
     """S4/S5: binary (path, content) rows → markdown text rows.
 

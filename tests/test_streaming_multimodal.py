@@ -540,3 +540,18 @@ def test_extract_image_features_real_png(spark):
     # pure red -> luma 0.2126*255 = 54.2 -> second of 8 bins [32,64)
     assert rows["png1"]["feature"][1] == 1.0
     assert rows["junk"]["width"] is not None  # fake path still plumbs
+
+
+def test_convert_html_string_to_markdown():
+    # string-in/string-out convenience API: same markdown-shaped output
+    # as the binary fallback path; "" passes through; headings survive
+    from rag_content_spark.sources.converters import (
+        _html_to_markdown,
+        convert_html_string_to_markdown,
+    )
+
+    html = "<html><head><title>x</title></head><body><h1>Title</h1><p>Body para</p><ul><li>a</li><li>b</li></ul></body></html>"
+    got = convert_html_string_to_markdown(html, document_name="doc1")
+    assert got == _html_to_markdown(html)
+    assert "# Title" in got and "- a" in got and "Body para" in got
+    assert convert_html_string_to_markdown("") == ""
