@@ -842,6 +842,7 @@ def semdedup(
     embedding_col: str = "embedding",
     materialize: bool = True,
     assign_fn=None,
+    pairwise_fn=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
     embedding space. Cluster the corpus into IVF cells, compare pairs
@@ -871,6 +872,14 @@ def semdedup(
     on wide centroid sets — both paths round distances to 1e-6 before
     the argmin, so assignments agree; equality-pinned in
     tests/test_dedup_similarity.py).
+
+    ``pairwise_fn`` swaps the within-cell compare the same way: pass
+    :func:`semdedup_dropped_np` for the vectorized build path (one
+    numpy gram matrix per cell via applyInPandas, row-blocked — the
+    within-cell quadratic is the dominant cost at build scale and the
+    interpreted zip_with cosine is ~100x slower per pair). Both paths
+    round to the 1e-6 fixed-point grid before comparing, so drop sets
+    agree; equality-pinned in tests.
     """
     from rag_content_spark.functions.vector import cosine
     from rag_content_spark.operators.similarity import assign_ivf_cells
@@ -881,26 +890,29 @@ def semdedup(
     )
     if materialize:
         assigned = assigned.localCheckpoint(eager=True)
-    a = assigned.select(
-        F.col(id_col).alias("_ida"),
-        F.col(embedding_col).alias("_ea"),
-        F.col("centroid_id").alias("_cell"),
-    )
-    b = assigned.select(
-        F.col(id_col).alias("_idb"),
-        F.col(embedding_col).alias("_eb"),
-        F.col("centroid_id").alias("_cell"),
-    )
-    dropped = (
-        a.join(b, "_cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            F.round(cosine("_ea", "_eb") * F.lit(1_000_000)).cast("bigint")
-            >= F.lit(threshold6)
+    if pairwise_fn is not None:
+        dropped = pairwise_fn(assigned, threshold6, id_col, embedding_col)
+    else:
+        a = assigned.select(
+            F.col(id_col).alias("_ida"),
+            F.col(embedding_col).alias("_ea"),
+            F.col("centroid_id").alias("_cell"),
         )
-        .select(F.col("_idb").alias("_drop"))
-        .distinct()
-    )
+        b = assigned.select(
+            F.col(id_col).alias("_idb"),
+            F.col(embedding_col).alias("_eb"),
+            F.col("centroid_id").alias("_cell"),
+        )
+        dropped = (
+            a.join(b, "_cell")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .filter(
+                F.round(cosine("_ea", "_eb") * F.lit(1_000_000)).cast("bigint")
+                >= F.lit(threshold6)
+            )
+            .select(F.col("_idb").alias("_drop"))
+            .distinct()
+        )
     return (
         assigned.join(
             dropped, assigned[id_col] == dropped["_drop"], "left"
@@ -910,6 +922,60 @@ def semdedup(
             F.col("centroid_id").cast("bigint").alias("cell"),
             F.col("_drop").isNull().alias("keep"),
         )
+    )
+
+
+def semdedup_dropped_np(
+    assigned: DataFrame,
+    threshold6: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    block: int = 1024,
+) -> DataFrame:
+    """Vectorized within-cell SemDeDup compare: one applyInPandas per
+    IVF cell computing the cell's cosine gram matrix in numpy (row
+    blocks of ``block`` against the full cell, so memory is
+    block x |cell| not |cell|^2) and emitting the ids dropped by the
+    lower-id-survives rule. Same 1e-6 half-away-from-zero fixed-point
+    grid as the declarative path (:func:`semdedup` default), so the
+    drop sets agree — equality-pinned in tests.
+
+    Scale shape: the shuffle is the single groupBy(cell); per-cell work
+    is a BLAS matmul. Cells are capacity-bounded by the centroid count,
+    which the caller sizes ~sqrt(N) (the paper's configuration), so no
+    cell's gram block exceeds executor memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    from rag_content_spark.operators.search import _round_half_away
+
+    out_schema = T.StructType(
+        [T.StructField("_drop", assigned.schema[id_col].dataType)]
+    )
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"_drop": pdf[id_col].to_numpy()[:0]})
+        pdf = pdf.sort_values(id_col)  # lower-id survives
+        X = np.array(pdf[embedding_col].tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        m = len(pdf)
+        col = np.arange(m)
+        drop = np.zeros(m, dtype=bool)
+        for b0 in range(0, m, block):
+            b1 = min(b0 + block, m)
+            s6 = _round_half_away(Xn[b0:b1] @ Xn.T * 1_000_000).astype(np.int64)
+            earlier = col[None, :] < (b0 + np.arange(b1 - b0))[:, None]
+            drop[b0:b1] = ((s6 >= threshold6) & earlier).any(axis=1)
+        return pd.DataFrame({"_drop": pdf[id_col].to_numpy()[drop]})
+
+    return (
+        assigned.select(id_col, embedding_col, "centroid_id")
+        .groupBy("centroid_id")
+        .applyInPandas(_cell, schema=out_schema)
     )
 
 

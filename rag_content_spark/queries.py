@@ -6863,7 +6863,7 @@ _SEMDEDUP_T6 = 950_000  # cosine >= 0.95, fixed-point 1e-6
     """,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rag_content_spark.operators.dedup import semdedup
+    from rag_content_spark.operators.dedup import semdedup, semdedup_dropped_np
     from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -6871,12 +6871,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], list(r["embedding"]))
         for r in emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
     ]
-    # vectorized cell assignment (numpy matmul per Arrow batch) — both
-    # paths round distances to 1e-6 before the argmin, so the oracle
-    # stays exact; equality vs the declarative assignment is pinned in
-    # tests/test_dedup_similarity.py
+    # vectorized cell assignment AND within-cell compare (numpy per
+    # Arrow batch / per cell) — all paths round to the 1e-6 grid before
+    # deciding, so the oracle stays exact; equality vs the declarative
+    # twins is pinned in tests/test_dedup_similarity.py
     return semdedup(
-        emb, centroids, threshold6=_SEMDEDUP_T6, assign_fn=assign_ivf_cells_np
+        emb,
+        centroids,
+        threshold6=_SEMDEDUP_T6,
+        assign_fn=assign_ivf_cells_np,
+        pairwise_fn=semdedup_dropped_np,
     )
 
 

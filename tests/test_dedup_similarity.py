@@ -355,3 +355,46 @@ def test_duplicate_spans_within_single_doc_repeat(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     (row,) = duplicate_span_stats(docs, k=5).collect()
     assert row["dup_tokens"] == 10 and row["n_spans"] == 2
+
+
+def test_semdedup_np_pairwise_equals_declarative(spark):
+    # the vectorized within-cell compare (numpy gram matrix, row-blocked)
+    # must produce the same keep set as the declarative zip_with cosine
+    # on the 1e-6 fixed-point grid
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.dedup import semdedup, semdedup_dropped_np
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 40 == 0).orderBy("vec_id").collect()
+    ]
+    # low threshold so plenty of pairs cross it and the rule is exercised
+    kw = dict(threshold6=300_000, assign_fn=assign_ivf_cells_np)
+    sql_keep = {
+        (r["vec_id"], r["keep"]) for r in semdedup(emb, cents, **kw).collect()
+    }
+    np_keep = {
+        (r["vec_id"], r["keep"])
+        for r in semdedup(
+            emb, cents, pairwise_fn=semdedup_dropped_np, **kw
+        ).collect()
+    }
+    assert sql_keep == np_keep
+    assert any(not k for _, k in sql_keep)  # rule actually fired
+    # tiny block size exercises the row-blocking boundaries
+    from functools import partial
+
+    np_small = {
+        (r["vec_id"], r["keep"])
+        for r in semdedup(
+            emb, cents,
+            pairwise_fn=partial(semdedup_dropped_np, block=3), **kw
+        ).collect()
+    }
+    assert np_small == sql_keep

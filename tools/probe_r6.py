@@ -53,26 +53,32 @@ def perturbed_embeddings(spark, n: int):
 def probe_semdedup(spark, n: int) -> None:
     from pyspark.sql import functions as F
 
-    from rag_content_spark.operators.dedup import semdedup
+    from rag_content_spark.operators.dedup import semdedup, semdedup_dropped_np
     from rag_content_spark.operators.similarity import assign_ivf_cells_np
     from rag_content_spark.queries import _SEMDEDUP_T6
 
     emb = perturbed_embeddings(spark, n).localCheckpoint(eager=True)
     total = emb.count()
+    # ~sqrt(N) centroids, sampled across base ids AND replicas (the
+    # modulus is coprime-ish to the replica shift so the sample is
+    # diverse — the paper's cell sizing)
+    m = max(1, int(total**0.5))
     cents = [
         (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % (50 * n) == 0)
-        .orderBy("vec_id")
-        .collect()
+        for r in emb.filter(F.col("vec_id") % m == 0).orderBy("vec_id").collect()
     ]
     t0 = time.time()
     out = semdedup(
-        emb, cents, threshold6=_SEMDEDUP_T6, assign_fn=assign_ivf_cells_np
+        emb,
+        cents,
+        threshold6=_SEMDEDUP_T6,
+        assign_fn=assign_ivf_cells_np,
+        pairwise_fn=semdedup_dropped_np,
     )
-    rows = out.count()
+    dropped = out.filter(~F.col("keep")).count()
     print(
-        f"semdedup {n}x: {time.time()-t0:.1f} s, {total} vectors, "
-        f"{len(cents)} cells, {rows} dropped rows",
+        f"semdedup {n}x (np pairwise): {time.time()-t0:.1f} s, {total} vectors, "
+        f"{len(cents)} cells, {dropped} dropped / {total - dropped} kept",
         flush=True,
     )
 
