@@ -155,6 +155,12 @@ HEADLINE = [
     "dup_span_scrub",     # ExactSubstr-cut: remove duplicated spans
     "kn_bigram_xent",     # interpolated Kneser-Ney bigram cross-entropy
     "doremi_weights",     # DoReMi domain mixture reweighting (fixed-point MW)
+    "order_priority_check",   # TPC-H Q4 shape (EXISTS -> semi join)
+    "volume_shipping",        # TPC-H Q7 shape (two-role nation join)
+    "national_market_share",  # TPC-H Q8 shape (conditional-sum share)
+    "returnflag_priority",    # TPC-H Q12 shape (CASE dual count)
+    "top_supplier",           # TPC-H Q15 shape (scalar-subquery max)
+    "large_volume_customers", # TPC-H Q18 shape (HAVING then join)
 ]
 
 

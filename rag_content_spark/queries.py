@@ -7014,6 +7014,375 @@ def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicate_spans(_docs(spark, sf_dir), k=5, min_count=2)
 
 
+# ====================== TPC-H shapes, round 6 ==============================
+# The remaining shapes expressible over the available tables (no partsupp
+# in the testdata, no l_shipmode/l_commitdate/l_receiptdate columns —
+# Q2/Q9/Q11/Q16/Q20 need partsupp and true Q4/Q12 need commit/receipt
+# dates, so Q4/Q12 keep the reference join/agg SHAPE with the late-ship
+# gap standing in for the commit-date predicate and l_returnflag for
+# l_shipmode). Dates stay integer epoch seconds; years are the
+# deterministic 365-day epoch bucket (pure integer math, identical on
+# both engines, timezone-proof); money goes through DECIMAL.
+
+_EPOCH_1996 = 820454400       # 1996-01-01 UTC
+_EPOCH_1996_10 = 844128000    # 1996-10-01 UTC
+_EPOCH_YEAR = 31536000        # 365-day bucket
+
+
+@register(
+    "order_priority_check",
+    # TPC-H Q4 shape: count orders per priority in a quarter window
+    # where EXISTS a late lineitem -> de-correlated distinct-key
+    # left-semi join, then a tiny groupBy.
+    f"""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey AS ok
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE floor(epoch(l.l_shipdate)) - floor(epoch(o.o_orderdate))
+            > {_Q21_LATE_GAP}
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o JOIN late ON o.o_orderkey = late.ok
+    WHERE floor(epoch(o.o_orderdate)) >= {_EPOCH_1996}
+      AND floor(epoch(o.o_orderdate)) < {_EPOCH_1996_10}
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            _ts_sec_col(li, "l_shipdate") - _ts_sec_col(o, "o_orderdate")
+            > _Q21_LATE_GAP
+        )
+        .select(F.col("l_orderkey").alias("ok"))
+        .distinct()
+    )
+    osec = _ts_sec_col(o, "o_orderdate")
+    return (
+        o.filter((osec >= _EPOCH_1996) & (osec < _EPOCH_1996_10))
+        .join(late, o["o_orderkey"] == late["ok"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "volume_shipping",
+    # TPC-H Q7 shape: bidirectional nation-pair trade volume by year —
+    # the two-role nation join (supplier's nation x customer's nation)
+    # with an OR of the two directed pairs, grouped by (n1, n2, year).
+    f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // {_EPOCH_YEAR}
+             AS epoch_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, epoch_year
+    ORDER BY supp_nation, cust_nation, epoch_year
+    """,
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        # epochs are non-negative here, so floor-div == DIV on both engines
+        li.withColumn(
+            "epoch_year",
+            F.floor(_ts_sec_col(li, "l_shipdate") / _EPOCH_YEAR).cast("bigint"),
+        )
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "epoch_year")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "epoch_year")
+    )
+
+
+@register(
+    "national_market_share",
+    # TPC-H Q8 shape: one nation's share of a region's market for one
+    # part type, by year — conditional-sum ratio over the 6-way join
+    # with the region rollup on the CUSTOMER side.
+    f"""
+    WITH vol AS (
+      SELECT CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // {_EPOCH_YEAR}
+               AS epoch_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS DECIMAL(18,4))
+               AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT epoch_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           CAST(sum(volume) AS DOUBLE) AS total_volume
+    FROM vol GROUP BY epoch_year ORDER BY epoch_year
+    """,
+)
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.floor(_ts_sec_col(o, "o_orderdate") / _EPOCH_YEAR)
+            .cast("bigint")
+            .alias("epoch_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("epoch_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .orderBy("epoch_year")
+    )
+
+
+@register(
+    "returnflag_priority",
+    # TPC-H Q12 shape (l_returnflag standing in for the absent
+    # l_shipmode): per flag, counts of high- vs low-priority orders
+    # among late-shipped lineitems — the CASE-conditional dual count
+    # over one fact join.
+    f"""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE floor(epoch(l.l_shipdate)) - floor(epoch(o.o_orderdate))
+          > {_Q21_LATE_GAP}
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def q_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            _ts_sec_col(li, "l_shipdate") - _ts_sec_col(o, "o_orderdate")
+            > _Q21_LATE_GAP
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "top_supplier",
+    # TPC-H Q15 shape: revenue-per-supplier over a quarter, keep the
+    # supplier(s) AT the maximum — the scalar-subquery-max pattern as a
+    # broadcast one-row join; DECIMAL sums so the max boundary is exact.
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4)))
+                  AS DECIMAL(38,8)) AS total_rev
+      FROM lineitem
+      WHERE floor(epoch(l_shipdate)) >= {_EPOCH_1996}
+        AND floor(epoch(l_shipdate)) < {_EPOCH_1996_10}
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lsec = _ts_sec_col(li, "l_shipdate")
+    rev = (
+        li.filter((lsec >= _EPOCH_1996) & (lsec < _EPOCH_1996_10))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("decimal(38,8)")
+            .alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["_mx"], "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q18_QTY = 300  # large-volume threshold (max per-order qty in data ~458)
+
+
+@register(
+    "large_volume_customers",
+    # TPC-H Q18 shape: orders whose total quantity crosses a HAVING
+    # threshold, joined back to customer — group-then-filter-then-join,
+    # deterministic top-100. Quantities are integer-valued doubles, so
+    # BIGINT sums are exact on both engines.
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_QTY}
+    )
+    SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:
