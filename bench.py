@@ -161,6 +161,8 @@ HEADLINE = [
     "returnflag_priority",    # TPC-H Q12 shape (CASE dual count)
     "top_supplier",           # TPC-H Q15 shape (scalar-subquery max)
     "large_volume_customers", # TPC-H Q18 shape (HAVING then join)
+    "embedding_covariance",   # exact fixed-point covariance (integer Gram)
+    "pca_project",            # driver-side eigh + distributed projection
 ]
 
 

@@ -7383,6 +7383,63 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================ PCA / spectral ===============================
+
+
+@register(
+    "embedding_covariance",
+    # Exact fixed-point covariance of the embedding coordinates
+    # (operators/pca.py): identical integer sums on both engines —
+    # coordinates rounded to the 1e-6 grid as BIGINTs, cov from
+    # (n*S_ij - S_i*S_j) integer arithmetic, one final descale. DuckDB
+    # sum(BIGINT) is HUGEINT -> cast back.
+    """
+    WITH c AS (
+      SELECT vec_id AS id, CAST(r.range AS INT) AS i,
+             CAST(round(CAST(embedding[CAST(r.range + 1 AS INT)] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x6
+      FROM embeddings CROSS JOIN range(0, 10000) r
+      WHERE r.range < len(embedding)
+    ),
+    p AS (
+      SELECT a.i, b.i AS j,
+             CAST(sum(a.x6 * b.x6) AS BIGINT) AS s_ij,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c a JOIN c b ON a.id = b.id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    s AS (SELECT i AS k, CAST(sum(x6) AS BIGINT) AS s_k FROM c GROUP BY i)
+    SELECT p.i, p.j,
+           round(CAST(p.n * p.s_ij - sa.s_k * sb.s_k AS DOUBLE)
+                 / CAST(p.n * p.n AS DOUBLE) / 1e12, 6) + 0.0 AS cov6
+    FROM p JOIN s sa ON p.i = sa.k JOIN s sb ON p.j = sb.k
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.pca import embedding_covariance_np
+
+    # the registered path is the one-pass numpy Gram twin; bit-identical
+    # to the explode/self-join SQL shape (equality-pinned in tests)
+    return embedding_covariance_np(_emb(spark, sf_dir))
+
+
+@register("pca_project", None)  # eigendecomposition is not SQL-expressible
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.pca import (
+        embedding_covariance_np,
+        pca_components,
+        pca_project,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cov = [
+        (r["i"], r["j"], r["cov6"])
+        for r in embedding_covariance_np(emb).collect()
+    ]
+    comps = pca_components(cov, q=8)
+    return pca_project(emb, comps)
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:
