@@ -163,6 +163,9 @@ HEADLINE = [
     "large_volume_customers", # TPC-H Q18 shape (HAVING then join)
     "embedding_covariance",   # exact fixed-point covariance (integer Gram)
     "pca_project",            # driver-side eigh + distributed projection
+    "chat_turns",             # SFT transcript parsing (turn explode)
+    "chat_valid",             # per-dialog SFT gate (violation triage)
+    "fim_split",              # FIM PSM re-serialization (hash-driven cuts)
 ]
 
 

@@ -7440,6 +7440,212 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, comps)
 
 
+# ========================== SFT / FIM shaping ==============================
+
+
+# Synthesized chat corpus covering every validation class (same
+# degenerate-corpus trick as the P2/P3 filters): cases 0-1 valid, then
+# one case per violation, and case 7 derives turn bodies from the
+# document text so content parsing sees real tokens.
+_CHAT_SQL = f"""
+CASE CAST(doc_id % 8 AS INT)
+  WHEN 0 THEN 'user: hi there' || chr(10) || 'assistant: hello back'
+  WHEN 1 THEN 'system: be nice' || chr(10) || 'user: hi' || chr(10)
+              || 'assistant: yo'
+  WHEN 2 THEN 'assistant: hi' || chr(10) || 'user: yo'
+  WHEN 3 THEN 'user: hi' || chr(10) || 'user: again' || chr(10)
+              || 'assistant: ok'
+  WHEN 4 THEN 'user: hi' || chr(10) || 'assistant: ok' || chr(10)
+              || 'user: more'
+  WHEN 5 THEN 'user: hi' || chr(10) || 'assistant:'
+  WHEN 6 THEN 'user: hi' || chr(10) || 'no role marker here' || chr(10)
+              || 'assistant: ok'
+  ELSE 'user: ' || array_to_string(list_slice({{tk}}, 1, 8), ' ')
+       || chr(10) || 'assistant: '
+       || coalesce(nullif(array_to_string(list_slice({{tk}}, 9, 16), ' '), ''),
+                   'ok then')
+END
+""".strip().replace("{tk}", "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')")
+
+
+def _chat_expr():
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    m = F.col("doc_id") % 8
+    return (
+        F.when(m == 0, F.lit("user: hi there\nassistant: hello back"))
+        .when(m == 1, F.lit("system: be nice\nuser: hi\nassistant: yo"))
+        .when(m == 2, F.lit("assistant: hi\nuser: yo"))
+        .when(m == 3, F.lit("user: hi\nuser: again\nassistant: ok"))
+        .when(m == 4, F.lit("user: hi\nassistant: ok\nuser: more"))
+        .when(m == 5, F.lit("user: hi\nassistant:"))
+        .when(m == 6, F.lit("user: hi\nno role marker here\nassistant: ok"))
+        .otherwise(
+            F.concat(
+                F.lit("user: "),
+                F.array_join(F.slice(tk, 1, 8), " "),
+                F.lit("\nassistant: "),
+                F.coalesce(
+                    F.nullif(F.array_join(F.slice(tk, 9, 8), " "), F.lit("")),
+                    F.lit("ok then"),
+                ),
+            )
+        )
+    )
+
+
+_CHAT_TURNS_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_CHAT_SQL} AS t FROM documents),
+    lines AS (
+      SELECT doc_id, CAST(r.range AS INT) AS turn_index,
+             list_filter(string_split(t, chr(10)), x -> x <> '')
+               [CAST(r.range + 1 AS INT)] AS line
+      FROM d CROSS JOIN range(0, 100) r
+      WHERE r.range < len(list_filter(string_split(t, chr(10)), x -> x <> ''))
+    ),
+    parsed AS (
+      SELECT doc_id, turn_index,
+             regexp_extract(line, '^(\\w+):', 1) AS role_raw,
+             line
+      FROM lines
+    )
+    SELECT doc_id, turn_index,
+           CASE WHEN lower(role_raw) IN ('system', 'user', 'assistant')
+                THEN lower(role_raw) END AS role,
+           CASE WHEN lower(role_raw) IN ('system', 'user', 'assistant')
+                THEN ltrim(substr(line, length(role_raw) + 2), ' ')
+                ELSE line END AS content,
+           CAST(len(list_filter(regexp_split_to_array(
+                 CASE WHEN lower(role_raw) IN ('system', 'user', 'assistant')
+                      THEN ltrim(substr(line, length(role_raw) + 2), ' ')
+                      ELSE line END, '\\s+'), x -> x <> '')) AS BIGINT)
+             AS n_tokens
+    FROM parsed
+"""
+
+
+@register("chat_turns", _CHAT_TURNS_ORACLE)
+def q_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sft import parse_chat_turns
+
+    d = _docs(spark, sf_dir).select("doc_id", _chat_expr().alias("text"))
+    return parse_chat_turns(d)
+
+
+@register(
+    "chat_valid",
+    # per-dialog SFT gate: the violation-priority CASE over turn
+    # aggregates mirrors operators/sft.validate_dialogs exactly
+    f"""
+    WITH turns AS ({_CHAT_TURNS_ORACLE}),
+    base AS (
+      SELECT doc_id,
+             min(CASE WHEN role <> 'system' OR role IS NULL
+                      THEN turn_index END) AS b
+      FROM turns GROUP BY doc_id
+    ),
+    agg AS (
+      SELECT t.doc_id,
+             CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_user,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_assistant,
+             sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS n_norole,
+             sum(CASE WHEN role = 'system' AND turn_index > 0
+                      THEN 1 ELSE 0 END) AS n_latesys,
+             sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS n_empty,
+             max(CASE WHEN turn_index = 0 THEN role END) AS first_role,
+             max(CASE WHEN turn_index = 1 THEN role END) AS second_role,
+             max_by(role, turn_index) AS last_role,
+             sum(CASE WHEN role IN ('user', 'assistant') AND (
+                   ((turn_index - b.b) % 2 = 0 AND role <> 'user')
+                   OR ((turn_index - b.b) % 2 = 1 AND role <> 'assistant'))
+                 THEN 1 ELSE 0 END) AS n_bad_alt
+      FROM turns t JOIN base b ON t.doc_id = b.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           n_user + n_assistant AS n_turns,
+           n_user, n_assistant,
+           (CASE
+              WHEN n_norole > 0 OR n_latesys > 0 THEN 'unknown_role'
+              WHEN n_empty > 0 THEN 'empty_turn'
+              WHEN n_user + n_assistant < 2 THEN 'too_short'
+              WHEN coalesce((CASE WHEN first_role = 'system'
+                                  THEN second_role ELSE first_role END)
+                            <> 'user', true) THEN 'bad_start'
+              WHEN n_bad_alt > 0 THEN 'bad_alternation'
+              WHEN last_role <> 'assistant' THEN 'bad_end'
+            END) IS NULL AS valid,
+           CASE
+             WHEN n_norole > 0 OR n_latesys > 0 THEN 'unknown_role'
+             WHEN n_empty > 0 THEN 'empty_turn'
+             WHEN n_user + n_assistant < 2 THEN 'too_short'
+             WHEN coalesce((CASE WHEN first_role = 'system'
+                                 THEN second_role ELSE first_role END)
+                           <> 'user', true) THEN 'bad_start'
+             WHEN n_bad_alt > 0 THEN 'bad_alternation'
+             WHEN last_role <> 'assistant' THEN 'bad_end'
+           END AS first_violation
+    FROM agg
+    """,
+)
+def q_chat_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sft import parse_chat_turns, validate_dialogs
+
+    d = _docs(spark, sf_dir).select("doc_id", _chat_expr().alias("text"))
+    return validate_dialogs(parse_chat_turns(d))
+
+
+@register(
+    "fim_split",
+    # FIM (Bavarian et al. 2022) PSM re-serialization with
+    # token-boundary cuts from the 60-bit doc-id hash — pure integer
+    # math, identical spans on both engines. CASE guards keep the
+    # modulos off the short-doc rows.
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, tk, len(tk) AS n,
+             {stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="fimr")} % 100
+               AS h_apply,
+             {stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="fim1")} AS h1,
+             {stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="fim2")} AS h2
+      FROM t
+    ),
+    cuts AS (
+      SELECT doc_id, text, tk, n,
+             (n >= 8 AND h_apply < 50) AS apply_fim,
+             CASE WHEN n >= 8 THEN (h1 % (n - 2)) + 1 END AS cut1,
+             CASE WHEN n >= 8
+                  THEN (h1 % (n - 2)) + 2 + (h2 % (n - 2 - (h1 % (n - 2)))) END
+               AS cut2
+      FROM c
+    )
+    SELECT doc_id,
+           CASE WHEN apply_fim THEN
+             '<fim_prefix>' || array_to_string(list_slice(tk, 1, cut1), ' ')
+             || '<fim_suffix>'
+             || array_to_string(list_slice(tk, cut2 + 1, n), ' ')
+             || '<fim_middle>'
+             || array_to_string(list_slice(tk, cut1 + 1, cut2), ' ')
+           ELSE text END AS fim_text,
+           apply_fim AS fim_applied,
+           CASE WHEN apply_fim THEN cut1 END AS n_prefix,
+           CASE WHEN apply_fim THEN cut2 - cut1 END AS n_middle,
+           CASE WHEN apply_fim THEN n - cut2 END AS n_suffix
+    FROM cuts
+    """,
+)
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sft import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir))
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

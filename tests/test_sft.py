@@ -1,0 +1,99 @@
+"""SFT / FIM operator tests (operators/sft.py)."""
+
+
+def test_parse_chat_turns_roles_and_content(spark):
+    from rag_content_spark.operators.sft import parse_chat_turns
+
+    d = spark.createDataFrame(
+        [
+            (1, "user: hello world\nassistant: hi"),
+            (2, "System: be nice\nuser:\nweird line"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["turn_index"]): r
+        for r in parse_chat_turns(d).collect()
+    }
+    assert rows[(1, 0)]["role"] == "user"
+    assert rows[(1, 0)]["content"] == "hello world"
+    assert rows[(1, 0)]["n_tokens"] == 2
+    assert rows[(1, 1)]["role"] == "assistant" and rows[(1, 1)]["content"] == "hi"
+    assert rows[(2, 0)]["role"] == "system"  # case-insensitive marker
+    assert rows[(2, 1)]["role"] == "user" and rows[(2, 1)]["content"] == ""
+    assert rows[(2, 2)]["role"] is None  # no marker -> surfaced, not dropped
+    assert rows[(2, 2)]["content"] == "weird line"
+
+
+def test_validate_dialogs_all_violation_classes(spark):
+    from rag_content_spark.operators.sft import parse_chat_turns, validate_dialogs
+
+    cases = {
+        1: ("user: hi\nassistant: hello", True, None),
+        2: ("system: x\nuser: hi\nassistant: yo", True, None),
+        3: ("assistant: hi\nuser: yo", False, "bad_start"),
+        4: ("user: a\nuser: b\nassistant: c", False, "bad_alternation"),
+        5: ("user: a\nassistant: b\nuser: c", False, "bad_end"),
+        6: ("user: a\nassistant:", False, "empty_turn"),
+        7: ("user: a\nrandom text\nassistant: b", False, "unknown_role"),
+        8: ("user: only one turn", False, "too_short"),
+        9: ("user: a\nsystem: late\nassistant: b", False, "unknown_role"),
+    }
+    d = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in validate_dialogs(parse_chat_turns(d)).collect()
+    }
+    for k, (_, valid, violation) in cases.items():
+        assert got[k]["valid"] == valid, (k, got[k])
+        assert got[k]["first_violation"] == violation, (k, got[k])
+    assert got[1]["n_turns"] == 2 and got[2]["n_user"] == 1
+
+
+def test_fim_transform_partition_and_determinism(spark):
+    from rag_content_spark.operators.sft import (
+        FIM_MIDDLE,
+        FIM_PREFIX,
+        FIM_SUFFIX,
+        fim_transform,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(i, text) for i in range(30)] + [(99, "too short")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in fim_transform(d, fim_pct=100).collect()}
+    assert out[99]["fim_applied"] is False and out[99]["fim_text"] == "too short"
+    applied = [r for i, r in out.items() if i != 99]
+    assert all(r["fim_applied"] for r in applied)
+    for r in applied:
+        assert r["n_prefix"] >= 1 and r["n_middle"] >= 1 and r["n_suffix"] >= 1
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == 40
+        body = r["fim_text"]
+        assert body.startswith(FIM_PREFIX)
+        p = body[len(FIM_PREFIX):body.index(FIM_SUFFIX)]
+        s = body[body.index(FIM_SUFFIX) + len(FIM_SUFFIX):body.index(FIM_MIDDLE)]
+        m = body[body.index(FIM_MIDDLE) + len(FIM_MIDDLE):]
+        # PSM reassembly reproduces the original token stream
+        assert (p + " " + m + " " + s).split() == text.split()
+    # cuts vary across doc ids (hash-driven), and rerun is identical
+    assert len({(r["n_prefix"], r["n_middle"]) for r in applied}) > 5
+    again = {r["doc_id"]: r["fim_text"] for r in fim_transform(d, fim_pct=100).collect()}
+    assert all(again[i] == out[i]["fim_text"] for i in out)
+
+
+def test_fim_rate_knob(spark):
+    from rag_content_spark.operators.sft import fim_transform
+
+    text = " ".join(f"t{i}" for i in range(20))
+    d = spark.createDataFrame([(i, text) for i in range(200)], ["doc_id", "text"])
+    frac = (
+        fim_transform(d, fim_pct=50)
+        .filter("fim_applied")
+        .count()
+    ) / 200
+    assert 0.35 < frac < 0.65  # hash-sampled, not exact
+    assert fim_transform(d, fim_pct=0).filter("fim_applied").count() == 0
