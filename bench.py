@@ -166,6 +166,7 @@ HEADLINE = [
     "chat_turns",             # SFT transcript parsing (turn explode)
     "chat_valid",             # per-dialog SFT gate (violation triage)
     "fim_split",              # FIM PSM re-serialization (hash-driven cuts)
+    "code_blocks",            # markdown fence extraction (code corpus)
 ]
 
 

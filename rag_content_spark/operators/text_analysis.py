@@ -311,3 +311,71 @@ def unigram_logloss(
             F.round(F.avg(-F.log(p)), 6).alias("xent"),
         )
     )
+
+
+def extract_code_blocks(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Markdown code-fence extraction — the step that builds a CODE
+    corpus out of documentation: (id, block_index, lang, code, n_lines)
+    with one row per fenced block, ``lang`` from the opening marker's
+    info string (``\\`\\`\\`python`` -> ``python``, bare fence -> '').
+
+    Fence state is the running parity of marker lines (a cumulative
+    window per document — no Python in the loop): a non-marker line is
+    inside a block iff the marker count before it is odd; the opening
+    marker's tag rides forward via last(ignorenulls) over the same
+    window. An unclosed trailing fence keeps its lines (deterministic
+    choice, documented — same reading as the P3 content filter's fence
+    state). Empty blocks vanish (no lines to group).
+
+    Scale shape: one narrow explode + two window passes partitioned by
+    document + one groupBy(document, block) — shuffles only on the
+    document id, and AQE coalesces the tiny block table.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    )
+    stripped = F.regexp_replace(F.col("_line"), r"(^\s+)|(\s+$)", "")
+    marker = stripped.startswith("```")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lines.select(
+        id_col,
+        "_idx",
+        "_line",
+        F.sum(marker.cast("int")).over(w).alias("_cum"),
+        F.last(
+            F.when(marker, F.trim(F.substring(stripped, 4, 1_000_000))),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_lang"),
+        marker.alias("_m"),
+    )
+    in_block = (~F.col("_m")) & (F.col("_cum") % 2 == 1)
+    return (
+        tagged.filter(in_block)
+        .groupBy(id_col, ((F.col("_cum") - 1) / 2).cast("bigint").alias("block_index"))
+        .agg(
+            F.max("_lang").alias("lang"),  # constant within a block
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_idx"), F.col("_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("code"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )

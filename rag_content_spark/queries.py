@@ -7646,6 +7646,94 @@ def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_transform(_docs(spark, sf_dir))
 
 
+# ====================== code-corpus extraction =============================
+
+
+_FENCE_DOC_SQL = """
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN '# T' || chr(10) || 'intro text' || chr(10) || '```python'
+              || chr(10) || 'x = 1' || chr(10) || 'print(x)' || chr(10)
+              || '```' || chr(10) || 'outro'
+  WHEN 1 THEN '```' || chr(10) || 'plain block' || chr(10) || '```'
+              || chr(10) || 'between' || chr(10) || '```sql' || chr(10)
+              || 'SELECT 1;' || chr(10) || '```'
+  WHEN 2 THEN 'just text no fences'
+  WHEN 3 THEN 'a line' || chr(10) || '```js' || chr(10) || 'dangling()'
+  ELSE '```txt' || chr(10)
+       || array_to_string(list_slice({tok}, 1, 20), ' ') || chr(10) || '```'
+END
+""".strip().replace("{tok}", "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')")
+
+
+def _fence_doc_expr():
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    m = F.col("doc_id") % 5
+    return (
+        F.when(
+            m == 0,
+            F.lit("# T\nintro text\n```python\nx = 1\nprint(x)\n```\noutro"),
+        )
+        .when(
+            m == 1,
+            F.lit("```\nplain block\n```\nbetween\n```sql\nSELECT 1;\n```"),
+        )
+        .when(m == 2, F.lit("just text no fences"))
+        .when(m == 3, F.lit("a line\n```js\ndangling()"))
+        .otherwise(
+            F.concat(
+                F.lit("```txt\n"),
+                F.array_join(F.slice(tk, 1, 20), " "),
+                F.lit("\n```"),
+            )
+        )
+    )
+
+
+@register(
+    "code_blocks",
+    # Markdown fence extraction (code-corpus building): running marker
+    # parity per document via a cumulative window, opening tag rides
+    # last(ignore nulls); unclosed trailing fences keep their lines.
+    f"""
+    WITH d AS (SELECT doc_id, {_FENCE_DOC_SQL} AS t FROM documents),
+    l AS (
+      SELECT doc_id, CAST(r.range AS INT) AS idx,
+             string_split(t, chr(10))[CAST(r.range + 1 AS INT)] AS line
+      FROM d CROSS JOIN range(0, 1000) r
+      WHERE r.range < len(string_split(t, chr(10)))
+    ),
+    m AS (
+      SELECT doc_id, idx, line,
+             starts_with(regexp_replace(line, '^\\s+|\\s+$', '', 'g'), '```')
+               AS mk,
+             regexp_replace(line, '^\\s+|\\s+$', '', 'g') AS s
+      FROM l
+    ),
+    wn AS (
+      SELECT doc_id, idx, line, mk,
+             sum(CASE WHEN mk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY idx
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             last_value(CASE WHEN mk THEN trim(substr(s, 4)) END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY idx
+                     ROWS UNBOUNDED PRECEDING) AS lang
+      FROM m
+    )
+    SELECT doc_id, CAST((cum - 1) // 2 AS BIGINT) AS block_index,
+           max(lang) AS lang,
+           string_agg(line, chr(10) ORDER BY idx) AS code,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM wn WHERE NOT mk AND cum % 2 = 1
+    GROUP BY doc_id, block_index
+    """,
+)
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.text_analysis import extract_code_blocks
+
+    d = _docs(spark, sf_dir).select("doc_id", _fence_doc_expr().alias("text"))
+    return extract_code_blocks(d)
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

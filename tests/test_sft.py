@@ -97,3 +97,25 @@ def test_fim_rate_knob(spark):
     ) / 200
     assert 0.35 < frac < 0.65  # hash-sampled, not exact
     assert fim_transform(d, fim_pct=0).filter("fim_applied").count() == 0
+
+
+def test_extract_code_blocks_handmade(spark):
+    from rag_content_spark.operators.text_analysis import extract_code_blocks
+
+    docs = [
+        (1, "intro\n```python\nx = 1\nprint(x)\n```\nafter\n```\nplain\n```"),
+        (2, "no fences here"),
+        (3, "text\n```js\ndangling()"),          # unclosed: lines kept
+        (4, "```\n```\nempty block vanishes"),    # empty block -> no rows
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        (r["doc_id"], r["block_index"]): r
+        for r in extract_code_blocks(df).collect()
+    }
+    assert rows[(1, 0)]["lang"] == "python"
+    assert rows[(1, 0)]["code"] == "x = 1\nprint(x)"
+    assert rows[(1, 0)]["n_lines"] == 2
+    assert rows[(1, 1)]["lang"] == "" and rows[(1, 1)]["code"] == "plain"
+    assert rows[(3, 0)]["lang"] == "js" and rows[(3, 0)]["code"] == "dangling()"
+    assert not any(d == 2 or d == 4 for d, _ in rows)
