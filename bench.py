@@ -167,6 +167,8 @@ HEADLINE = [
     "chat_valid",             # per-dialog SFT gate (violation triage)
     "fim_split",              # FIM PSM re-serialization (hash-driven cuts)
     "code_blocks",            # markdown fence extraction (code corpus)
+    "script_profile",         # unicode script char profiling + argmax
+    "skew_report",            # shuffle-key skew pre-flight diagnostic
 ]
 
 

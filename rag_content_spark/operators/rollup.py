@@ -8,7 +8,7 @@ A2: corpus counters (reference document_processor.py:800-803,893-896).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def group_chunks_by_document(
@@ -121,4 +121,63 @@ def snapshot_diff(
     )
     return joined.select(
         F.col(id_col), status.alias("status"), "old_hash", "new_hash"
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """One-row key-skew diagnostic for a prospective shuffle key — the
+    pre-flight check before a big groupBy/join at scale (a 100x key
+    imbalance means salting or AQE skew-join, and this report is how
+    you find out BEFORE the 4-hour stage): (n_keys, total_rows,
+    max_count, skew_ratio, p50_count, p99_count, top_keys).
+
+    skew_ratio = max_count / mean_count computed as an integer-ratio
+    double (max * n_keys / total) rounded once; percentiles are EXACT
+    rank-selected counts (no interpolation); top_keys serializes the
+    ``top_n`` heaviest keys as 'key:count' descending (key ascending on
+    ties). Two aggregations over the per-key count table — the count
+    table itself is the only shuffle.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.desc("c"), "k")
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    # exact rank-selected percentiles over ASCENDING counts
+    wa = Window.orderBy("c", "k")
+    asc = counts.withColumn("_ra", F.row_number().over(wa))
+    n_keys = counts.count()  # driver scalar, reused for rank math
+    if n_keys == 0:
+        raise ValueError("skew_report on empty input")
+    p50_rank = max(1, -(-n_keys * 50 // 100))
+    p99_rank = max(1, -(-n_keys * 99 // 100))
+    pcts = (
+        asc.filter(F.col("_ra").isin(p50_rank, p99_rank))
+        .select("_ra", "c")
+        .collect()
+    )
+    by_rank = {r["_ra"]: r["c"] for r in pcts}
+    top = (
+        ranked.filter(F.col("_rn") <= top_n)
+        .orderBy("_rn")
+        .select(F.concat_ws(":", "k", "c").alias("kc"))
+    )
+    top_str = "|".join(r["kc"] for r in top.collect())
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.round(
+            F.max("c").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+        F.lit(by_rank[p50_rank]).cast("bigint").alias("p50_count"),
+        F.lit(by_rank[p99_rank]).cast("bigint").alias("p99_count"),
+        F.lit(top_str).alias("top_keys"),
     )

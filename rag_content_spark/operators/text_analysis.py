@@ -379,3 +379,42 @@ def extract_code_blocks(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# Unicode script ranges as literal-character classes — the same literal
+# pattern strings work in Java regex (Spark) and RE2 (DuckDB), so both
+# engines count identical characters.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "digit": "0-9",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "cyrillic": "Ѐ-ӿ",
+    "arabic": "؀-ۿ",
+    "greek": "Ͱ-Ͽ",
+}
+
+
+def script_counts(text_col="text"):
+    """STRUCT of per-script character counts — count = length after
+    deleting every char OUTSIDE the range (one regexp_replace per
+    script, all JVM-side)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    fields = [
+        F.length(F.regexp_replace(c, f"[^{rng}]", "")).cast("bigint").alias(name)
+        for name, rng in SCRIPT_RANGES.items()
+    ]
+    return F.struct(*fields)
+
+
+def dominant_script(text_col="text"):
+    """Name of the script with the most characters; ties resolve in
+    SCRIPT_RANGES declaration order (deterministic); all-zero -> 'none'.
+    greatest + first-equal keeps each count expression to two uses (no
+    lambda-CSE in Catalyst — see COVERAGE scale note 1)."""
+    s = script_counts(text_col)
+    names = list(SCRIPT_RANGES)
+    maxc = F.greatest(*[s[n] for n in names])
+    pick = F.when(s[names[0]] == maxc, F.lit(names[0]))
+    for name in names[1:]:
+        pick = pick.when(s[name] == maxc, F.lit(name))
+    return F.when(maxc > 0, pick).otherwise(F.lit("none"))

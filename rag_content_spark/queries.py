@@ -7734,6 +7734,128 @@ def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_code_blocks(d)
 
 
+# =================== script profiling / skew diagnostics ===================
+
+
+_MULTI_SCRIPT_SQL = """
+CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN text
+  WHEN 1 THEN '统计 数据 处理 引擎 ' || text
+  WHEN 2 THEN 'Привет мир обработка данных ' || text
+  WHEN 3 THEN 'مرحبا بيانات معالجة ' || substr(text, 1, 10)
+  WHEN 4 THEN 'αβγ δεδομένα επεξεργασία ' || substr(text, 1, 10)
+  ELSE '12345 67890 ' || substr(text, 1, 6)
+END
+""".strip()
+
+
+def _multi_script_expr():
+    m = F.col("doc_id") % 6
+    t = F.col("text")
+    return (
+        F.when(m == 0, t)
+        .when(m == 1, F.concat(F.lit("统计 数据 处理 引擎 "), t))
+        .when(m == 2, F.concat(F.lit("Привет мир обработка данных "), t))
+        .when(m == 3, F.concat(F.lit("مرحبا بيانات معالجة "), F.substring(t, 1, 10)))
+        .when(m == 4, F.concat(F.lit("αβγ δεδομένα επεξεργασία "), F.substring(t, 1, 10)))
+        .otherwise(F.concat(F.lit("12345 67890 "), F.substring(t, 1, 6)))
+    )
+
+
+def _script_count_sql(x: str, rng: str) -> str:
+    return (
+        f"CAST(length(regexp_replace({x}, '[^{rng}]', '', 'g')) AS BIGINT)"
+    )
+
+
+@register(
+    "script_profile",
+    # Unicode script profiling over a synthesized multilingual corpus:
+    # per-script char counts (literal-character classes — identical in
+    # Java regex and RE2) + deterministic argmax.
+    f"""
+    WITH d AS (SELECT doc_id, {_MULTI_SCRIPT_SQL} AS t FROM documents),
+    c AS (
+      SELECT doc_id,
+             {_script_count_sql('t', 'A-Za-z')} AS latin,
+             {_script_count_sql('t', '0-9')} AS digit,
+             {_script_count_sql('t', '一-鿿぀-ヿ가-힯')} AS cjk,
+             {_script_count_sql('t', 'Ѐ-ӿ')} AS cyrillic,
+             {_script_count_sql('t', '؀-ۿ')} AS arabic,
+             {_script_count_sql('t', 'Ͱ-Ͽ')} AS greek
+      FROM d
+    )
+    SELECT doc_id, latin, digit, cjk, cyrillic, arabic, greek,
+           CASE WHEN greatest(latin, digit, cjk, cyrillic, arabic, greek) = 0
+                THEN 'none'
+                WHEN latin = greatest(latin, digit, cjk, cyrillic, arabic, greek) THEN 'latin'
+                WHEN digit = greatest(latin, digit, cjk, cyrillic, arabic, greek) THEN 'digit'
+                WHEN cjk = greatest(latin, digit, cjk, cyrillic, arabic, greek) THEN 'cjk'
+                WHEN cyrillic = greatest(latin, digit, cjk, cyrillic, arabic, greek) THEN 'cyrillic'
+                WHEN arabic = greatest(latin, digit, cjk, cyrillic, arabic, greek) THEN 'arabic'
+                ELSE 'greek'
+           END AS script
+    FROM c
+    """,
+)
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.text_analysis import (
+        dominant_script,
+        script_counts,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", _multi_script_expr().alias("t"))
+    s = script_counts("t")
+    return d.select(
+        "doc_id",
+        s["latin"].alias("latin"),
+        s["digit"].alias("digit"),
+        s["cjk"].alias("cjk"),
+        s["cyrillic"].alias("cyrillic"),
+        s["arabic"].alias("arabic"),
+        s["greek"].alias("greek"),
+        dominant_script("t").alias("script"),
+    )
+
+
+@register(
+    "skew_report",
+    # Key-skew pre-flight over events.user_id: per-key counts, exact
+    # rank-selected p50/p99, integer-ratio skew, top-5 serialization.
+    """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn,
+             row_number() OVER (ORDER BY c, k) AS ra
+      FROM c
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(c) AS BIGINT) AS total FROM c)
+    SELECT n.n_keys,
+           n.total AS total_rows,
+           (SELECT max(c) FROM c) AS max_count,
+           round(CAST((SELECT max(c) FROM c) AS DOUBLE) * n.n_keys
+                 / n.total, 6) AS skew_ratio,
+           (SELECT c FROM ranked, n
+             WHERE ra = greatest(1, CAST(ceil(n.n_keys * 50 / 100.0) AS BIGINT)))
+             AS p50_count,
+           (SELECT c FROM ranked, n
+             WHERE ra = greatest(1, CAST(ceil(n.n_keys * 99 / 100.0) AS BIGINT)))
+             AS p99_count,
+           (SELECT string_agg(k || ':' || c, '|' ORDER BY rn)
+              FROM ranked WHERE rn <= 5) AS top_keys
+    FROM n
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.rollup import skew_report
+
+    return skew_report(_events(spark, sf_dir), "user_id")
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

@@ -119,3 +119,48 @@ def test_extract_code_blocks_handmade(spark):
     assert rows[(1, 1)]["lang"] == "" and rows[(1, 1)]["code"] == "plain"
     assert rows[(3, 0)]["lang"] == "js" and rows[(3, 0)]["code"] == "dangling()"
     assert not any(d == 2 or d == 4 for d, _ in rows)
+
+
+def test_dominant_script_and_counts(spark):
+    from rag_content_spark.operators.text_analysis import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        (1, "hello world"),
+        (2, "统计数据处理"),
+        (3, "Привет мир"),
+        (4, "   \n\t "),
+        (5, "abc 统计数据处理引擎"),   # cjk outnumbers latin
+        (6, "123 456 789"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            script_counts("text").alias("s"),
+            dominant_script("text").alias("d"),
+        ).collect()
+    }
+    assert got[1]["d"] == "latin" and got[1]["s"]["latin"] == 10
+    assert got[2]["d"] == "cjk" and got[2]["s"]["cjk"] == 6
+    assert got[3]["d"] == "cyrillic"
+    assert got[4]["d"] == "none"
+    assert got[5]["d"] == "cjk"
+    assert got[6]["d"] == "digit"
+
+
+def test_skew_report_handmade(spark):
+    from rag_content_spark.operators.rollup import skew_report
+
+    # key 'a' x 8, 'b' x 1, 'c' x 1 -> n_keys=3, total=10, max=8
+    rows = [("a",)] * 8 + [("b",)] + [("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = skew_report(df, "k", top_n=2).collect()[0]
+    assert r["n_keys"] == 3 and r["total_rows"] == 10 and r["max_count"] == 8
+    assert abs(r["skew_ratio"] - 2.4) < 1e-9     # 8 * 3 / 10
+    assert r["p50_count"] == 1                   # ceil(1.5)=2nd ascending -> 1
+    assert r["p99_count"] == 8                   # ceil(2.97)=3rd ascending -> 8
+    assert r["top_keys"] == "a:8|b:1"
