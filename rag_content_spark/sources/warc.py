@@ -204,3 +204,34 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
             "n_bytes",
         )
     )
+
+
+def read_wet_documents(
+    spark: SparkSession, folder: str, glob: str = "*.wet*"
+) -> DataFrame:
+    """One-call WET ingest: scan ``folder`` keeping only ``conversion``
+    records and shape them as documents."""
+    return wet_to_documents(
+        read_warc_records(spark, folder, glob=glob, types=("conversion",))
+    )
+
+
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """WET path: Common Crawl's ``*.warc.wet`` files are ordinary WARC
+    streams whose ``conversion`` records carry pre-extracted plain text
+    — the cheapest crawl-scale text source (no HTML parsing at all).
+    Shapes them into the ``documents`` schema; the generic record
+    parser above handles the container, so this is a filter + cast.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        records.filter(F.col("warc_type") == "conversion")
+        .select(
+            F.md5(F.col("target_uri")).alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+            F.col("target_uri").alias("source"),
+            "warc_date",
+            "n_bytes",
+        )
+    )

@@ -109,3 +109,24 @@ def test_warc_responses_to_documents(spark, tmp_path):
     # script stripped, tags stripped, whitespace collapsed
     assert row["text"] == "Title Hello world"
     assert row["doc_id"] and row["n_bytes"] > 0
+
+
+def test_wet_to_documents(spark, tmp_path):
+    # WET = WARC whose 'conversion' records carry pre-extracted text
+    from rag_content_spark.sources.warc import read_warc_records, wet_to_documents
+
+    data = (
+        _record("warcinfo", "", b"software: test")
+        + _record("conversion", "http://a.example/page", b"plain text body one")
+        + _record("conversion", "http://b.example/doc", b"second document text")
+        + _record("response", "http://c.example/html", _http_response(b"<p>skip</p>"))
+    )
+    p = tmp_path / "crawl.warc.wet"
+    p.write_bytes(data)
+    from rag_content_spark.sources.warc import read_wet_documents
+
+    docs = read_wet_documents(spark, str(tmp_path))
+    rows = {r["source"]: r for r in docs.collect()}
+    assert set(rows) == {"http://a.example/page", "http://b.example/doc"}
+    assert rows["http://a.example/page"]["text"] == "plain text body one"
+    assert all(len(r["doc_id"]) == 32 for r in rows.values())
