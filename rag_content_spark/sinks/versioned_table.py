@@ -12,6 +12,8 @@ Layout:
       snap-00001.json            {version, parent, mode, key_col, rows}
 
 Modes: ``overwrite`` starts a new chain root; ``append`` adds rows;
+``delete`` writes an equality-delete tombstone (the distinct key list —
+the newest version owning a key wins, and a delete owner removes it);
 ``upsert`` adds rows that SHADOW older rows with the same key
 (merge-on-read: the reader unions live version dirs and keeps the
 max-version row per key — exactly Iceberg equality-delete semantics
@@ -81,10 +83,15 @@ def write_snapshot(
     caller-chosen stable run identity. A bare ``batch_id`` with no
     ``txn_app_id`` keeps the old whole-table scope.
     """
-    if mode not in ("append", "overwrite", "upsert"):
+    if mode not in ("append", "overwrite", "upsert", "delete"):
         raise ValueError(f"unknown mode: {mode}")
-    if mode == "upsert" and not key_col:
-        raise ValueError("upsert requires key_col")
+    if mode in ("upsert", "delete") and not key_col:
+        raise ValueError(f"{mode} requires key_col")
+    if mode == "delete":
+        # a delete snapshot stores ONLY the distinct key list — the
+        # equality-delete tombstone: at read time the newest version
+        # owning a key wins, and a delete owner removes the key
+        df = df.select(key_col).distinct()
     snaps = snapshots(table_dir)
     if batch_id is not None:
         dup = next(
@@ -102,9 +109,9 @@ def write_snapshot(
         prior_key = next(
             (s["key_col"] for s in reversed(snaps) if s.get("key_col")), None
         )
-        if mode == "upsert" and prior_key and prior_key != key_col:
+        if mode in ("upsert", "delete") and prior_key and prior_key != key_col:
             raise ValueError(
-                f"upsert key {key_col!r} != table key {prior_key!r}"
+                f"{mode} key {key_col!r} != table key {prior_key!r}"
             )
     version = (snaps[-1]["version"] + 1) if snaps else 1
     rel_dir = f"data/v{version:05d}"
@@ -156,6 +163,7 @@ def read_snapshot(
         parts.append(
             spark.read.parquet(os.path.join(table_dir, s["data_dir"]))
             .withColumn("_v", F.lit(s["version"]))
+            .withColumn("_del", F.lit(s["mode"] == "delete"))
         )
     df = parts[0]
     for p in parts[1:]:
@@ -173,7 +181,9 @@ def read_snapshot(
         df = df.withColumn("_latest", latest).filter(
             F.col("_v") == F.col("_latest")
         ).drop("_latest")
-    return df.drop("_v")
+    # a key whose newest owner is a delete tombstone is gone (a later
+    # upsert resurrects it by winning the version race)
+    return df.filter(~F.col("_del")).drop("_v", "_del")
 
 
 def compact(spark: SparkSession, table_dir: str) -> int:
@@ -185,3 +195,36 @@ def compact(spark: SparkSession, table_dir: str) -> int:
     )
     current = read_snapshot(spark, table_dir)
     return write_snapshot(current, table_dir, mode="overwrite", key_col=key_col)
+
+
+def vacuum(table_dir: str) -> int:
+    """Retention: physically remove every snapshot STRICTLY BELOW the
+    most recent overwrite root (data dir + manifest). Those versions no
+    longer contribute to any view at or after the root, so the current
+    table is untouched; time travel to the removed versions stops
+    working — run after :func:`compact` to reclaim the superseded
+    history (the Iceberg expire-snapshots / Delta VACUUM shape, with
+    the retention boundary pinned to the compaction root). Returns the
+    number of snapshots removed.
+    """
+    import shutil
+
+    snaps = snapshots(table_dir)
+    if not snaps:
+        return 0
+    root = None
+    for s in reversed(snaps):
+        if s["mode"] == "overwrite":
+            root = s["version"]
+            break
+    if root is None:
+        return 0
+    removed = 0
+    for s in snaps:
+        if s["version"] < root:
+            shutil.rmtree(
+                os.path.join(table_dir, s["data_dir"]), ignore_errors=True
+            )
+            os.remove(_snap_path(table_dir, s["version"]))
+            removed += 1
+    return removed

@@ -216,3 +216,62 @@ def test_batch_id_scoped_to_txn_app(spark, tmp_path):
     )
     assert replay == v1
     assert len(snapshots(t)) == 2
+
+
+def test_delete_tombstones_and_resurrection(spark, tmp_path):
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+        ),
+        t, mode="upsert", key_col="doc_id",
+    )
+    # delete accepts full rows but stores only the distinct key list
+    write_snapshot(
+        spark.createDataFrame([(2, "ignored")], ["doc_id", "text"]),
+        t, mode="delete", key_col="doc_id",
+    )
+    got = {r["doc_id"]: r["text"] for r in read_snapshot(spark, t).collect()}
+    assert got == {1: "a", 3: "c"}
+    # a later upsert resurrects the key
+    write_snapshot(
+        spark.createDataFrame([(2, "back")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    got = {r["doc_id"]: r["text"] for r in read_snapshot(spark, t).collect()}
+    assert got == {1: "a", 2: "back", 3: "c"}
+    # time travel: the view at the delete version still hides key 2
+    got_v2 = {r["doc_id"]: r["text"] for r in read_snapshot(spark, t, 2).collect()}
+    assert got_v2 == {1: "a", 3: "c"}
+
+
+def test_vacuum_after_compact(spark, tmp_path):
+    from rag_content_spark.sinks.versioned_table import (
+        compact,
+        read_snapshot,
+        snapshots,
+        vacuum,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    write_snapshot(
+        spark.createDataFrame([(1, "a2"), (2, "b")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    assert vacuum(t) == 0  # no overwrite root yet -> nothing removable
+    compact(spark, t)
+    removed = vacuum(t)
+    assert removed == 2
+    assert [s["version"] for s in snapshots(t)] == [3]
+    got = {r["doc_id"]: r["text"] for r in read_snapshot(spark, t).collect()}
+    assert got == {1: "a2", 2: "b"}
