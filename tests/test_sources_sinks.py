@@ -425,3 +425,48 @@ def test_export_faiss_real_roundtrip(spark, tmp_path):
     # nearest by inner product is chunk 20 (the [0,1,0] vector)
     assert ids[str(int(pos[0][0]))] == "20"
     assert scores[0][0] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_hf_parquet_dataset_layout(spark, tmp_path):
+    import json
+    import pyarrow.parquet as pq
+
+    from rag_content_spark.sinks.hf_dataset import write_hf_parquet_dataset
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", [0.1 * i, 0.2]) for i in range(50)],
+        "doc_id long, text string, embedding array<double>",
+    )
+    man = {
+        r["shard"]: r
+        for r in write_hf_parquet_dataset(
+            df, str(tmp_path), split="train", key_col="doc_id", n_shards=4
+        ).collect()
+    }
+    files = sorted(os.listdir(tmp_path / "data"))
+    assert files == [f"train-{s:05d}-of-00004.parquet" for s in sorted(man)]
+    # every row lands exactly once; shard files are valid parquet
+    total = sum(pq.read_table(tmp_path / "data" / f).num_rows for f in files)
+    assert total == 50 == sum(r["n_rows"] for r in man.values())
+    back = pq.read_table(tmp_path / "data" / files[0])
+    assert back.column_names == ["doc_id", "text", "embedding"]
+    info = json.loads((tmp_path / "dataset_info.json").read_text())
+    assert info["features"]["text"] == {"dtype": "string", "_type": "Value"}
+    assert info["features"]["embedding"]["_type"] == "Sequence"
+    assert info["splits"]["train"]["num_examples"] == 50
+    # second split merges into the same dataset_info
+    val = spark.createDataFrame(
+        [(99, "v", [1.0])], "doc_id long, text string, embedding array<double>"
+    )
+    write_hf_parquet_dataset(
+        val, str(tmp_path), split="validation", key_col="doc_id", n_shards=1
+    ).collect()
+    info = json.loads((tmp_path / "dataset_info.json").read_text())
+    assert set(info["splits"]) == {"train", "validation"}
+    # determinism: rewriting the train split produces identical bytes
+    h1 = [(f, (tmp_path / "data" / f).read_bytes()) for f in files]
+    write_hf_parquet_dataset(
+        df, str(tmp_path), split="train", key_col="doc_id", n_shards=4
+    ).collect()
+    for f, b in h1:
+        assert (tmp_path / "data" / f).read_bytes() == b
