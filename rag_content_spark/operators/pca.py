@@ -103,6 +103,7 @@ def embedding_covariance_np(
     emb: DataFrame,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Vectorized twin of :func:`embedding_covariance`: per-Arrow-batch
     integer Gram partials (int64 matmul on the same x6 grid), reduced as
@@ -157,6 +158,12 @@ def embedding_covariance_np(
         F.sum("s_i_part").alias("s_diag"),
         F.sum("n_part").alias("n_diag"),
     )
+    if materialize:
+        # the d^2-row table is referenced four times below (pairs, both
+        # broadcast sides, row count) — without the checkpoint each
+        # reference re-runs the corpus Gram pass (plan audit showed 4
+        # scans); with it the corpus is scanned exactly once
+        agg = agg.localCheckpoint(eager=True)
     diag = agg.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("k"),
         F.col("s_diag").alias("s_k"),
