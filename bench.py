@@ -169,6 +169,7 @@ HEADLINE = [
     "code_blocks",            # markdown fence extraction (code corpus)
     "script_profile",         # unicode script char profiling + argmax
     "skew_report",            # shuffle-key skew pre-flight diagnostic
+    "hll_merge",              # sketch mergeability proof (per-batch HLLs)
 ]
 
 

@@ -62,17 +62,36 @@ def hll_registers(
     )
 
 
+def hll_merge(reg_tables: list[DataFrame]) -> DataFrame:
+    """Merge register tables (the HLL mergeability property: max per
+    register) — sketches built per shard/day/partition combine into the
+    union's sketch with one tiny aggregation, no re-scan. This is the
+    100 TB operating mode: sketch each ingest batch, keep the register
+    tables, merge on demand."""
+    merged = reg_tables[0]
+    for t in reg_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("reg").agg(F.max("max_rank").alias("max_rank"))
+
+
 def hll_estimate(
     values: DataFrame, hash_col: str, p: int = 8
 ) -> DataFrame:
     """One-row (m, n_zero, est) cardinality estimate."""
+    return hll_estimate_from_registers(
+        hll_registers(values, hash_col, p), p
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Estimate from a (reg, max_rank) table — the registers are the
+    mergeable state (:func:`hll_merge`), the estimate is one tiny agg."""
     m = 1 << p
     w_bits = 60 - p
     scale = 1 << (w_bits + 1)
     alpha = HLL_ALPHA_NUM / (1.0 + HLL_ALPHA_DEN / m)
     const = alpha * m * m * scale
 
-    regs = hll_registers(values, hash_col, p)
     agg = regs.agg(
         F.count(F.lit(1)).alias("_n_regs"),
         # pyspark's shiftleft wrapper only takes a literal shift; the SQL

@@ -7856,6 +7856,96 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(_events(spark, sf_dir), "user_id")
 
 
+# ========================= mergeable-sketch proof ==========================
+
+
+@register(
+    "hll_merge",
+    # HLL mergeability: sketch each half of the corpus independently,
+    # merge registers (max), estimate — must EQUAL the whole-corpus
+    # sketch's estimate exactly (max is associative/commutative), which
+    # is the 100 TB operating mode: sketch per ingest batch, merge on
+    # demand, never re-scan.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    vals AS (SELECT doc_id, {stable_hash64_sql("CAST(u.s AS VARCHAR)")} AS h
+             FROM sh, unnest(sh.sh) AS u(s)),
+    rank AS (
+      SELECT doc_id, h & 255 AS reg,
+             CASE WHEN (h >> 8) > 0 THEN 53 - length(bin(h >> 8)) ELSE 53 END AS rk
+      FROM vals
+    ),
+    ra AS (SELECT reg, max(rk) AS max_rank FROM rank WHERE doc_id % 2 = 0 GROUP BY reg),
+    rb AS (SELECT reg, max(rk) AS max_rank FROM rank WHERE doc_id % 2 = 1 GROUP BY reg),
+    merged AS (
+      SELECT reg, max(max_rank) AS max_rank
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg
+    ),
+    whole AS (SELECT reg, max(rk) AS max_rank FROM rank GROUP BY reg),
+    em AS (
+      SELECT CAST(256 - count(*) AS BIGINT) AS n_zero,
+             {_hll_const(8)!r} / CAST(CAST(sum(1::BIGINT << (53 - max_rank)) AS BIGINT)
+                 + (256 - count(*)) * (1::BIGINT << 53) AS DOUBLE) AS raw
+      FROM merged
+    ),
+    ew AS (
+      SELECT CAST(256 - count(*) AS BIGINT) AS n_zero,
+             {_hll_const(8)!r} / CAST(CAST(sum(1::BIGINT << (53 - max_rank)) AS BIGINT)
+                 + (256 - count(*)) * (1::BIGINT << 53) AS DOUBLE) AS raw
+      FROM whole
+    )
+    SELECT 256 AS m,
+           round(CASE WHEN em.n_zero > 0 AND em.raw <= 640.0
+                      THEN 256.0 * ln(256.0 / em.n_zero) ELSE em.raw END, 2)
+             AS est_merged,
+           round(CASE WHEN ew.n_zero > 0 AND ew.raw <= 640.0
+                      THEN 256.0 * ln(256.0 / ew.n_zero) ELSE ew.raw END, 2)
+             AS est_whole,
+           (round(CASE WHEN em.n_zero > 0 AND em.raw <= 640.0
+                       THEN 256.0 * ln(256.0 / em.n_zero) ELSE em.raw END, 2)
+            = round(CASE WHEN ew.n_zero > 0 AND ew.raw <= 640.0
+                         THEN 256.0 * ln(256.0 / ew.n_zero) ELSE ew.raw END, 2))
+             AS sketch_lossless
+    FROM em, ew
+    """,
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.dedup import hashed_shingles
+    from rag_content_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    vals = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", F.explode(hashed_shingles("text", n=3)).alias("sh31")
+        )
+        .select(
+            "doc_id", stable_hash64(F.col("sh31").cast("string")).alias("h")
+        )
+        # three register builds below — sketch-per-batch shape, one scan
+        .localCheckpoint(eager=True)
+    )
+    a = hll_registers(vals.filter(F.col("doc_id") % 2 == 0), "h")
+    b = hll_registers(vals.filter(F.col("doc_id") % 2 == 1), "h")
+    em = hll_estimate_from_registers(hll_merge([a, b])).select(
+        F.col("m"), F.col("est").alias("est_merged")
+    )
+    ew = hll_estimate_from_registers(hll_registers(vals, "h")).select(
+        F.col("est").alias("est_whole")
+    )
+    return em.crossJoin(F.broadcast(ew)).select(
+        "m",
+        "est_merged",
+        "est_whole",
+        (F.col("est_merged") == F.col("est_whole")).alias("sketch_lossless"),
+    )
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:
