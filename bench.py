@@ -170,6 +170,7 @@ HEADLINE = [
     "script_profile",         # unicode script char profiling + argmax
     "skew_report",            # shuffle-key skew pre-flight diagnostic
     "hll_merge",              # sketch mergeability proof (per-batch HLLs)
+    "chunk_semantic",         # similarity-boundary semantic chunking
 ]
 
 

@@ -461,3 +461,66 @@ def chunk_with_tokenizer(
         .drop("_tok", "_n_chunks", "_i", "_slice")
     )
     return out
+
+
+def chunk_semantic(
+    docs: DataFrame,
+    threshold6: int = 0,
+    dim: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Semantic chunking: break a document where the embedding cosine
+    between ADJACENT sentences drops below ``threshold6`` (fixed-point
+    1e-6) — the modern RAG splitter that keeps topically-coherent spans
+    together instead of cutting at a token count. Returns
+    (id, segment_index, seg_text, n_sentences).
+
+    Embeddings here are the deterministic mock Column twin (swap the
+    real encoder's pandas UDF on a model path — the boundary algebra is
+    identical); the adjacent-pair comparison is a lag window per
+    document and the segment id is a cumulative boundary sum — one
+    shuffle on the document id, everything else narrow. Fixed-point
+    rounding before the threshold keeps the boundary decision
+    engine-exact (same discipline as MMR/SemDeDup).
+    """
+    from pyspark.sql import Window
+
+    from rag_content_spark.embedding.mock import mock_embedding_expr
+    from rag_content_spark.functions.vector import cosine
+
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(sentence_array(text_col)).alias("si", "sent"),
+    ).withColumn("_e", mock_embedding_expr("sent", dim=dim))
+    w = Window.partitionBy(id_col).orderBy("si")
+    prev = F.lag("_e").over(w)
+    tagged = sents.withColumn(
+        "_cos6",
+        F.round(cosine(F.col("_e"), prev) * F.lit(1_000_000)).cast("bigint"),
+    ).withColumn(
+        "_b",
+        F.when(F.col("_cos6").isNull(), 1)  # first sentence opens seg 0
+        .when(F.col("_cos6") < threshold6, 1)
+        .otherwise(0),
+    )
+    seg = (
+        F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1
+    )
+    return (
+        tagged.withColumn("segment_index", seg.cast("bigint"))
+        .groupBy(id_col, "segment_index")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("si"), F.col("sent")))
+                    ),
+                    lambda s: s["sent"],
+                ),
+                " ",
+            ).alias("seg_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+        )
+    )

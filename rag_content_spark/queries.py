@@ -7946,6 +7946,85 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ========================= semantic chunking ===============================
+
+
+@register(
+    "chunk_semantic",
+    # Semantic chunking: sentence-ify the corpus (6-token sentences so
+    # boundaries exist), embed each sentence with the mock twin, break
+    # where the adjacent cosine (fixed-point 1e-6) goes negative,
+    # segment id = cumulative boundary sum.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    d AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               generate_series(0, CAST(ceil(greatest(len(tk), 1) / 6.0) AS INT) - 1),
+               j -> array_to_string(list_slice(tk, j * 6 + 1, j * 6 + 6), ' ')),
+               '. ') || '.' AS t
+      FROM toks
+    ),
+    sarrs AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split(regexp_replace(t, '([.!?])\\s+', '\\1' || chr(2), 'g'),
+                            chr(2)),
+               x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))),
+               x -> x <> '') AS sarr
+      FROM d
+    ),
+    sents AS (
+      SELECT doc_id, CAST(r.range AS INT) AS si,
+             sarr[CAST(r.range + 1 AS INT)] AS sent
+      FROM sarrs CROSS JOIN range(0, 10000) r WHERE r.range < len(sarr)
+    ),
+    emb AS (SELECT doc_id, si, sent, {_mock_embed_sql('sent')} AS e FROM sents),
+    lagd AS (
+      SELECT doc_id, si, sent, e,
+             lag(e) OVER (PARTITION BY doc_id ORDER BY si) AS pe
+      FROM emb
+    ),
+    bd AS (
+      SELECT doc_id, si, sent,
+             CASE WHEN pe IS NULL THEN 1
+                  WHEN CAST(round({cosine_sql('e', 'pe')} * 1000000) AS BIGINT) < 0
+                  THEN 1 ELSE 0 END AS b
+      FROM lagd
+    ),
+    segd AS (
+      SELECT doc_id, si, sent,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY si
+                          ROWS UNBOUNDED PRECEDING) - 1 AS seg
+      FROM bd
+    )
+    SELECT doc_id, CAST(seg AS BIGINT) AS segment_index,
+           string_agg(sent, ' ' ORDER BY si) AS seg_text,
+           CAST(count(*) AS BIGINT) AS n_sentences
+    FROM segd GROUP BY doc_id, seg
+    """,
+)
+def q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.chunking import chunk_semantic
+
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_sent = F.ceil(F.greatest(F.size(tk), F.lit(1)) / 6.0).cast("int")
+    sentenceified = F.concat(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_sent - 1),
+                lambda j: F.array_join(F.slice(tk, j * 6 + 1, 6), " "),
+            ),
+            ". ",
+        ),
+        F.lit("."),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", sentenceified.alias("text")
+    )
+    return chunk_semantic(d, threshold6=0, dim=8)
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

@@ -257,3 +257,26 @@ def test_markdown_split_fence_aware(spark):
     assert sections[0].startswith("# Real Heading")
     assert "# not a heading" in sections[0]  # stayed inside section 1
     assert sections[1].startswith("## Second Section")
+
+
+def test_chunk_semantic_boundaries_and_coverage(spark):
+    from rag_content_spark.operators.chunking import chunk_semantic
+
+    text = (
+        "alpha beta gamma. alpha beta delta. "
+        "xyz qrs tuv. completely different words here."
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    segs = chunk_semantic(df, threshold6=0).orderBy("segment_index").collect()
+    # segments partition the sentences: indexes contiguous from 0 and
+    # every sentence appears exactly once in order
+    assert [r["segment_index"] for r in segs] == list(range(len(segs)))
+    joined = " ".join(r["seg_text"] for r in segs)
+    assert joined.split() == text.split()
+    assert sum(r["n_sentences"] for r in segs) == 4
+    # a permissive threshold merges everything into one segment
+    one = chunk_semantic(df, threshold6=-2_000_000).collect()
+    assert len(one) == 1 and one[0]["n_sentences"] == 4
+    # a demanding threshold splits every adjacent pair
+    allsplit = chunk_semantic(df, threshold6=1_000_001).collect()
+    assert len(allsplit) == 4
