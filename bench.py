@@ -171,6 +171,7 @@ HEADLINE = [
     "skew_report",            # shuffle-key skew pre-flight diagnostic
     "hll_merge",              # sketch mergeability proof (per-batch HLLs)
     "chunk_semantic",         # similarity-boundary semantic chunking
+    "streaming_chunk_parity", # streaming docs->chunks twin (upsert table)
 ]
 
 

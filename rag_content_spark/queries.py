@@ -8025,6 +8025,59 @@ def q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_semantic(d, threshold6=0, dim=8)
 
 
+# ==================== streaming chunk-pipeline twin ========================
+
+
+@register(
+    "streaming_chunk_parity",
+    # Streaming twin of the MAIN docs->chunks pipeline stage: an
+    # availableNow file stream chunks documents as they arrive (the
+    # explode is a stateless narrow op, streaming-legal) and lands via
+    # foreachBatch versioned-table upserts keyed by chunk id. The
+    # materialized table must hash-equal the batch chunker the oracle
+    # computes.
+    "SELECT doc_id || '#' || chunk_index AS chunk_id, doc_id, chunk_index,"
+    " chunk_text, chunk_tokens FROM ("
+    + _CHUNK_SQL.format(tokens=_TOKENS_SQL, size=16, overlap=0, stride=16)
+    + ")",
+)
+def q_streaming_chunk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rag_content_spark.operators.chunking import chunk_fixed
+    from rag_content_spark.sinks.versioned_table import read_snapshot
+    from rag_content_spark.streaming.ingest import start_table_stream
+
+    schema = _docs(spark, sf_dir).schema
+    table = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(table):
+        reader = spark.readStream.schema(schema)
+        src_path = table
+    else:
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "documents.parquet"
+        )
+        src_path = sf_dir
+    docs = reader.parquet(src_path).select("doc_id", "text")
+    chunks = chunk_fixed(docs, size=16, overlap=0).select(
+        F.concat_ws("#", "doc_id", "chunk_index").alias("chunk_id"),
+        "doc_id",
+        "chunk_index",
+        "chunk_text",
+        "chunk_tokens",
+    )
+    base = tempfile.mkdtemp(prefix="sgraft_stream_chunks_")
+    q = start_table_stream(
+        chunks,
+        os.path.join(base, "tbl"),
+        os.path.join(base, "ckpt"),
+        key_col="chunk_id",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return read_snapshot(spark, os.path.join(base, "tbl"))
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:
