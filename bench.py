@@ -172,6 +172,7 @@ HEADLINE = [
     "hll_merge",              # sketch mergeability proof (per-batch HLLs)
     "chunk_semantic",         # similarity-boundary semantic chunking
     "streaming_chunk_parity", # streaming docs->chunks twin (upsert table)
+    "cms_merge",              # CMS cell-wise-sum mergeability proof
 ]
 
 

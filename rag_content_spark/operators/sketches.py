@@ -236,3 +236,14 @@ def bloom_member(
         .groupBy(col)
         .agg((F.count("_set") == k).alias("bloom_pass"))
     )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge count-min sketches (cell-wise sum — exact: counts are
+    linear), the same per-batch operating mode as :func:`hll_merge`:
+    sketch each shard/day, keep the depth*width tables, combine on
+    demand with one tiny aggregation."""
+    merged = sketches[0]
+    for t in sketches[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))

@@ -8078,6 +8078,63 @@ def q_streaming_chunk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, os.path.join(base, "tbl"))
 
 
+# cms_merge: cell-wise-sum mergeability proof, sibling of hll_merge —
+# the merged half-sketches must be CELL-IDENTICAL to the whole-corpus
+# sketch (counts are linear), so the oracle compares tables, not just
+# estimates.
+@register(
+    "cms_merge",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+    ),
+    cells AS (
+      SELECT doc_id, r.range AS r,
+             CASE r.range
+               WHEN 0 THEN {stable_hash64_sql('token', salt='cms0')} % 256
+               WHEN 1 THEN {stable_hash64_sql('token', salt='cms1')} % 256
+               WHEN 2 THEN {stable_hash64_sql('token', salt='cms2')} % 256
+               ELSE {stable_hash64_sql('token', salt='cms3')} % 256
+             END AS c
+      FROM toks CROSS JOIN range(0, 4) r
+    ),
+    halves AS (
+      SELECT CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS cnt_a,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS cnt_b,
+             CAST(count(*) AS BIGINT) AS cnt_whole
+      FROM cells GROUP BY r, c
+    )
+    SELECT r, c, cnt_a + cnt_b AS cnt_merged, cnt_whole,
+           (cnt_a + cnt_b = cnt_whole) AS lossless
+    FROM halves
+    """,
+)
+def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sketches import cms_merge, cms_sketch
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .localCheckpoint(eager=True)  # three sketch builds, one scan
+    )
+    a = cms_sketch(toks.filter(F.col("doc_id") % 2 == 0))
+    b = cms_sketch(toks.filter(F.col("doc_id") % 2 == 1))
+    merged = cms_merge([a, b]).select(
+        "r", "c", F.col("cnt").alias("cnt_merged")
+    )
+    whole = cms_sketch(toks).select("r", "c", F.col("cnt").alias("cnt_whole"))
+    return merged.join(whole, ["r", "c"]).select(
+        "r",
+        "c",
+        "cnt_merged",
+        "cnt_whole",
+        (F.col("cnt_merged") == F.col("cnt_whole")).alias("lossless"),
+    )
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:
