@@ -264,11 +264,18 @@ def main(argv: list[str] | None = None) -> int:
     c.set_defaults(func=cmd_curate)
 
     tb = sub.add_parser("table", help="versioned-table snapshot/log/read/compact")
-    tb.add_argument("table_cmd", choices=("snapshot", "log", "read", "compact"))
+    tb.add_argument(
+        "table_cmd",
+        choices=("snapshot", "log", "read", "compact", "vacuum"),
+    )
     tb.add_argument("-t", "--table", required=True, help="table directory")
     tb.add_argument("-i", "--input", help="parquet to snapshot (snapshot cmd)")
     tb.add_argument("-o", "--output", help="write the view here (read cmd)")
-    tb.add_argument("--mode", choices=("append", "overwrite", "upsert"), default="append")
+    tb.add_argument(
+        "--mode",
+        choices=("append", "overwrite", "upsert", "delete"),
+        default="append",
+    )
     tb.add_argument("--key", default=None, help="upsert key column")
     tb.add_argument("--version", type=int, default=None, help="time-travel version (read cmd)")
     tb.add_argument("--limit", type=int, default=20, help="rows to print (read cmd)")
@@ -302,6 +309,23 @@ def main(argv: list[str] | None = None) -> int:
     ab.add_argument("--k", type=int, default=16, help="PQ centroids per subspace")
     ab.set_defaults(func=cmd_ann_build)
 
+    ex = sub.add_parser(
+        "export",
+        help="export a parquet table as an HF parquet dataset or WebDataset tars",
+    )
+    ex.add_argument("-i", "--input", required=True, help="input parquet")
+    ex.add_argument("-o", "--output", required=True, help="output directory")
+    ex.add_argument("--format", choices=("hf", "webdataset"), default="hf")
+    ex.add_argument("--split", default="train", help="HF split name")
+    ex.add_argument("--key", default=None, help="shard/sample key column (default: first)")
+    ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument(
+        "--payload",
+        default=None,
+        help="webdataset ext=column pairs, comma-separated (e.g. txt=text)",
+    )
+    ex.set_defaults(func=cmd_export)
+
     aq = sub.add_parser("ann-query", help="query a built ANN index")
     aq.add_argument("-d", "--index-dir", required=True)
     aq.add_argument("-v", "--vector", default=None, help="comma-separated query floats")
@@ -313,6 +337,36 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
     return args.func(args)
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export curated parquet to a training-stack handoff format."""
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-export")
+    ensure_reader_confs(spark)
+    df = spark.read.parquet(args.input)
+    key = args.key or df.columns[0]
+    if args.format == "hf":
+        from rag_content_spark.sinks.hf_dataset import write_hf_parquet_dataset
+
+        man = write_hf_parquet_dataset(
+            df, args.output, split=args.split, key_col=key,
+            n_shards=args.shards,
+        ).collect()
+    else:
+        from rag_content_spark.sinks.webdataset import write_webdataset_shards
+
+        payload = dict(
+            pair.split("=", 1) for pair in (args.payload or "txt=text").split(",")
+        )
+        man = write_webdataset_shards(
+            df, args.output, key_col=key, payload_cols=payload,
+            n_shards=args.shards,
+        ).collect()
+    for r in man:
+        print(json.dumps(r.asDict()))
+    return 0
 
 
 def cmd_ann_build(args: argparse.Namespace) -> int:
@@ -495,6 +549,8 @@ def cmd_table(args: argparse.Namespace) -> int:
         snapshots,
         write_snapshot,
     )
+    # delete mode rides the normal snapshot path: --mode delete --key k
+    # tombstones every key present in --input
 
     spark = get_spark("rag-spark-table")
     ensure_reader_confs(spark)
@@ -519,6 +575,12 @@ def cmd_table(args: argparse.Namespace) -> int:
     if args.table_cmd == "compact":
         v = compact(spark, args.table)
         print(json.dumps({"version": v, "mode": "overwrite"}))
+        return 0
+    if args.table_cmd == "vacuum":
+        from rag_content_spark.sinks.versioned_table import vacuum
+
+        removed = vacuum(args.table)
+        print(json.dumps({"removed": removed}))
         return 0
     raise SystemExit(f"unknown table command {args.table_cmd}")
 

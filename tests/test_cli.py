@@ -273,3 +273,44 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     capsys.readouterr()
     assert main(["table", "compact", "-t", t]) == 0
     assert json.loads(capsys.readouterr().out.strip())["version"] == 3
+
+
+def test_cli_export_hf_and_table_delete_vacuum(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], ["doc_id", "text"]
+    ).write.parquet(src)
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "rag_content_spark.cli", *args],
+            capture_output=True, text=True, timeout=240,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    out = run(
+        "export", "-i", src, "-o", str(tmp_path / "hf"),
+        "--format", "hf", "--shards", "2", "--key", "doc_id",
+    )
+    rows = [_json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    assert sum(r["n_rows"] for r in rows) == 20
+    assert (tmp_path / "hf" / "dataset_info.json").exists()
+
+    t = str(tmp_path / "tbl")
+    run("table", "snapshot", "-t", t, "-i", src, "--mode", "upsert", "--key", "doc_id")
+    # delete doc_ids 0..4 via a keys parquet
+    keys = str(tmp_path / "del.parquet")
+    spark.createDataFrame([(i,) for i in range(5)], ["doc_id"]).write.parquet(keys)
+    run("table", "snapshot", "-t", t, "-i", keys, "--mode", "delete", "--key", "doc_id")
+    out = run("table", "read", "-t", t, "--limit", "100")
+    ids = {_json.loads(l)["doc_id"] for l in out.strip().splitlines() if l.startswith("{")}
+    assert ids == set(range(5, 20))
+    run("table", "compact", "-t", t)
+    out = run("table", "vacuum", "-t", t)
+    assert _json.loads(out.strip().splitlines()[-1])["removed"] == 2
