@@ -238,3 +238,97 @@ def test_bpe_encode_preserves_content(word, merge_pairs):
     assert "".join(out) == word + "</w>"
     assert 1 <= len(out) <= len(word)
     assert out == bpe_encode_word(word, ranks)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["user", "assistant", "system", None]),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=6), min_size=8, max_size=8),
+)
+def test_validate_dialogs_matches_python_model(spark, roles, bodies):
+    """validate_dialogs agrees with a straightforward Python re-model on
+    random role sequences (including unmarked lines and empty turns)."""
+    from rag_content_spark.operators.sft import parse_chat_turns, validate_dialogs
+
+    lines = []
+    for i, role in enumerate(roles):
+        body = bodies[i % len(bodies)].strip()
+        if role is None:
+            lines.append(body or "freeform")
+        else:
+            lines.append(f"{role}: {body}")
+    text = "\n".join(lines)
+    got = validate_dialogs(
+        parse_chat_turns(
+            spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        )
+    ).collect()[0]
+
+    # python model over the same non-empty lines
+    parsed = []
+    for ln in [l for l in text.split("\n") if l != ""]:
+        m = re.match(r"^(\w+):", ln)
+        if m and m.group(1).lower() in ("system", "user", "assistant"):
+            parsed.append((m.group(1).lower(), ln[len(m.group(1)) + 1 :].lstrip(" ")))
+        else:
+            parsed.append((None, ln))
+
+    def model():
+        if any(r is None for r, _ in parsed):
+            return "unknown_role"
+        if any(r == "system" and i > 0 for i, (r, _) in enumerate(parsed)):
+            return "unknown_role"
+        if any(c.strip() == "" for _, c in parsed):
+            return "empty_turn"
+        conv = [(i, r) for i, (r, _) in enumerate(parsed) if r != "system"]
+        if len(conv) < 2:
+            return "too_short"
+        if conv[0][1] != "user":
+            return "bad_start"
+        base = conv[0][0]
+        for i, r in conv:
+            want = "user" if (i - base) % 2 == 0 else "assistant"
+            if r != want:
+                return "bad_alternation"
+        if conv[-1][1] != "assistant":
+            return "bad_end"
+        return None
+
+    expected = model()
+    assert got["first_violation"] == expected, (text, got.asDict())
+    assert got["valid"] == (expected is None)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.text(alphabet="xyz", min_size=1, max_size=4), min_size=8, max_size=60),
+    st.integers(min_value=0, max_value=100),
+)
+def test_fim_reassembly_property(spark, tokens_list, pct):
+    """Whenever FIM applies, PSM parts reassemble the exact token
+    stream and the three spans are nonempty."""
+    from rag_content_spark.operators.sft import (
+        FIM_MIDDLE,
+        FIM_PREFIX,
+        FIM_SUFFIX,
+        fim_transform,
+    )
+
+    text = " ".join(tokens_list)
+    rows = fim_transform(
+        spark.createDataFrame([(7, text)], ["doc_id", "text"]), fim_pct=pct
+    ).collect()
+    r = rows[0]
+    if not r["fim_applied"]:
+        assert r["fim_text"] == text
+        return
+    body = r["fim_text"]
+    p = body[len(FIM_PREFIX): body.index(FIM_SUFFIX)]
+    s = body[body.index(FIM_SUFFIX) + len(FIM_SUFFIX): body.index(FIM_MIDDLE)]
+    m = body[body.index(FIM_MIDDLE) + len(FIM_MIDDLE):]
+    assert (p + " " + m + " " + s).split() == text.split()
+    assert r["n_prefix"] >= 1 and r["n_middle"] >= 1 and r["n_suffix"] >= 1
