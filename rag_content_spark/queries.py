@@ -8135,6 +8135,39 @@ def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic per-group inspection sample: N rows per group, chosen
+# by hash order (stable across runs/engines) — the "show me 3 docs per
+# language" triage query every curation review loop runs.
+@register(
+    "group_sample",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="gs")},
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        stable_hash64(F.col("doc_id").cast("string"), salt="gs"), "doc_id"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:
