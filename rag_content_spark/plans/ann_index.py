@@ -175,3 +175,54 @@ def query_ann_index(
         .limit(topk)
     )
     return exact
+
+
+def add_to_ann_index(
+    new_emb: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> dict:
+    """Incremental add — the FAISS ``index.add()`` shape: the trained
+    model (centroids + PQ codebook) is FROZEN; new vectors are assigned
+    to their existing cells, PQ-encoded with the existing codebook, and
+    APPENDED to the partitioned index (new parquet files inside the
+    matching ``cell=`` directories — readers and the partition-pruned
+    query path pick them up with no rebuild and no rewrite of existing
+    postings). Returns the updated meta.
+
+    Quantization drift is the documented trade (same as FAISS): adds
+    do not move centroids, so after heavy growth rebuild with
+    :func:`build_ann_index`. Id uniqueness across adds is the caller's
+    contract (use ``incremental_dedup``/``index_upsert`` upstream when
+    re-adds are possible).
+    """
+    from rag_content_spark.functions.vector import pq_encode_np
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
+
+    meta, codebook = load_ann_meta(out_dir)
+    spark = new_emb.sparkSession
+    centroids = [
+        (r["centroid_id"], list(r["centroid_vec"]))
+        for r in spark.read.parquet(os.path.join(out_dir, "centroids.parquet"))
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    emb = new_emb.select(id_col, embedding_col)
+    n_new = emb.count()
+    assigned = assign_ivf_cells_np(
+        emb, centroids, embedding_col=embedding_col, id_col=id_col
+    )
+    encoded = pq_encode_np(assigned, codebook, embedding_col=embedding_col)
+    (
+        encoded.select(
+            id_col, embedding_col, F.col("centroid_id").alias("cell"), "codes"
+        )
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_dir, "index"))
+    )
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

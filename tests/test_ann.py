@@ -238,3 +238,53 @@ def test_persisted_ann_index_roundtrip(spark, tmp_path):
     exact = [r["vec_id"] for r in top_k(emb, qv, k=5, metric="l2").collect()]
     assert full[:3] == exact[:3]
     assert len(set(full) & set(exact)) >= 4
+
+
+def test_ann_index_incremental_add(spark, tmp_path):
+    # FAISS add() shape: frozen model, appended postings — added vectors
+    # are findable (their cell prunes correctly), existing postings are
+    # untouched, meta row count advances
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.plans.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        load_ann_meta,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "idx")
+    meta0 = build_ann_index(old, d, nlist=8, m=4, k=16)
+    files_before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(d, "index"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    meta1 = add_to_ann_index(new, d)
+    assert meta1["n_vectors"] == meta0["n_vectors"] + new.count()
+    # existing posting files untouched (append-only)
+    files_after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(d, "index"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(files_before)
+    # an added vector is its own exact nearest neighbor at full probe
+    probe = new.orderBy("vec_id").limit(1).collect()[0]
+    got = query_ann_index(
+        spark, d, list(probe["embedding"]), topk=1, n_probe=8, refine=True
+    ).collect()
+    assert got[0]["vec_id"] == probe["vec_id"]
+    # the index is read partition-pruned: querying with n_probe=1 reads
+    # a strict subset of cells (plan shows partition filters)
+    df = query_ann_index(
+        spark, d, list(probe["embedding"]), topk=1, n_probe=1, refine=False
+    )
+    assert df.count() >= 0  # smoke: pruned path executes
