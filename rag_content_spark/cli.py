@@ -326,6 +326,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.set_defaults(func=cmd_export)
 
+    aa = sub.add_parser(
+        "ann-add", help="append new vectors to a built ANN index (frozen model)"
+    )
+    aa.add_argument("-i", "--input", required=True, help="embeddings parquet to add")
+    aa.add_argument("-d", "--index-dir", required=True)
+    aa.set_defaults(func=cmd_ann_add)
+
     aq = sub.add_parser("ann-query", help="query a built ANN index")
     aq.add_argument("-d", "--index-dir", required=True)
     aq.add_argument("-v", "--vector", default=None, help="comma-separated query floats")
@@ -366,6 +373,17 @@ def cmd_export(args: argparse.Namespace) -> int:
         ).collect()
     for r in man:
         print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_ann_add(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.ann_index import add_to_ann_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-ann-add")
+    ensure_reader_confs(spark)
+    meta = add_to_ann_index(spark.read.parquet(args.input), args.index_dir)
+    print(json.dumps(meta))
     return 0
 
 
