@@ -173,6 +173,8 @@ HEADLINE = [
     "chunk_semantic",         # similarity-boundary semantic chunking
     "streaming_chunk_parity", # streaming docs->chunks twin (upsert table)
     "cms_merge",              # CMS cell-wise-sum mergeability proof
+    "group_sample",           # deterministic per-group inspection sample
+    "text_index_search",      # persisted inverted index, pruned lookup
 ]
 
 

@@ -150,15 +150,35 @@ def bm25_scores(
     (:func:`corpus_stats`) — exact aggregates, engine-reproducible, and
     no mid-plan driver round-trip.
     """
-    from pyspark.sql import Window
-
     if stats is None:
         stats = corpus_stats(docs, id_col, text_col)
     lengths = docs.select(
         F.col(id_col), F.size(tokens(text_col)).alias("dl")
     )
-
     post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
+    return bm25_from_postings(
+        post, lengths, stats, id_col=id_col, k1=k1, b=b, round_to=round_to
+    )
+
+
+def bm25_from_postings(
+    post: DataFrame,
+    lengths: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 scoring from a prepared (id, token, tf) postings table + a
+    (id, dl) lengths table + a broadcast one-row (n_docs, avgdl) stats
+    table — the shape both the on-the-fly scorer above and the
+    PERSISTED index (plans/text_index.py) share, so scores are
+    bit-identical regardless of where the postings came from. df per
+    term is a window over the postings themselves (a term's postings
+    are never split by the index's bucket pruning)."""
+    from pyspark.sql import Window
+
     df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
     n_docs = F.col("n_docs").cast("double")
     idf = F.log(

@@ -8168,6 +8168,47 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# persisted inverted-index twin of bm25_search: build the token-bucket
+# partitioned postings index, query it partition-pruned — scores must
+# hash-match the on-the-fly scorer's oracle (shared bm25_from_postings).
+@register(
+    "text_index_search",
+    f"""
+    WITH lens AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+    post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      WHERE u.token IN {_KW_TERMS_SQL}
+      GROUP BY doc_id, u.token
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             ln(1.0 + (CAST(s.n AS DOUBLE) - count(*) OVER (PARTITION BY p.token) + 0.5)
+                      / (count(*) OVER (PARTITION BY p.token) + 0.5))
+             * (CAST(p.tf AS DOUBLE) * (1.2 + 1))
+               / (CAST(p.tf AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75 * l.dl / s.avgdl))
+               AS term_score
+      FROM post p JOIN lens l USING (doc_id), stats s
+    )
+    SELECT doc_id, round(sum(term_score), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rag_content_spark.plans.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="sgraft_text_index_")
+    build_text_index(_docs(spark, sf_dir), d, n_buckets=32)
+    return query_text_index(spark, d, _KW_TERMS)
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

@@ -356,3 +356,44 @@ def test_mine_bitext_string_ids_all_paths(spark):
         src, tgt, centroids, k=4, nprobe=len(centroids), margin_threshold=1.05
     ).collect()))
     assert ivf == exact
+
+
+def test_text_index_pruned_read_and_score_parity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import bm25_scores
+    from rag_content_spark.plans.text_index import (
+        _bucket_of,
+        build_text_index,
+        query_text_index,
+    )
+    from rag_content_spark.functions.hashing import stable_hash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "tidx")
+    meta = build_text_index(docs, d, n_buckets=32)
+    terms = ["spark", "join", "merge"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    ref = {
+        r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()
+    }
+    assert got == ref and len(got) > 0
+    # the driver-side bucket twin matches the executor hash expression
+    cols = spark.createDataFrame([(t,) for t in terms], ["token"]).select(
+        "token",
+        (stable_hash64(F.col("token"), salt="ti") % 32).cast("int").alias("b"),
+    ).collect()
+    for r in cols:
+        assert _bucket_of(r["token"], 32) == r["b"]
+    # partition pruning: the postings scan carries the bucket filter
+    plan = query_text_index(spark, d, terms)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "bucket" in plan and ("PartitionFilters" in plan or "partitionFilters" in plan)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), m.group(0) if m else plan[:800]
