@@ -326,6 +326,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.set_defaults(func=cmd_export)
 
+    txb = sub.add_parser(
+        "text-build",
+        help="build the bucket-partitioned inverted text index",
+    )
+    txb.add_argument("-i", "--input", required=True, help="documents parquet (doc_id, text)")
+    txb.add_argument("-o", "--output", required=True, help="index directory")
+    txb.add_argument("--buckets", type=int, default=32)
+    txb.set_defaults(func=cmd_text_build)
+
+    txa = sub.add_parser(
+        "text-add", help="append new documents to a built text index"
+    )
+    txa.add_argument("-i", "--input", required=True)
+    txa.add_argument("-d", "--index-dir", required=True)
+    txa.set_defaults(func=cmd_text_add)
+
+    txq = sub.add_parser(
+        "text-query", help="BM25 query a built text index (pruned read)"
+    )
+    txq.add_argument("-d", "--index-dir", required=True)
+    txq.add_argument("-q", "--terms", required=True, help="comma-separated terms")
+    txq.add_argument("-k", "--top-k", type=int, default=10)
+    txq.set_defaults(func=cmd_text_query)
+
     aa = sub.add_parser(
         "ann-add", help="append new vectors to a built ANN index (frozen model)"
     )
@@ -373,6 +397,48 @@ def cmd_export(args: argparse.Namespace) -> int:
         ).collect()
     for r in man:
         print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_text_build(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.text_index import build_text_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-text-build")
+    ensure_reader_confs(spark)
+    meta = build_text_index(
+        spark.read.parquet(args.input), args.output, n_buckets=args.buckets
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_text_add(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.text_index import add_to_text_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-text-add")
+    ensure_reader_confs(spark)
+    meta = add_to_text_index(spark.read.parquet(args.input), args.index_dir)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_text_query(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.plans.text_index import query_text_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-text-query")
+    ensure_reader_confs(spark)
+    terms = [t for t in args.terms.split(",") if t]
+    df = query_text_index(spark, args.index_dir, terms)
+    for row in (
+        df.orderBy(F.desc("bm25"), df.columns[0]).limit(args.top_k)
+        .toJSON().collect()
+    ):
+        print(row)
     return 0
 
 

@@ -113,3 +113,44 @@ def query_text_index(
     return bm25_from_postings(
         post, lengths, stats, id_col=meta["id_col"], k1=k1, b=b
     )
+
+
+def add_to_text_index(
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+) -> dict:
+    """Incremental add (sibling of ann_index.add_to_ann_index): new
+    documents' postings append inside their token buckets, lengths
+    append, and the exact-integer corpus stats advance — per-term df is
+    a window over the postings at query time, so appends need no df
+    rewrite. Id uniqueness across adds is the caller's contract."""
+    from rag_content_spark.operators.search import postings
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    post = postings(docs, id_col, text_col).withColumn(
+        "bucket",
+        (stable_hash64(F.col("token"), salt=_SALT) % meta["n_buckets"]).cast(
+            "int"
+        ),
+    )
+    (
+        post.repartition(meta["n_buckets"], "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+    lengths = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("dl")
+    )
+    lengths.write.mode("append").parquet(os.path.join(out_dir, "lengths"))
+    row = lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    meta["n_docs"] = int(meta["n_docs"]) + int(row["n"])
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(row["s"])
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta

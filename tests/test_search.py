@@ -397,3 +397,29 @@ def test_text_index_pruned_read_and_score_parity(spark, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), m.group(0) if m else plan[:800]
+
+
+def test_text_index_incremental_add_matches_full_build(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import bm25_scores
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "tidx")
+    build_text_index(half_a, d, n_buckets=16)
+    meta = add_to_text_index(half_b, d)
+    assert meta["n_docs"] == docs.count()
+    terms = ["spark", "join", "merge"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    ref = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
+    assert got == ref
