@@ -8,8 +8,12 @@ latest-wins at read time.
 Layout:
 
     table/
-      data/v00001/...parquet     one immutable directory per version
-      snap-00001.json            {version, parent, mode, key_col, rows}
+      data/s-<uuid>/...parquet   one immutable directory per snapshot
+                                 (unique staging name; the manifest's
+                                 data_dir field binds it to a version)
+      snap-00001.json            {version, parent, mode, key_col, rows,
+                                 data_dir, ...} — hard-link-claimed
+                                 atomically (optimistic concurrency)
 
 Modes: ``overwrite`` starts a new chain root; ``append`` adds rows;
 ``delete`` writes an equality-delete tombstone (the distinct key list —
@@ -113,22 +117,60 @@ def write_snapshot(
             raise ValueError(
                 f"{mode} key {key_col!r} != table key {prior_key!r}"
             )
-    version = (snaps[-1]["version"] + 1) if snaps else 1
-    rel_dir = f"data/v{version:05d}"
+    # Optimistic concurrency (no lock service, plain POSIX): data lands
+    # in a UNIQUE staging directory first (concurrent writers can never
+    # collide on it; manifests record data_dir per version, so staging
+    # paths are first-class), then the version number is claimed by
+    # atomically hard-linking the fully-written manifest to
+    # snap-NNNNN.json — link(2) fails with EEXIST if another writer won
+    # that version, and the loser re-lists the log and re-claims the
+    # next tip. Spark's own errorifexists is a pre-check, not a commit
+    # token: concurrent jobs all pass it before any writes, which is
+    # exactly the lost-update this protocol closes (pinned by the
+    # threaded test).
+    import uuid
+
+    rel_dir = f"data/s-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, rel_dir))
-    manifest = {
-        "version": version,
-        "parent": snaps[-1]["version"] if snaps else None,
-        "mode": mode,
-        "key_col": key_col,
-        "data_dir": rel_dir,
-        "rows": df.count(),
-        "batch_id": batch_id,
-        "txn_app_id": txn_app_id,
-    }
-    with open(_snap_path(table_dir, version), "w") as f:
-        json.dump(manifest, f, indent=2)
-    return version
+    rows = df.count()
+    for _attempt in range(50):
+        version = (snaps[-1]["version"] + 1) if snaps else 1
+        manifest = {
+            "version": version,
+            "parent": snaps[-1]["version"] if snaps else None,
+            "mode": mode,
+            "key_col": key_col,
+            "data_dir": rel_dir,
+            "rows": rows,
+            "batch_id": batch_id,
+            "txn_app_id": txn_app_id,
+        }
+        tmp = os.path.join(table_dir, f".commit-{uuid.uuid4().hex[:12]}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        try:
+            os.link(tmp, _snap_path(table_dir, version))
+            os.remove(tmp)
+            return version
+        except FileExistsError:
+            os.remove(tmp)
+            snaps = snapshots(table_dir)
+            # the winner may have been a replay of OUR (app, batch) pair
+            if batch_id is not None:
+                dup = next(
+                    (
+                        s
+                        for s in snaps
+                        if s.get("batch_id") == batch_id
+                        and s.get("txn_app_id") == txn_app_id
+                    ),
+                    None,
+                )
+                if dup is not None:
+                    return dup["version"]
+    raise RuntimeError(
+        f"lost the commit race 50 times in {table_dir}"
+    )
 
 
 def _live_chain(snaps: list[dict], version: int | None) -> list[dict]:

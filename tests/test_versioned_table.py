@@ -275,3 +275,45 @@ def test_vacuum_after_compact(spark, tmp_path):
     assert [s["version"] for s in snapshots(t)] == [3]
     got = {r["doc_id"]: r["text"] for r in read_snapshot(spark, t).collect()}
     assert got == {1: "a2", 2: "b"}
+
+
+def test_concurrent_writers_optimistic_commit(spark, tmp_path):
+    # two threads race append snapshots: both must commit (distinct
+    # versions), no lost update — the data-dir errorifexists write is
+    # the commit token and the loser retries against the new tip
+    import threading
+
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        snapshots,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(0, "seed")], ["doc_id", "text"]),
+        t, mode="upsert", key_col="doc_id",
+    )
+    results, errors = [], []
+
+    def writer(tag):
+        try:
+            df = spark.createDataFrame(
+                [(tag, f"from-{tag}")], ["doc_id", "text"]
+            )
+            results.append(
+                write_snapshot(df, t, mode="upsert", key_col="doc_id")
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2, 3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert sorted(results) == [2, 3, 4]
+    assert [s["version"] for s in snapshots(t)] == [1, 2, 3, 4]
+    got = {r["doc_id"]: r["text"] for r in read_snapshot(spark, t).collect()}
+    assert got == {0: "seed", 1: "from-1", 2: "from-2", 3: "from-3"}
