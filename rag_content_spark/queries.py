@@ -8209,6 +8209,314 @@ def q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_text_index(spark, d, _KW_TERMS)
 
 
+# --- the five remaining TPC-H decorrelation shapes (Q2/Q9/Q11/Q16/Q20) ---
+# The synthetic schema has no partsupp table; the part-supplier relation
+# is emulated from lineitem's distinct (l_partkey, l_suppkey) pairs with
+# per-pair DECIMAL aggregates (min price = supply cost, summed quantity =
+# stock). Each query keeps its TPC-H decorrelation shape — that is what's
+# under test, not the retail semantics.
+
+
+@register(
+    "min_cost_supplier",
+    # TPC-H Q2 shape: correlated scalar MIN subquery — for each part,
+    # the European supplier(s) matching the region-wide minimum supply
+    # cost. Decorrelated Spark-side as groupBy-min + equi-join back
+    # (the classic rewrite Catalyst applies to the subquery form).
+    """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(CAST(l_extendedprice AS DECIMAL(18,4))) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           CAST(p.p_partkey AS BIGINT) AS partkey,
+           CAST(ps.supplycost AS DOUBLE) AS supplycost
+    FROM part p JOIN ps ON ps.pk = p.p_partkey
+    JOIN eur e ON e.s_suppkey = ps.sk
+    WHERE p.p_size <= 10 AND p.p_type = 'SMALL'
+      AND ps.supplycost = (SELECT min(ps2.supplycost)
+                           FROM ps ps2 JOIN eur e2 ON e2.s_suppkey = ps2.sk
+                           WHERE ps2.pk = p.p_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, partkey LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "supplycost"
+        )
+    )
+    eur = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # supplier dim is small: broadcast it INTO the pair agg once, reuse
+    # the joined relation for both the min and the match side
+    eur_ps = ps.join(F.broadcast(eur), ps["sk"] == eur["s_suppkey"])
+    min_ps = eur_ps.groupBy(F.col("pk").alias("mpk")).agg(
+        F.min("supplycost").alias("mincost")
+    )
+    pf = p.filter((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+    return (
+        eur_ps.join(
+            min_ps,
+            (eur_ps["pk"] == min_ps["mpk"])
+            & (eur_ps["supplycost"] == min_ps["mincost"]),
+        )
+        .join(F.broadcast(pf), F.col("pk") == pf["p_partkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("partkey"),
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "product_type_profit",
+    # TPC-H Q9 shape: profit by (nation, ship-year) over a 5-table join
+    # with a LIKE part filter. Supply cost is emulated as 10% of
+    # p_retailprice x quantity; to keep both engines exact the two
+    # DECIMAL sums stay separate until one double division at the end:
+    # profit = (10 x gross - retail_qty) / 10.
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // {_EPOCH_YEAR}
+             AS ship_year,
+           CAST(10 * CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,4)))
+                          AS DECIMAL(38,8))
+                - CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))
+                           * CAST(l.l_quantity AS DECIMAL(18,4)))
+                       AS DECIMAL(38,8))
+                AS DOUBLE) / 10 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%g%'
+    GROUP BY nation, ship_year
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%g%")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    gross = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    ).cast("decimal(38,8)")
+    retail_qty = F.sum(
+        F.col("p_retailprice").cast("decimal(18,4)")
+        * F.col("l_quantity").cast("decimal(18,4)")
+    ).cast("decimal(38,8)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.floor(_ts_sec_col(li, "l_shipdate") / _EPOCH_YEAR)
+            .cast("bigint")
+            .alias("ship_year"),
+        )
+        .agg(
+            ((F.lit(10) * gross - retail_qty).cast("double") / 10).alias(
+                "profit"
+            )
+        )
+    )
+
+
+@register(
+    "important_stock",
+    # TPC-H Q11 shape: per-part value held by ONE nation's suppliers,
+    # kept only when it exceeds a fraction of the nation-wide total —
+    # a group-HAVING compared against a scalar subquery over the same
+    # relation. Cross-multiplied DECIMAL compare (value x 1000 > total),
+    # no double-fraction drift.
+    """
+    WITH natps AS (
+      SELECT l.l_partkey AS pk,
+             CAST(l.l_extendedprice AS DECIMAL(18,4)) AS v
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    tot AS (SELECT CAST(sum(v) AS DECIMAL(38,4)) AS total FROM natps)
+    SELECT CAST(pk AS BIGINT) AS partkey,
+           CAST(sum(v) AS DOUBLE) AS value
+    FROM natps, tot
+    GROUP BY pk, tot.total
+    HAVING CAST(sum(v) AS DECIMAL(38,4)) * 1000 > tot.total
+    """,
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nat_sup = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    natps = li.join(
+        F.broadcast(nat_sup), li["l_suppkey"] == nat_sup["s_suppkey"]
+    ).select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("v"),
+    )
+    per_part = natps.groupBy("pk").agg(
+        F.sum("v").cast("decimal(38,4)").alias("val")
+    )
+    total = natps.agg(F.sum("v").cast("decimal(38,4)").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("total"))
+        .select(
+            F.col("pk").cast("bigint").alias("partkey"),
+            F.col("val").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "supplier_part_types",
+    # TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    # with exclusion filters AND a NOT-IN subquery (suppliers in bad
+    # standing) — the anti-join + count-distinct composition.
+    """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS size,
+           CAST(count(DISTINCT ps.sk) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+          FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.pk
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.sk NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pairs = li.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    bad = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs["sk"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(pf), F.col("pk") == pf["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("size"))
+        .agg(F.countDistinct("sk").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "part_promotion",
+    # TPC-H Q20 shape: suppliers holding excess stock of LIKE-filtered
+    # parts — the nested IN-subquery whose inner predicate compares a
+    # pair aggregate against a correlated half-sum over a date window.
+    # Emulated stock = pair's all-time shipped quantity; the pair
+    # qualifies when all-time > 2 x recent (cross-multiplied DECIMALs,
+    # recent > 0 keeps the correlated compare binding).
+    f"""
+    WITH pairq AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+               AS total_qty,
+             CAST(sum(CASE WHEN floor(epoch(l_shipdate)) >= {_DORMANT_CUTOFF}
+                           THEN CAST(l_quantity AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END)
+                  AS DECIMAL(38,4)) AS recent_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT pq.sk FROM pairq pq JOIN part p ON p.p_partkey = pq.pk
+      WHERE p.p_name LIKE '%o%'
+        AND pq.recent_qty > 0 AND pq.total_qty > 2 * pq.recent_qty)
+    ORDER BY s.s_name, n.n_name
+    """,
+)
+def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qdec = F.col("l_quantity").cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    pairq = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(qdec).cast("decimal(38,4)").alias("total_qty"),
+        F.sum(
+            F.when(_ts_sec_col(li, "l_shipdate") >= _DORMANT_CUTOFF, qdec)
+            .otherwise(zero)
+        )
+        .cast("decimal(38,4)")
+        .alias("recent_qty"),
+    )
+    promo_parts = p.filter(F.col("p_name").like("%o%")).select("p_partkey")
+    excess_sks = (
+        pairq.join(
+            F.broadcast(promo_parts), pairq["pk"] == promo_parts["p_partkey"],
+            "left_semi",
+        )
+        .filter(
+            (F.col("recent_qty") > 0)
+            & (F.col("total_qty") > 2 * F.col("recent_qty"))
+        )
+        .select("sk")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(excess_sks), s["s_suppkey"] == excess_sks["sk"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name", "n_name")
+    )
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:
