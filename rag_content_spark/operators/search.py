@@ -772,3 +772,101 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), id_col)
     )
     return out.limit(top_n) if top_n is not None else out
+
+
+def token_vec_int(tok: Column, dim: int) -> Column:
+    """Integer mock token embedding: dim i of token t =
+    ``stable_hash64(t || ':' || i) % 1e6 * 2 - 1e6`` — the corpus mock
+    embedder's formula kept in EXACT integer space (each component in
+    [-1e6, 1e6)), so downstream dot products and MaxSim scores are
+    engine-exact BIGINTs. One md5 per (token, dim) — the nested
+    transform materializes the vector once per token, shared by every
+    query term (no lambda CSE in Catalyst, so sharing must be
+    structural; COVERAGE.md scale note 1)."""
+    from rag_content_spark.functions.hashing import stable_hash64
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: stable_hash64(F.concat(tok, F.lit(":"), i.cast("string")))
+        % 1_000_000
+        * 2
+        - 1_000_000,
+    )
+
+
+def maxsim_search(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    dim: int = 8,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): score(d) = sum over query tokens q of
+    max over doc tokens t of dot(E(q), E(t)) — token-level interaction
+    instead of one pooled vector, the quality/cost middle ground
+    between bi-encoders and cross-encoders.
+
+    Token embeddings are the deterministic integer mock (swap
+    :func:`token_vec_int` for a real token encoder's output column at
+    deploy time); query-term vectors are computed DRIVER-side with the
+    same md5 formula and baked in as literals (a few ints — nothing
+    collected).
+
+    Scale shape (100 TB): ZERO exchanges before the final top-k — per
+    row, distinct tokens -> integer vectors (one md5 per token x dim)
+    -> per-term dot maxes, all inside one narrow projection; the
+    ordered ``k`` rows come from TakeOrderedAndProject. No explode, no
+    postings shuffle, no join: late interaction is embarrassingly
+    parallel over documents. Reference parity: the reference's
+    query-time scoring is single-vector only (query_rag.py:190);
+    MaxSim is an extension in the same retrieval family.
+    """
+    import hashlib
+
+    from rag_content_spark.functions.text import tokens
+
+    def _qvec(term: str) -> "list[int]":
+        out = []
+        for i in range(dim):
+            h = hashlib.md5(f"{term}:{i}".encode()).hexdigest()[:15]
+            out.append(int(h, 16) % 1_000_000 * 2 - 1_000_000)
+        return out
+
+    from rag_content_spark.operators.dedup import let
+
+    qvecs = [_qvec(t) for t in query_terms]
+
+    def _dot(v: Column, qv: "list[int]") -> Column:
+        acc = v[0] * F.lit(qv[0])
+        for i in range(1, dim):
+            acc = acc + v[i] * F.lit(qv[i])
+        return acc
+
+    def _dot_fn(qv: "list[int]"):
+        # closure factory, NOT a default-arg lambda: a 2-arg lambda
+        # would receive (element, index) from F.transform
+        return lambda v: _dot(v, qv)
+
+    def _score(tv: Column) -> Column:
+        # tv is let-bound: every query term reuses the SAME materialized
+        # token-vector array — one md5 per (token, dim), not per term
+        parts = [
+            F.array_max(F.transform(tv, _dot_fn(qv))) for qv in qvecs
+        ]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc + p
+        return acc
+
+    toks = F.array_distinct(tokens(text_col))
+    score = let(
+        F.transform(toks, lambda t: token_vec_int(t, dim)), _score
+    )
+    return (
+        docs.filter(F.size(tokens(text_col)) > 0)
+        .select(F.col(id_col), score.cast("bigint").alias("maxsim6"))
+        .orderBy(F.desc("maxsim6"), id_col)
+        .limit(k)
+    )

@@ -8517,6 +8517,72 @@ def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAXSIM_TERMS = ["spark", "join", "merge", "window"]
+_MAXSIM_DIM = 8
+
+
+def _maxsim_qvec(term: str) -> list:
+    import hashlib as _hl
+
+    return [
+        int(_hl.md5(f"{term}:{i}".encode()).hexdigest()[:15], 16)
+        % 1_000_000
+        * 2
+        - 1_000_000
+        for i in range(_MAXSIM_DIM)
+    ]
+
+
+def _maxsim_oracle() -> str:
+    # dot_j(token) as pure SQL: one h60 per (token, dim), same integer
+    # space as operators/search.token_vec_int
+    def dot(qv):
+        terms = [
+            f"((CAST(('0x' || substr(md5(token || ':{i}'), 1, 15)) AS BIGINT)"
+            f" % 1000000) * 2 - 1000000) * ({qv[i]})"
+            for i in range(_MAXSIM_DIM)
+        ]
+        return " + ".join(terms)
+
+    maxes = [
+        f"max({dot(_maxsim_qvec(t))}) AS m{j}"
+        for j, t in enumerate(_MAXSIM_TERMS)
+    ]
+    total = " + ".join(f"m{j}" for j in range(len(_MAXSIM_TERMS)))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tk
+            FROM documents WHERE len({_TOKENS_SQL}) > 0) t,
+           unnest(t.tk) AS u(token)
+    ),
+    dots AS (
+      SELECT doc_id, {', '.join(maxes)}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({total} AS BIGINT) AS maxsim6
+    FROM dots ORDER BY maxsim6 DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "maxsim_search",
+    # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
+    # score = sum over query tokens of max over doc tokens of
+    # dot(E(q), E(t)), integer token embeddings -> engine-exact BIGINT
+    # scores. Spark side is one narrow projection + TakeOrdered (zero
+    # exchanges); the oracle unnests tokens and replicates the md5
+    # integer vectors per dimension.
+    _maxsim_oracle(),
+)
+def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import maxsim_search
+
+    return maxsim_search(
+        _docs(spark, sf_dir), _MAXSIM_TERMS, dim=_MAXSIM_DIM, k=20
+    )
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

@@ -423,3 +423,58 @@ def test_text_index_incremental_add_matches_full_build(spark, tmp_path):
     }
     ref = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
     assert got == ref
+
+
+def test_maxsim_matches_python_model(spark):
+    import hashlib
+
+    from rag_content_spark.operators.search import maxsim_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha alpha"),
+            (3, "delta"),
+            (4, "beta gamma delta epsilon"),
+            (5, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    terms, dim = ["alpha", "gamma"], 6
+
+    def vec(t):
+        return [
+            int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:15], 16)
+            % 1_000_000 * 2 - 1_000_000
+            for i in range(dim)
+        ]
+
+    def score(text):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return None
+        return sum(
+            max(
+                sum(a * b for a, b in zip(vec(q), vec(t)))
+                for t in set(toks)
+            )
+            for q in terms
+        )
+
+    got = [
+        (r["doc_id"], r["maxsim6"])
+        for r in maxsim_search(docs, terms, dim=dim, k=10).collect()
+    ]
+    want = sorted(
+        (
+            (d, score(tx))
+            for d, tx in [
+                (1, "alpha beta gamma"),
+                (2, "alpha alpha alpha"),
+                (3, "delta"),
+                (4, "beta gamma delta epsilon"),
+            ]
+        ),
+        key=lambda p: (-p[1], p[0]),
+    )
+    assert got == want  # doc 5 (whitespace-only) filtered out
