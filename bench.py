@@ -175,6 +175,12 @@ HEADLINE = [
     "cms_merge",              # CMS cell-wise-sum mergeability proof
     "group_sample",           # deterministic per-group inspection sample
     "text_index_search",      # persisted inverted index, pruned lookup
+    "min_cost_supplier",      # TPC-H Q2 shape (correlated scalar MIN)
+    "product_type_profit",    # TPC-H Q9 shape (5-way join, LIKE filter)
+    "important_stock",        # TPC-H Q11 shape (HAVING vs scalar total)
+    "supplier_part_types",    # TPC-H Q16 shape (NOT IN + count distinct)
+    "part_promotion",         # TPC-H Q20 shape (nested IN, half-sum)
+    "maxsim_search",          # ColBERT MaxSim late interaction (narrow)
 ]
 
 

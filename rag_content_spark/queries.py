@@ -8248,37 +8248,46 @@ def q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: both dim filters (qualifying parts, European
+    # suppliers) are broadcast-SEMI-joined into the fact scan BEFORE the
+    # pair aggregation — the correlated min only needs pairs that can
+    # appear in the output, so the agg runs on the pruned fact. The
+    # correlated MIN itself is one window over pk on the already
+    # (pk, sk)-aggregated pair table: ONE lineitem scan, no self-join.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).agg(
-        F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
-            "supplycost"
-        )
-    )
     eur = (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .filter(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # supplier dim is small: broadcast it INTO the pair agg once, reuse
-    # the joined relation for both the min and the match side
-    eur_ps = ps.join(F.broadcast(eur), ps["sk"] == eur["s_suppkey"])
-    min_ps = eur_ps.groupBy(F.col("pk").alias("mpk")).agg(
-        F.min("supplycost").alias("mincost")
-    )
     pf = p.filter((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
-    return (
-        eur_ps.join(
-            min_ps,
-            (eur_ps["pk"] == min_ps["mpk"])
-            & (eur_ps["supplycost"] == min_ps["mincost"]),
+    pruned = li.join(
+        F.broadcast(pf.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eur.select("s_suppkey")),
+        li["l_suppkey"] == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = pruned.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "supplycost"
         )
+    )
+    w = Window.partitionBy("pk")
+    best = ps.withColumn("mincost", F.min("supplycost").over(w)).filter(
+        F.col("supplycost") == F.col("mincost")
+    )
+    return (
+        best.join(F.broadcast(eur), best["sk"] == eur["s_suppkey"])
         .join(F.broadcast(pf), F.col("pk") == pf["p_partkey"])
         .select(
             "s_acctbal",
