@@ -8366,10 +8366,12 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "important_stock",
     # TPC-H Q11 shape: per-part value held by ONE nation's suppliers,
-    # kept only when it exceeds a fraction of the nation-wide total —
-    # a group-HAVING compared against a scalar subquery over the same
-    # relation. Cross-multiplied DECIMAL compare (value x 1000 > total),
-    # no double-fraction drift.
+    # kept only when it exceeds a threshold from a scalar subquery over
+    # the same relation. The fraction is SCALE-INVARIANT — keep parts
+    # holding more than 2x the mean per-part share (TPC-H scales its
+    # fraction by 1/SF for the same reason; a fixed 0.1% empties out
+    # once every part has rows). Cross-multiplied DECIMAL compare, no
+    # double-fraction drift.
     """
     WITH natps AS (
       SELECT l.l_partkey AS pk,
@@ -8379,12 +8381,14 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE n.n_name = 'NATION_3'
     ),
-    tot AS (SELECT CAST(sum(v) AS DECIMAL(38,4)) AS total FROM natps)
+    tot AS (SELECT CAST(sum(v) AS DECIMAL(38,4)) AS total,
+                   CAST(count(DISTINCT pk) AS BIGINT) AS nparts
+            FROM natps)
     SELECT CAST(pk AS BIGINT) AS partkey,
            CAST(sum(v) AS DOUBLE) AS value
     FROM natps, tot
-    GROUP BY pk, tot.total
-    HAVING CAST(sum(v) AS DECIMAL(38,4)) * 1000 > tot.total
+    GROUP BY pk, tot.total, tot.nparts
+    HAVING CAST(sum(v) AS DECIMAL(38,4)) * tot.nparts > 2 * tot.total
     """,
 )
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8405,10 +8409,13 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = natps.groupBy("pk").agg(
         F.sum("v").cast("decimal(38,4)").alias("val")
     )
-    total = natps.agg(F.sum("v").cast("decimal(38,4)").alias("total"))
+    total = natps.agg(
+        F.sum("v").cast("decimal(38,4)").alias("total"),
+        F.countDistinct("pk").alias("nparts"),
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("val") * 1000 > F.col("total"))
+        .filter(F.col("val") * F.col("nparts") > 2 * F.col("total"))
         .select(
             F.col("pk").cast("bigint").alias("partkey"),
             F.col("val").cast("double").alias("value"),
