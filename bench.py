@@ -181,6 +181,8 @@ HEADLINE = [
     "supplier_part_types",    # TPC-H Q16 shape (NOT IN + count distinct)
     "part_promotion",         # TPC-H Q20 shape (nested IN, half-sum)
     "maxsim_search",          # ColBERT MaxSim late interaction (narrow)
+    "quantile_sketch",        # log-linear mergeable quantile sketch
+    "qsketch_merge",          # sketch mergeability proof (bucket sums)
 ]
 
 

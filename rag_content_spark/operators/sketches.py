@@ -247,3 +247,95 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     for t in sketches[1:]:
         merged = merged.unionByName(t)
     return merged.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+QSK_SUB_BITS = 3  # 8 linear sub-buckets per octave -> <=12.5% rel. err
+
+
+def loglin_bucket(col: "F.Column | str") -> "F.Column":
+    """DDSketch-flavored log-linear bucket index for NON-NEGATIVE
+    integers (Masson et al., VLDB 2019 — same idea, but the bucket
+    mapping is pure INTEGER arithmetic, no float log, so both engines
+    bucket bit-identically): octave m = length(bin(v)) - 1 (exact
+    integer log2 via the binary string — the HLL rank trick), linear
+    sub-bucket = the next ``QSK_SUB_BITS`` mantissa bits, index =
+    m * 2^sub_bits + sub. Division by pow(2, m - sub_bits) is exact:
+    powers of two are exact doubles and the cast back is integral.
+
+    DuckDB rendering: see queries.py _QSK_BUCKET_SQL.
+    """
+    v = F.col(col) if isinstance(col, str) else col
+    v = v.cast("bigint")
+    m = (F.length(F.bin(v)) - 1).cast("bigint")
+    shift = F.greatest(m - QSK_SUB_BITS, F.lit(0))
+    d = F.pow(F.lit(2.0), shift.cast("double")).cast("bigint")
+    # (v - v%d)/d: the numerator is an exact BIGINT multiple of the
+    # power-of-two d with <= sub_bits+1 significant bits, so the double
+    # division is EXACT even for v > 2^53 (a bare v/d would misround
+    # near sub-bucket boundaries there)
+    sub = ((v - v % d) / d).cast("bigint") % (1 << QSK_SUB_BITS)
+    return (m * (1 << QSK_SUB_BITS) + sub).alias("bucket")
+
+
+def qsketch_bucket_lo(bucket: "F.Column | str") -> "F.Column":
+    """Lower bound of a bucket's value range (the quantile estimate:
+    relative error <= 2^-(sub_bits+1) of the true quantile by
+    construction)."""
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    m = (b / (1 << QSK_SUB_BITS)).cast("bigint")
+    sub = b % (1 << QSK_SUB_BITS)
+    hi = ((1 << QSK_SUB_BITS) + sub) * F.pow(
+        F.lit(2.0), (m - QSK_SUB_BITS).cast("double")
+    ).cast("bigint")
+    return F.when(m < QSK_SUB_BITS, sub).otherwise(hi)
+
+
+def qsketch(df: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, cnt) quantile sketch of a non-negative integer column.
+
+    At 100 TB: counts combine map-side (the agg is the sketch build AND
+    the merge), so the shuffle carries at most ~8 * 64 rows per
+    partition regardless of data size — distributed quantiles without a
+    global sort."""
+    return df.select(loglin_bucket(value_col)).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def qsketch_merge(sketches: "list[DataFrame]") -> DataFrame:
+    """Merge quantile sketches (bucket-wise sum — exact: counts are
+    linear, same operating mode as :func:`cms_merge`)."""
+    merged = sketches[0]
+    for t in sketches[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def qsketch_quantiles(sk: DataFrame, pcts: "list[int]") -> DataFrame:
+    """Percentile estimates from a (bucket, cnt) sketch: the p-th
+    quantile is the smallest bucket whose cumulative count reaches
+    ceil(p/100 * n) — all integer arithmetic (one tiny window over the
+    <=512-row sketch + a broadcast percentile list)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sk.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    pct_df = sk.sparkSession.createDataFrame(
+        [(p,) for p in pcts], ["pct"]
+    )
+    target = (F.col("n") * F.col("pct") + 99) / 100
+    return (
+        cum.join(F.broadcast(pct_df))
+        .filter(F.col("cum") >= target.cast("bigint"))
+        .groupBy("pct")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "pct",
+            "bucket",
+            qsketch_bucket_lo("bucket").alias("value_lo"),
+        )
+    )

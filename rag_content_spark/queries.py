@@ -8581,6 +8581,112 @@ def _maxsim_oracle() -> str:
     """
 
 
+# shared DuckDB rendering of operators/sketches.loglin_bucket over
+# documents.n_chars: octave from the binary-string length, linear
+# sub-bucket via exact power-of-two integer division
+_QSK_CTE = """
+    b AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS v,
+             (length(bin(CAST(n_chars AS BIGINT))) - 1) AS m
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id,
+             CAST(m * 8
+                  + ((v - v % CAST(pow(2, greatest(m - 3, 0)) AS BIGINT))
+                     // CAST(pow(2, greatest(m - 3, 0)) AS BIGINT)) % 8
+                  AS BIGINT) AS bucket
+      FROM b
+    )
+"""
+
+
+@register(
+    "quantile_sketch",
+    # DDSketch-style log-linear quantile sketch (Masson et al., VLDB
+    # 2019) with a PURE-INTEGER bucket mapping (no float log — both
+    # engines bucket bit-identically): p50/p90/p99 of documents.n_chars
+    # as (pct, bucket, bucket lower bound). The sketch is one map-side
+    # combining agg (<= 512 rows) — distributed quantiles with no
+    # global sort.
+    f"""
+    WITH {_QSK_CTE},
+    sk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM bk GROUP BY bucket),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM sk
+    ),
+    p AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(pct)),
+    hit AS (
+      SELECT CAST(p.pct AS BIGINT) AS pct,
+             CAST(min(c.bucket) AS BIGINT) AS bucket
+      FROM p JOIN cum c ON c.cum >= (c.n * p.pct + 99) // 100
+      GROUP BY p.pct
+    )
+    SELECT pct, bucket,
+           CAST(CASE WHEN bucket // 8 < 3 THEN bucket % 8
+                ELSE (8 + bucket % 8)
+                     * CAST(pow(2, bucket // 8 - 3) AS BIGINT)
+                END AS BIGINT) AS value_lo
+    FROM hit
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sketches import (
+        qsketch,
+        qsketch_quantiles,
+    )
+
+    sk = qsketch(_docs(spark, sf_dir), "n_chars")
+    return qsketch_quantiles(sk, [50, 90, 99])
+
+
+@register(
+    "qsketch_merge",
+    # Mergeability proof for the quantile sketch (the cms_merge /
+    # hll_merge contract): sketch each half of the corpus, bucket-sum
+    # merge, compare against the whole-corpus sketch — counts are
+    # linear, so the merge is lossless cell by cell.
+    f"""
+    WITH {_QSK_CTE},
+    halves AS (
+      SELECT bucket,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS cnt_a,
+             CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS cnt_b,
+             CAST(count(*) AS BIGINT) AS cnt_whole
+      FROM bk GROUP BY bucket
+    )
+    SELECT bucket, cnt_a + cnt_b AS cnt_merged, cnt_whole,
+           (cnt_a + cnt_b = cnt_whole) AS lossless
+    FROM halves
+    """,
+)
+def q_qsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sketches import qsketch, qsketch_merge
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars").localCheckpoint(
+        eager=True
+    )  # three sketch builds, one scan
+    a = qsketch(docs.filter(F.col("doc_id") % 2 == 0), "n_chars")
+    b = qsketch(docs.filter(F.col("doc_id") % 2 == 1), "n_chars")
+    merged = qsketch_merge([a, b]).select(
+        "bucket", F.col("cnt").alias("cnt_merged")
+    )
+    whole = qsketch(docs, "n_chars").select(
+        "bucket", F.col("cnt").alias("cnt_whole")
+    )
+    return merged.join(whole, ["bucket"]).select(
+        "bucket",
+        "cnt_merged",
+        "cnt_whole",
+        (F.col("cnt_merged") == F.col("cnt_whole")).alias("lossless"),
+    )
+
+
 @register(
     "maxsim_search",
     # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):

@@ -206,3 +206,57 @@ def test_morton_order_makes_both_dims_prunable(spark):
     assert groups_containing_y(z_ordered, 7) <= 8    # most groups pruned
     # and x stays prunable too (row-major's only strength)
     assert groups_containing_y([(y, x) for x, y in z_ordered], 7) <= 8
+
+
+def test_loglin_bucket_matches_python_model(spark):
+    from rag_content_spark.operators.sketches import (
+        QSK_SUB_BITS,
+        loglin_bucket,
+    )
+
+    def model(v):
+        if v == 0:
+            return 0
+        m = v.bit_length() - 1
+        sub = (v >> max(m - QSK_SUB_BITS, 0)) & ((1 << QSK_SUB_BITS) - 1)
+        return m * (1 << QSK_SUB_BITS) + sub
+
+    # small values, sub-bucket boundaries, and values > 2^53 where a
+    # naive double division would misround near boundaries
+    vals = (
+        list(range(0, 40))
+        + [255, 256, 257, 1023, 1024, 4095]
+        + [(1 << 60) - 1, 1 << 60, (1 << 59) + (1 << 56), (1 << 57) - 1]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r["v"]: r["bucket"]
+        for r in df.select("v", loglin_bucket("v")).collect()
+    }
+    assert got == {v: model(v) for v in vals}
+
+
+def test_qsketch_quantiles_within_relative_error(spark):
+    from rag_content_spark.operators.sketches import (
+        qsketch,
+        qsketch_quantiles,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(6, 1.5, size=5000).astype(int) + 1
+    df = spark.createDataFrame([(int(v),) for v in vals], ["v"])
+    sk = qsketch(df, "v")
+    got = {
+        r["pct"]: r["value_lo"]
+        for r in qsketch_quantiles(sk, [50, 90, 99]).collect()
+    }
+    for pct in (50, 90, 99):
+        exact = float(np.percentile(vals, pct, interpolation="lower"))
+        lo = got[pct]
+        # bucket lower bound is within one bucket width (12.5%) below,
+        # never above the next bucket's start
+        assert lo <= exact * 1.1251 and lo >= exact / 1.1251, (
+            pct, lo, exact,
+        )
