@@ -183,6 +183,7 @@ HEADLINE = [
     "maxsim_search",          # ColBERT MaxSim late interaction (narrow)
     "quantile_sketch",        # log-linear mergeable quantile sketch
     "qsketch_merge",          # sketch mergeability proof (bucket sums)
+    "streaming_qsketch",      # per-batch sketch appends, merge on read
 ]
 
 

@@ -8688,6 +8688,53 @@ def q_qsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_qsketch",
+    # Streaming twin of the quantile sketch: an availableNow stream
+    # (maxFilesPerTrigger=1, so multi-file inputs exercise real
+    # multi-batch merging) appends one tiny per-batch sketch per
+    # micro-batch to a versioned table; the result is the bucket-sum
+    # merge over the table — which must equal the batch sketch of the
+    # whole corpus (counts are linear; the sketch is the state).
+    f"""
+    WITH {_QSK_CTE}
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM bk GROUP BY bucket
+    """,
+)
+def q_streaming_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rag_content_spark.operators.sketches import qsketch_merge
+    from rag_content_spark.sinks.versioned_table import read_snapshot
+    from rag_content_spark.streaming.aggregate import start_sketch_stream
+
+    schema = _docs(spark, sf_dir).schema
+    table = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(table):
+        reader = spark.readStream.schema(schema)
+        src_path = table
+    else:
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "documents.parquet"
+        )
+        src_path = sf_dir
+    stream = (
+        reader.option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+        .select("doc_id", "n_chars")
+    )
+    base = tempfile.mkdtemp(prefix="sgraft_stream_qsk_")
+    q = start_sketch_stream(
+        stream,
+        "n_chars",
+        os.path.join(base, "tbl"),
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination()
+    return qsketch_merge([read_snapshot(spark, os.path.join(base, "tbl"))])
+
+
+@register(
     "maxsim_search",
     # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
     # score = sum over query tokens of max over doc tokens of

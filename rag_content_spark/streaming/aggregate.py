@@ -354,3 +354,48 @@ def streaming_interval_join(
         )
     )
     return lw.join(rw, cond, "inner")
+
+
+def start_sketch_stream(
+    stream: DataFrame,
+    value_col: str,
+    table_dir: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Stream -> per-micro-batch quantile sketches, APPENDED as
+    versioned-table snapshots: the mergeable-sketch operating mode made
+    streaming state. Each batch lands its own tiny (bucket, cnt) table
+    (batch_id-idempotent, so replays are no-ops); the live sketch at
+    any moment is ``qsketch_merge`` over the table — a bucket-sum of at
+    most batches x 512 rows. No stateful streaming aggregation is
+    needed because the sketch IS the commutative state (counts are
+    linear); state never lives in the stream, only in the table log.
+    """
+    import json
+    import os
+
+    from rag_content_spark.operators.sketches import qsketch
+    from rag_content_spark.sinks.versioned_table import write_snapshot
+
+    def _query_id() -> "str | None":
+        try:
+            with open(os.path.join(checkpoint_path, "metadata")) as f:
+                return json.load(f)["id"]
+        except Exception:
+            return None
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_snapshot(
+            qsketch(batch_df, value_col), table_dir, mode="append",
+            batch_id=batch_id, txn_app_id=_query_id(),
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -306,3 +306,39 @@ def test_streaming_interval_join_attributes_within_bound(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM attrib").collect()
     assert len(rows) == 1 and rows[0]["ad_id"] == 1
+
+
+def test_streaming_qsketch_multibatch_merge_lossless(spark, tmp_path):
+    import os
+
+    from rag_content_spark.operators.sketches import qsketch, qsketch_merge
+    from rag_content_spark.sinks.versioned_table import (
+        read_snapshot,
+        snapshots,
+    )
+    from rag_content_spark.streaming.aggregate import start_sketch_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(os.path.join(src, "documents.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "documents.parquet"))
+        .select("doc_id", "n_chars")
+    )
+    tbl = str(tmp_path / "tbl")
+    q = start_sketch_stream(
+        stream, "n_chars", tbl, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    # one tiny sketch snapshot per micro-batch (4 input files)
+    assert len(snapshots(tbl)) == 4
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in qsketch_merge([read_snapshot(spark, tbl)]).collect()
+    }
+    want = {
+        r["bucket"]: r["cnt"] for r in qsketch(docs, "n_chars").collect()
+    }
+    assert got == want
