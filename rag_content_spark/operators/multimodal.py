@@ -2,10 +2,10 @@
 
 Images/audio/video are opaque ``binary`` columns + typed metadata; the
 heavy decode/feature steps are Arrow-batched mapInPandas UDFs. PNG
-(zlib-deflate + per-scanline filters), BMP24, netpbm and PCM16 WAV are
-REAL stdlib decoders; only the compressed codecs that need external
-libraries (JPEG/GIF pixel data, video containers) fall back to a
-clearly-marked deterministic fake. The Spark-side plumbing — schema,
+(zlib-deflate + per-scanline filters), GIF (LZW + interlace), BMP24,
+netpbm and PCM16 WAV are REAL stdlib decoders; only the codecs that
+genuinely need external libraries (baseline JPEG's huffman + IDCT,
+video containers) fall back to a clearly-marked deterministic fake. The Spark-side plumbing — schema,
 size-balanced partitioning, UDF signature, batch shape — is real and
 tested either way.
 """
@@ -41,11 +41,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
-    """DETERMINISTIC FAKE decode for COMPRESSED codecs only (JPEG/GIF
-    pixel data needs libjpeg/LZW, not in this container): derives
-    (width, height, 8-d feature) from the content md5. PNG/BMP/netpbm
-    take the REAL decoders below — this fake is the documented last
-    resort, and the UDF signature/schema are identical either way."""
+    """DETERMINISTIC FAKE decode for JPEG ONLY (baseline JPEG needs
+    huffman + IDCT; libjpeg is not in this container): derives
+    (width, height, 8-d feature) from the content md5. PNG/GIF/BMP/
+    netpbm take the REAL decoders below — this fake is the documented
+    last resort, and the UDF signature/schema are identical either
+    way."""
     digest = hashlib.md5(content or b"").digest()
     width = 64 + digest[0]
     height = 64 + digest[1]
@@ -54,12 +55,14 @@ def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
 
 
 def _real_decode(content: bytes):
-    """Try the real stdlib decoders (PNG, BMP24, netpbm); returns an
-    (h, w, c) uint8 array or None when the format needs an external
-    codec (JPEG/GIF) or the bytes are not an image."""
+    """Try the real stdlib decoders (PNG, GIF, BMP24, netpbm); returns
+    an (h, w, c) uint8 array or None when the format needs an external
+    codec (JPEG) or the bytes are not an image."""
     try:
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(content)
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(content)
         if content[:2] == b"BM":
             return decode_bmp24(content)
         if content[:2] in (b"P5", b"P6"):
@@ -71,10 +74,10 @@ def _real_decode(content: bytes):
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Decode + featurize image rows: REAL pixel decode for PNG/BMP/
-    netpbm (dims + normalized 8-bin luma histogram as the 8-d feature);
-    the deterministic fake only for compressed codecs (JPEG/GIF) whose
-    libraries are not in this container. Arrow batches bound memory."""
+    """Decode + featurize image rows: REAL pixel decode for PNG/GIF/
+    BMP/netpbm (dims + normalized 8-bin luma histogram as the 8-d feature);
+    the deterministic fake only for JPEG, whose codec is not in this
+    container. Arrow batches bound memory."""
     import numpy as np
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -660,3 +663,145 @@ def decode_png(content: bytes):
         else:
             img = palette[idx]
     return img.copy()
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytearray:
+    """GIF-variant LZW decompression (GIF89a spec appendix F): codes
+    are packed LSB-first; the stream starts at ``min_code_size + 1``
+    bits with CLEAR = 2^mcs and END = CLEAR + 1; the code width grows
+    by one whenever the table fills the current width (capped at 12
+    bits — past that the table freezes until the next CLEAR)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    codesize = min_code_size + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    pos = 0
+    prev: "bytes | None" = None
+    while len(out) < npix:
+        while nbits < codesize:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = buf & ((1 << codesize) - 1)
+        buf >>= codesize
+        nbits -= codesize
+        if code == clear:
+            table = list(base)
+            codesize = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # width sync (the classic GIFCOMPR/DECODE pairing): the encoder
+        # checks AFTER writing each code and BEFORE its insert, so the
+        # first wider code appears once the decoder's table — which
+        # inserts one step behind — has itself reached 2^codesize
+        if len(table) >= (1 << codesize) and codesize < 12:
+            codesize += 1
+    return out[:npix]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(content: bytes):
+    """REAL GIF pixel decode — pure stdlib + numpy LZW, no image
+    libraries. Returns the FIRST frame as an (height, width, 3) uint8
+    RGB array composed onto the logical screen (later animation frames
+    are ignored: corpus featurization reads one frame). Handles global
+    and local color tables, interlacing, and 87a/89a extensions.
+    Raises ValueError on malformed streams.
+    """
+    import numpy as np
+
+    b = content
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    bg = b[11]
+    screen = np.zeros((height, width, 3), np.uint8)
+    if gct is not None and bg < len(gct):
+        screen[:, :] = gct[bg]
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(b[pos + 3 : pos + 5], "little")
+        w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        iflags = b[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 ** ((iflags & 7) + 1)
+            ct = np.frombuffer(b[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        mcs = b[pos]
+        pos += 1
+        chunks = []
+        while pos < len(b) and b[pos] != 0:
+            sz = b[pos]
+            chunks.append(b[pos + 1 : pos + 1 + sz])
+            pos += 1 + sz
+        pos += 1
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(b"".join(chunks), mcs, w * h)), np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data underrun")
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF index outside color table")
+        rows = idx.reshape(h, w)
+        if iflags & 0x40:  # 4-pass interlace
+            out_rows = np.empty_like(rows)
+            r = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    out_rows[y] = rows[r]
+                    r += 1
+            rows = out_rows
+        frame = ct[rows]
+        screen[top : top + h, left : left + w] = frame[
+            : max(0, height - top), : max(0, width - left)
+        ]
+        return screen
+    raise ValueError("GIF contains no image data")

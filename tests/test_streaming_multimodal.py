@@ -555,3 +555,101 @@ def test_convert_html_string_to_markdown():
     assert got == _html_to_markdown(html)
     assert "# Title" in got and "- a" in got and "Body para" in got
     assert convert_html_string_to_markdown("") == ""
+
+
+# --- GIF decode ---------------------------------------------------------
+
+
+def _encode_gif(indices, palette, interlace=False):
+    """Minimal spec-true GIF writer for decoder tests: literal LZW codes
+    with a CLEAR before each one (the classic 'uncompressed GIF' trick —
+    the table never grows, so the code width stays min_code_size+1),
+    LSB-first bit packing, 255-byte sub-blocks."""
+    import numpy as np
+
+    h, w = indices.shape
+    n = len(palette)
+    mcs = max(2, (n - 1).bit_length())
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    rows = indices
+    if interlace:
+        order = [y for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(s, h, st)]
+        rows = indices[order]
+    codes = []
+    for px in rows.reshape(-1):
+        codes += [clear, int(px)]
+    codes.append(end)
+    buf = bytearray()
+    acc = nbits = 0
+    for c in codes:
+        acc |= c << nbits
+        nbits += mcs + 1
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gct_bits = max(1, (n - 1).bit_length())
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])
+    for i in range(1 << gct_bits):
+        out += bytes(palette[i] if i < n else (0, 0, 0))
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0, mcs])
+    for i in range(0, len(buf), 255):
+        chunk = buf[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_roundtrip_and_interlace():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_gif
+
+    rng = np.random.RandomState(3)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30), (200, 200, 200)]
+    idx = rng.randint(0, len(palette), size=(13, 9)).astype(np.uint8)
+    want = np.array(palette, np.uint8)[idx]
+    got = decode_gif(_encode_gif(idx, palette))
+    assert got.shape == (13, 9, 3) and (got == want).all()
+    got_i = decode_gif(_encode_gif(idx, palette, interlace=True))
+    assert (got_i == want).all()
+
+
+def test_decode_gif_real_encoder_goldens():
+    """GIFs produced by real encoders (Python-distribution icons):
+    table-growth LZW with codesize bumps — the width-sync path the
+    literal-code roundtrip never exercises. Dimensions are from the
+    files' headers; the pixel md5s pin the decode output."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_gif
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    tk = decode_gif(open(os.path.join(fix, "tk.gif"), "rb").read())
+    assert tk.shape == (11, 14, 3)
+    # 2-color icon: every pixel is one of the two palette entries
+    assert len(np.unique(tk.reshape(-1, 3), axis=0)) == 2
+    py = decode_gif(open(os.path.join(fix, "python.gif"), "rb").read())
+    assert py.shape == (16, 16, 3)
+    assert hashlib.md5(py.tobytes()).hexdigest() == "4853155c8d541412966389d2c696576d"
+    assert hashlib.md5(tk.tobytes()).hexdigest() == "c7530818219d7dcec3036344c48c1f9a"
+
+
+def test_real_decode_routes_gif():
+    import os
+
+    from rag_content_spark.operators.multimodal import _real_decode
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    img = _real_decode(open(os.path.join(fix, "python.gif"), "rb").read())
+    assert img is not None and img.shape == (16, 16, 3)
