@@ -2,10 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns + typed metadata; the
 heavy decode/feature steps are Arrow-batched mapInPandas UDFs. PNG
-(zlib-deflate + per-scanline filters), GIF (LZW + interlace), BMP24,
-netpbm and PCM16 WAV are REAL stdlib decoders; only the codecs that
-genuinely need external libraries (baseline JPEG's huffman + IDCT,
-video containers) fall back to a clearly-marked deterministic fake. The Spark-side plumbing — schema,
+(zlib-deflate + per-scanline filters), baseline JPEG (huffman entropy
+decode + dequant + IDCT + chroma upsample), GIF (LZW + interlace),
+BMP24, netpbm and PCM16 WAV are ALL real stdlib+numpy decoders; only
+profiles that genuinely need external codecs (progressive JPEG, video
+containers) fall back to a clearly-marked deterministic fake. The Spark-side plumbing — schema,
 size-balanced partitioning, UDF signature, batch shape — is real and
 tested either way.
 """
@@ -41,12 +42,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
-    """DETERMINISTIC FAKE decode for JPEG ONLY (baseline JPEG needs
-    huffman + IDCT; libjpeg is not in this container): derives
-    (width, height, 8-d feature) from the content md5. PNG/GIF/BMP/
-    netpbm take the REAL decoders below — this fake is the documented
-    last resort, and the UDF signature/schema are identical either
-    way."""
+    """DETERMINISTIC FAKE decode for the profiles no stdlib decoder
+    covers (progressive/arithmetic/12-bit JPEG, corrupt streams):
+    derives (width, height, 8-d feature) from the content md5. PNG,
+    baseline JPEG, GIF, BMP24 and netpbm all take the REAL decoders
+    below — this fake is the documented last resort, and the UDF
+    signature/schema are identical either way."""
     digest = hashlib.md5(content or b"").digest()
     width = 64 + digest[0]
     height = 64 + digest[1]
@@ -55,12 +56,15 @@ def _fake_decode(content: bytes) -> tuple[int, int, list[float]]:
 
 
 def _real_decode(content: bytes):
-    """Try the real stdlib decoders (PNG, GIF, BMP24, netpbm); returns
-    an (h, w, c) uint8 array or None when the format needs an external
-    codec (JPEG) or the bytes are not an image."""
+    """Try the real stdlib decoders (PNG, baseline JPEG, GIF, BMP24,
+    netpbm); returns an (h, w, c) uint8 array or None when the profile
+    needs an external codec (progressive JPEG) or the bytes are not an
+    image."""
     try:
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(content)
+        if content[:3] == b"\xff\xd8\xff":
+            return decode_jpeg(content)
         if content[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(content)
         if content[:2] == b"BM":
@@ -74,10 +78,11 @@ def _real_decode(content: bytes):
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Decode + featurize image rows: REAL pixel decode for PNG/GIF/
-    BMP/netpbm (dims + normalized 8-bin luma histogram as the 8-d feature);
-    the deterministic fake only for JPEG, whose codec is not in this
-    container. Arrow batches bound memory."""
+    """Decode + featurize image rows: REAL pixel decode for PNG /
+    baseline JPEG / GIF / BMP / netpbm (dims + normalized 8-bin luma
+    histogram as the 8-d feature); the deterministic fake only for
+    undecodable profiles (progressive JPEG). Arrow batches bound
+    memory."""
     import numpy as np
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -805,3 +810,259 @@ def decode_gif(content: bytes):
         ]
         return screen
     raise ValueError("GIF contains no image data")
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table (spec Annex C): (length, code) ->
+    symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first entropy-coded bit reader with 0xFF00 byte unstuffing;
+    stops at markers (RSTn handled by the caller via align+skip)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _JpegRestart()
+            else:
+                # a real marker mid-entropy: pad with 1s (spec behavior
+                # for the final partial MCU byte)
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    def restart_align(self) -> None:
+        # byte-align and consume the RSTn marker
+        self.n = 0
+        while self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+        raise ValueError("expected JPEG restart marker")
+
+
+class _JpegRestart(Exception):
+    pass
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    x, u = np.meshgrid(np.arange(8), np.arange(8))
+    C = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    C[0, :] /= np.sqrt(2.0)
+    return C
+
+
+def decode_jpeg(content: bytes):
+    """REAL baseline JPEG decode — pure stdlib + numpy, no libjpeg.
+    Supports the baseline profile (SOF0, 8-bit, huffman): DQT/DHT/DRI
+    parsing, canonical huffman entropy decode with restart markers,
+    dequantization in zigzag order, float IDCT (8x8 basis matrix),
+    nearest-neighbor chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, and
+    BT.601 YCbCr -> RGB. Returns (height, width, 3) uint8 (grayscale
+    expands to 3 channels). Raises ValueError on progressive (SOF2) or
+    other unsupported profiles — those fall back to the documented
+    deterministic fake.
+    """
+    import numpy as np
+
+    b = content
+    if len(b) < 4 or b[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    comps: list = []
+    H = W = 0
+    restart_interval = 0
+    i = 2
+    sos_pos = None
+    scan_comps: list = []
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xD8:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tid] = np.frombuffer(
+                    seg[p + 1 : p + 65], np.uint8
+                ).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                counts = seg[p + 1 : p + 17]
+                nsym = sum(counts)
+                syms = seg[p + 17 : p + 17 + nsym]
+                (huff_dc if cls == 0 else huff_ac)[tid] = _jpeg_huff_table(
+                    counts, syms
+                )
+                p += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both huffman DCT)
+            H = int.from_bytes(seg[1:3], "big")
+            W = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "h": seg[7 + 3 * c] >> 4,
+                    "v": seg[7 + 3 * c] & 0xF,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(ncomp)
+            ]
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = [
+                {"id": seg[1 + 2 * c], "td": seg[2 + 2 * c] >> 4,
+                 "ta": seg[2 + 2 * c] & 0xF}
+                for c in range(ns)
+            ]
+            sos_pos = i + 2 + ln
+            break
+        i += 2 + ln
+    if sos_pos is None or not comps or H == 0 or W == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan_comps:
+        by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        for c in comps
+    ]
+    Cm = _jpeg_idct_mat()
+    bits = _JpegBits(b, sos_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bits.restart_align()
+                pred = [0] * len(comps)
+            try:
+                for ci, c in enumerate(comps):
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            zz = np.zeros(64, np.int32)
+                            s = bits.huff(huff_dc[c["td"]])
+                            diff = _jpeg_extend(bits.bits(s), s) if s else 0
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = bits.huff(huff_ac[c["ta"]])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index overrun")
+                                zz[k] = _jpeg_extend(bits.bits(s), s)
+                                k += 1
+                            blk = np.zeros(64, np.int32)
+                            blk[_JPEG_ZIGZAG] = zz * qt[c["tq"]]
+                            px = Cm.T @ blk.reshape(8, 8) @ Cm + 128.0
+                            y0 = (my * c["v"] + vy) * 8
+                            x0 = (mx * c["h"] + vx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            except _JpegRestart:
+                raise ValueError("unexpected JPEG restart marker")
+            mcu_count += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:H, :W])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    if len(full) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(np.stack([r, g, bl], axis=2).round(), 0, 255).astype(
+        np.uint8
+    )

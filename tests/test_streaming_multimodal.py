@@ -653,3 +653,195 @@ def test_real_decode_routes_gif():
     fix = os.path.join(os.path.dirname(__file__), "fixtures")
     img = _real_decode(open(os.path.join(fix, "python.gif"), "rb").read())
     assert img is not None and img.shape == (16, 16, 3)
+
+
+# --- JPEG decode --------------------------------------------------------
+
+
+def _encode_jpeg_gray(img, restart_interval=0):
+    """Minimal spec-true baseline JPEG writer (grayscale, quant=1, one
+    custom canonical huffman table per class) — an independent encoder
+    path for decoder roundtrips: forward DCT + the spec's DC-diff /
+    AC-run-length coding, MSB-first bits with 0xFF stuffing, optional
+    DRI/RSTn restarts."""
+    import numpy as np
+
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    x, u = np.meshgrid(np.arange(8), np.arange(8))
+    C = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    C[0, :] /= np.sqrt(2.0)
+    zig = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def category(v):
+        return abs(v).bit_length()
+
+    # pass 1: quantized blocks + symbol inventory
+    blocks, dc_syms, ac_syms = [], set(), set()
+    pred = 0
+    mcu = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                pred = 0
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            F = C @ (blk - 128.0) @ C.T
+            # zigzag order: zz[k] = natural[zig[k]] (the decoder's
+            # inverse is blk[zig] = zz)
+            q = np.round(F).astype(int).reshape(64)[zig]
+            blocks.append(q)
+            dc_syms.add(category(int(q[0]) - pred))
+            pred = int(q[0])
+            run = 0
+            for k in range(1, 64):
+                if q[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                ac_syms.add((run << 4) | category(int(q[k])))
+                run = 0
+            if run:
+                ac_syms.add(0x00)  # EOB
+            mcu += 1
+
+    def canonical(symbols):
+        syms = sorted(symbols)
+        L = max(2, len(syms).bit_length() + 1)  # 2^L > nsym: no all-1s code
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        code = {}
+        c = 0
+        for length in range(1, 17):
+            for s in syms[: counts[length - 1]] if counts[length - 1] else []:
+                code[s] = (length, c)
+                c += 1
+            c <<= 1
+        return bytes(counts), bytes(syms), code
+
+    dc_counts, dc_list, dc_code = canonical(dc_syms)
+    ac_counts, ac_list, ac_code = canonical(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + bytes([1, 0x11, 0])
+    )
+    for cls, counts, lst in ((0, dc_counts, dc_list), (1, ac_counts, ac_list)):
+        out += (
+            b"\xff\xc4" + (3 + 16 + len(lst)).to_bytes(2, "big")
+            + bytes([cls << 4]) + counts + lst
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
+
+    acc, nbits = 0, 0
+    body = bytearray()
+
+    def put(length, code):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)
+            nbits -= 8
+
+    def put_val(v):
+        s = category(v)
+        if s:
+            put(s, v if v >= 0 else v + (1 << s) - 1)
+        return s
+
+    pred = 0
+    for mcu, q in enumerate(blocks):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            if nbits:
+                put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+            body += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+            pred = 0
+        diff = int(q[0]) - pred
+        pred = int(q[0])
+        s = category(diff)
+        put(*dc_code[s])
+        if s:
+            put(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        run = 0
+        for k in range(1, 64):
+            if q[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(*ac_code[0xF0])
+                run -= 16
+            v = int(q[k])
+            put(*ac_code[(run << 4) | category(v)])
+            put_val(v)
+            run = 0
+        if run:
+            put(*ac_code[0x00])
+    if nbits:
+        put(8 - nbits, (1 << (8 - nbits)) - 1)
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_gray_roundtrip():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(11)
+    # smooth image: quant=1 keeps DCT rounding error ~1-2 levels
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = (
+        128 + 80 * np.sin(xx / 6.0) * np.cos(yy / 5.0)
+        + rng.randint(-4, 5, size=(24, 32))
+    ).clip(0, 255).astype(np.uint8)
+    got = decode_jpeg(_encode_jpeg_gray(img))
+    assert got.shape == (24, 32, 3)
+    err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 3, err.max()
+
+
+def test_decode_jpeg_restart_markers():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(60, 196, size=(16, 40)).astype(np.uint8)
+    got = decode_jpeg(_encode_jpeg_gray(img, restart_interval=3))
+    err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 3, err.max()
+
+
+def test_decode_jpeg_real_golden_cross_codec():
+    """python.jpg and python.gif are renders of the same 16x16 logo:
+    two independent codecs must reconstruct strongly-correlated pixels
+    (JPEG quantization accounts for the residual)."""
+    import os
+
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_gif, decode_jpeg
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    j = decode_jpeg(open(os.path.join(fix, "python.jpg"), "rb").read())
+    assert j.shape == (16, 16, 3) and j.dtype == np.uint8
+    g = decode_gif(open(os.path.join(fix, "python.gif"), "rb").read())
+    corr = np.corrcoef(
+        j.astype(float).ravel(), g.astype(float).ravel()
+    )[0, 1]
+    assert corr > 0.9, corr
