@@ -8409,12 +8409,15 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = natps.groupBy("pk").agg(
         F.sum("v").cast("decimal(38,4)").alias("val")
     )
-    total = natps.agg(
-        F.sum("v").cast("decimal(38,4)").alias("total"),
-        F.countDistinct("pk").alias("nparts"),
-    )
+    # total and nparts come from a global window over the ALREADY
+    # AGGREGATED per-part table (one tiny single-partition exchange) —
+    # ONE lineitem scan in the whole plan, no duplicated agg subtree
+    wall = Window.partitionBy()
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn(
+            "total", F.sum("val").over(wall).cast("decimal(38,4)")
+        )
+        .withColumn("nparts", F.count(F.lit(1)).over(wall))
         .filter(F.col("val") * F.col("nparts") > 2 * F.col("total"))
         .select(
             F.col("pk").cast("bigint").alias("partkey"),
