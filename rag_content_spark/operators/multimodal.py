@@ -60,6 +60,8 @@ def _real_decode(content: bytes):
     netpbm); returns an (h, w, c) uint8 array or None when the profile
     needs an external codec (progressive JPEG) or the bytes are not an
     image."""
+    import zlib
+
     try:
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(content)
@@ -72,7 +74,12 @@ def _real_decode(content: bytes):
         if content[:2] in (b"P5", b"P6"):
             dec = decode_netpbm(content)
             return dec[3] if dec is not None else None
-    except ValueError:
+    except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+        # corrupt/truncated streams with valid magic bytes surface as
+        # out-of-range reads (IndexError), bad compressed payloads
+        # (zlib.error on PNG IDAT), or short header unpacks
+        # (struct.error) — all fall back to the deterministic fake
+        # rather than failing the whole Spark job
         return None
     return None
 

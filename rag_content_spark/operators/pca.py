@@ -245,7 +245,9 @@ def pca_project(
             lambda acc, x: acc + x,
         )
         if whiten:
-            dot = dot / F.lit(float((eigval + eps) ** 0.5))
+            # covariance eigenvalues can round slightly negative (1e-6
+            # grid) — clamp before the sqrt or the literal goes complex
+            dot = dot / F.lit(float((max(eigval, 0.0) + eps) ** 0.5))
         proj.append(F.round(dot, 6) + F.lit(0.0))
     cols.append(F.array(*proj).alias("proj"))
     return emb.select(*cols)

@@ -95,6 +95,28 @@ def write_hf_parquet_dataset(
         _write, schema="shard int, n_rows long, n_bytes long"
     ).localCheckpoint(eager=True)
 
+    # hash sharding can leave a shard empty (no executor writes its
+    # file) — loaders that enumerate by the -of-NNNNN count would see
+    # missing files, so backfill empty-but-valid parquet shards with the
+    # exact arrow schema and fold them into the manifest
+    written = {int(r["shard"]) for r in manifest.select("shard").collect()}
+    missing = [s for s in range(n_shards) if s not in written]
+    if missing:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        aschema = to_arrow_schema(df.select(*cols).schema)
+        extra = []
+        for shard in missing:
+            name = f"{split}-{shard:05d}-of-{n_shards:05d}.parquet"
+            path = os.path.join(data_dir, name)
+            pq.write_table(aschema.empty_table(), path)
+            extra.append((shard, 0, os.path.getsize(path)))
+        manifest = manifest.union(
+            df.sparkSession.createDataFrame(
+                extra, "shard int, n_rows long, n_bytes long"
+            )
+        ).localCheckpoint(eager=True)
+
     stats = manifest.agg(
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"),
         F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("bytes"),

@@ -131,8 +131,12 @@ def write_snapshot(
     import uuid
 
     rel_dir = f"data/s-{uuid.uuid4().hex[:12]}"
-    df.write.mode("errorifexists").parquet(os.path.join(table_dir, rel_dir))
-    rows = df.count()
+    staging = os.path.join(table_dir, rel_dir)
+    df.write.mode("errorifexists").parquet(staging)
+    # count from the staged files, not by re-executing the input plan: a
+    # second execution costs a full scan and, for a nondeterministic df,
+    # would record a row count inconsistent with the bytes committed
+    rows = df.sparkSession.read.parquet(staging).count()
     for _attempt in range(50):
         version = (snaps[-1]["version"] + 1) if snaps else 1
         manifest = {

@@ -470,3 +470,32 @@ def test_hf_parquet_dataset_layout(spark, tmp_path):
     ).collect()
     for f, b in h1:
         assert (tmp_path / "data" / f).read_bytes() == b
+
+
+def test_hf_parquet_dataset_backfills_empty_shards(spark, tmp_path):
+    """Hash sharding with n_shards >> rows leaves shards empty; the sink
+    must still write all -of-NNNNN files (loaders enumerate by count)."""
+    import json
+    import pyarrow.parquet as pq
+
+    from rag_content_spark.sinks.hf_dataset import write_hf_parquet_dataset
+
+    df = spark.createDataFrame(
+        [(1, "only row")], "doc_id long, text string"
+    )
+    man = {
+        r["shard"]: r["n_rows"]
+        for r in write_hf_parquet_dataset(
+            df, str(tmp_path), split="train", key_col="doc_id", n_shards=4
+        ).collect()
+    }
+    files = sorted(os.listdir(tmp_path / "data"))
+    assert files == [f"train-{s:05d}-of-00004.parquet" for s in range(4)]
+    assert set(man) == {0, 1, 2, 3} and sum(man.values()) == 1
+    # empty shards are valid parquet with the exact schema
+    empty = [f for f in files if man[int(f.split("-")[1])] == 0]
+    assert len(empty) == 3
+    t = pq.read_table(tmp_path / "data" / empty[0])
+    assert t.num_rows == 0 and t.column_names == ["doc_id", "text"]
+    info = json.loads((tmp_path / "dataset_info.json").read_text())
+    assert info["splits"]["train"]["shards"] == 4

@@ -845,3 +845,56 @@ def test_decode_jpeg_real_golden_cross_codec():
         j.astype(float).ravel(), g.astype(float).ravel()
     )[0, 1]
     assert corr > 0.9, corr
+
+
+def test_extract_image_features_corrupt_streams_fall_back(spark):
+    """Corrupt/truncated payloads with VALID magic bytes raise
+    IndexError/zlib.error/struct.error inside the decoders — the UDF
+    must fall back to the deterministic fake, not fail the job."""
+    import os
+    import zlib
+
+    from rag_content_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_decode,
+        extract_image_features,
+    )
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    trunc_jpeg = open(os.path.join(fix, "python.jpg"), "rb").read()[:40]
+    trunc_gif = open(os.path.join(fix, "python.gif"), "rb").read()[:30]
+    # PNG with a corrupt IDAT payload (bad zlib stream)
+    import struct as _s
+
+    def _chunk(tag, data):
+        return (
+            _s.pack(">I", len(data)) + tag + data
+            + _s.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", b"\x00not-zlib")
+        + _chunk(b"IEND", b"")
+    )
+    payloads = [
+        ("j", trunc_jpeg),
+        ("g", trunc_gif),
+        ("p", bad_png),
+        ("b", b"BM" + b"\x01"),  # truncated BMP header
+    ]
+    df = spark.createDataFrame(
+        [(mid, "image", c, len(c), {}) for mid, c in payloads],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert set(rows) == {"j", "g", "p", "b"}
+    for mid, content in payloads:
+        w, h, feat = _fake_decode(content)
+        assert (rows[mid]["width"], rows[mid]["height"]) == (w, h)
+        # feature column is float32 — compare at 1e-5
+        assert all(
+            abs(float(x) - f) < 1e-5
+            for x, f in zip(rows[mid]["feature"], feat)
+        )
