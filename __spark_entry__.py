@@ -65,5 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for every SQL-expressible query."""
-    return dict(Q.ORACLES)
+    """DuckDB oracles for every SQL-expressible query. Lazy (callable)
+    oracles — ones that embed data-derived model constants as literals —
+    are materialized here."""
+    return Q.resolve_oracles()

@@ -191,7 +191,12 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle):
+    """``oracle`` is the DuckDB SQL string, ``None`` (rows-only check),
+    or a zero-arg callable returning the SQL — the lazy form lets an
+    oracle embed data-derived model constants (eigenvectors, centroids)
+    as literals, computed only when the harness asks for the SQL."""
+
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -199,6 +204,11 @@ def register(name: str, oracle: str | None):
         return fn
 
     return deco
+
+
+def resolve_oracles() -> dict:
+    """ORACLES with lazy (callable) entries materialized to SQL strings."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 # ======================== scalar functions / metadata ======================
@@ -7423,7 +7433,53 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance_np(_emb(spark, sf_dir))
 
 
-@register("pca_project", None)  # eigendecomposition is not SQL-expressible
+def _pca_literal_components(sf_dir: str, q: int = 8) -> list:
+    """The top-q eigencomponents derived from the DUCKDB covariance (the
+    already-hash-green ``embedding_covariance`` oracle SQL) + the same
+    driver eigh — bit-identical to what the Spark query derives, because
+    the fixed-point cov6 values are integer-exact on both engines and
+    eigh runs on the same d x d matrix."""
+    import duckdb
+
+    from rag_content_spark.operators.pca import pca_components
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    cov = con.execute(ORACLES["embedding_covariance"]).fetchall()
+    con.close()
+    return pca_components(
+        [(int(r[0]), int(r[1]), float(r[2])) for r in cov], q=q
+    )
+
+
+def _pca_project_oracle() -> str:
+    """Lazy oracle: eigendecomposition itself is not SQL-expressible, but
+    the projection GIVEN literal components is plain arithmetic — embed
+    the eigh output as double literals (the ann_ivf centroid pattern) and
+    mirror the Spark fold's left-to-right summation order exactly."""
+    import os as _os
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    selects = []
+    for rank, _eigval, vec in _pca_literal_components(sf_dir, q=8):
+        # left-assoc + chain == Spark's F.aggregate left fold, so the
+        # IEEE summation order (and hence every bit) is identical
+        terms = " + ".join(
+            f"(CAST(embedding[{k + 1}] AS DOUBLE) * {v!r})"
+            for k, v in enumerate(vec)
+        )
+        selects.append(
+            f"SELECT vec_id, {rank} AS component,"
+            f" round(0.0 + {terms}, 6) + 0.0 AS val6 FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@register("pca_project", _pca_project_oracle)
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.pca import (
         embedding_covariance_np,
@@ -7437,7 +7493,13 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in embedding_covariance_np(emb).collect()
     ]
     comps = pca_components(cov, q=8)
-    return pca_project(emb, comps)
+    # scalar-ized registry shape: one row per (vector, component) — the
+    # harness canonicalizer hashes scalars, not array<double> cells; the
+    # DataFrame API (pca_project) keeps the array form
+    return pca_project(emb, comps).select(
+        "vec_id",
+        F.posexplode("proj").alias("component", "val6"),
+    )
 
 
 # ========================== SFT / FIM shaping ==============================

@@ -76,6 +76,9 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # lazy oracles embed data-derived literals — pin them to the SF this
+    # run compares against (the driver's gate runs at the sf0.01 default)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     args = sys.argv[1:]
     json_out = None
     if "--json" in args:
