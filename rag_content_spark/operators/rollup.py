@@ -8,7 +8,7 @@ A2: corpus counters (reference document_processor.py:800-803,893-896).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def group_chunks_by_document(
@@ -142,15 +142,18 @@ def skew_report(
     ties). Two aggregations over the per-key count table — the count
     table itself is the only shuffle.
     """
+    from rag_content_spark.operators.ranking import ranked_with_total
+
     counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy(F.desc("c"), "k")
-    ranked = counts.withColumn("_rn", F.row_number().over(w))
-    # exact rank-selected percentiles over ASCENDING counts
-    wa = Window.orderBy("c", "k")
-    asc = counts.withColumn("_ra", F.row_number().over(wa))
-    n_keys = counts.count()  # driver scalar, reused for rank math
+    # the per-key count table can itself be corpus-sized (near-unique
+    # keys), so BOTH rank passes avoid single-partition windows: exact
+    # rank-selected percentiles via the distributed rank (operators/
+    # ranking.py), top-n via TakeOrderedAndProject
+    asc, n_keys = ranked_with_total(
+        counts, ["c", "k"], "_ra", num_partitions=None
+    )
     if n_keys == 0:
         raise ValueError("skew_report on empty input")
     p50_rank = max(1, -(-n_keys * 50 // 100))
@@ -162,8 +165,8 @@ def skew_report(
     )
     by_rank = {r["_ra"]: r["c"] for r in pcts}
     top = (
-        ranked.filter(F.col("_rn") <= top_n)
-        .orderBy("_rn")
+        counts.orderBy(F.desc("c"), "k")
+        .limit(top_n)
         .select(F.concat_ws(":", "k", "c").alias("kc"))
     )
     top_str = "|".join(r["kc"] for r in top.collect())

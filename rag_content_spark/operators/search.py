@@ -743,6 +743,29 @@ def mmr_rerank(
     return spark.createDataFrame(rows, ["rank", id_col, "rel"])
 
 
+def shortlist_ranks(
+    scored: "DataFrame",
+    n: int,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """(id, rank) for the top-``n`` rows by ``(score desc, id)``.
+
+    Scale shape: ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject — per-partition top-n merged on the driver, so
+    the corpus never funnels through one task; the row_number window then
+    runs over the <= n-row shortlist only (the same bounded-window
+    pattern as the MMR shortlist). Rank fusion (RRF) only needs ranks
+    inside each side's retrieval list, so this is semantics-preserving
+    for any fused k <= n.
+    """
+    from pyspark.sql import Window
+
+    short = scored.orderBy(F.desc(score_col), id_col).limit(n)
+    w = Window.orderBy(F.desc(score_col), id_col)
+    return short.select(id_col, F.row_number().over(w).alias("rank"))
+
+
 def rrf_fuse(
     rankings: "list[DataFrame]",
     id_col: str = "doc_id",

@@ -711,9 +711,11 @@ def bpe_vocab(
 ) -> DataFrame:
     """Vocabulary induced by the merge list over this corpus:
     (token, token_id, freq) with ids assigned by (freq DESC, token) —
-    the conventional frequency-ordered id space. Vocabulary-sized
-    single-partition window (ids must be globally dense)."""
-    from pyspark.sql import Window
+    the conventional frequency-ordered id space. Ids must be globally
+    dense, so they come from the distributed exact rank (operators/
+    ranking.py) rather than a vocabulary-sized single-partition
+    window."""
+    from rag_content_spark.operators.ranking import exact_global_rank
 
     wc = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
@@ -726,9 +728,11 @@ def bpe_vocab(
         .groupBy("token")
         .agg(F.sum("wfreq").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), "token")
-    return pieces.select(
-        "token", (F.row_number().over(w) - 1).alias("token_id"), "freq"
+    ranked = exact_global_rank(
+        pieces, [F.desc("freq"), F.asc("token")], rank_col="_rk"
+    )
+    return ranked.select(
+        "token", (F.col("_rk") - 1).cast("int").alias("token_id"), "freq"
     )
 
 

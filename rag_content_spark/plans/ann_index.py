@@ -25,7 +25,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def build_ann_index(
@@ -50,15 +50,21 @@ def build_ann_index(
 
     emb = emb.select(id_col, embedding_col)
     n = emb.count()
-    step = max(n // nlist, 1)
+    # Deterministic hash sampling for the nlist seeds: order by a stable
+    # per-id hash and take the first nlist. orderBy().limit() compiles to
+    # TakeOrderedAndProject — per-partition top-nlist merged on the
+    # driver, so NO corpus-sized single-partition window/sort (the old
+    # row_number() over an unpartitioned Window pushed every vector
+    # through one task). The hash spreads seeds pseudo-uniformly over
+    # the id space, and the (hash, id) key makes the pick total-ordered
+    # hence reproducible on any partitioning.
     seeds = [
         (i, list(r[embedding_col]))
         for i, r in enumerate(
-            emb.withColumn(
-                "_rn", F.row_number().over(Window.orderBy(id_col))
+            emb.orderBy(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit("ann-seed")),
+                id_col,
             )
-            .filter((F.col("_rn") - 1) % step == 0)
-            .orderBy(id_col)
             .limit(nlist)
             .collect()
         )

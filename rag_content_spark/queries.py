@@ -5106,18 +5106,19 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from rag_content_spark.operators.ranking import exact_ntile
     from rag_content_spark.operators.text_analysis import unigram_logloss
 
     x = unigram_logloss(_docs(spark, sf_dir)).select("doc_id", "xent")
-    w = Window.orderBy("xent", "doc_id")
-    bucket = F.ntile(3).over(w)
-    return x.select(
+    # exact ntile(3) WITHOUT a corpus-sized unpartitioned window: range
+    # repartition + per-slice ranks + broadcast offsets (operators/
+    # ranking.py) — identical output to the oracle's global ntile
+    b = exact_ntile(x, ["xent", "doc_id"], n=3, bucket_col="_b")
+    return b.select(
         "doc_id",
         "xent",
-        F.when(bucket == 1, "head")
-        .when(bucket == 2, "middle")
+        F.when(F.col("_b") == 1, "head")
+        .when(F.col("_b") == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
     )
@@ -5175,9 +5176,14 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.ranking import exact_global_lead
+
     ev = _events(spark, sf_dir).filter(F.col("event_id") % 7 != 0)
-    w = Window.orderBy("event_id")
-    n = ev.select("event_id", F.lead("event_id").over(w).alias("nxt"))
+    # distributed lead: range slices + boundary stitch (operators/
+    # ranking.py) — no corpus-sized single-partition window
+    n = exact_global_lead(
+        ev.select("event_id"), "event_id", lead_col="nxt"
+    )
     return n.filter(F.col("nxt") - F.col("event_id") > 1).select(
         (F.col("event_id") + 1).alias("gap_start"),
         (F.col("nxt") - 1).alias("gap_end"),
@@ -5301,19 +5307,22 @@ def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_median_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.ranking import ranked_with_total
+
     lat = q_conversion_latency(spark, sf_dir).select("latency_sec")
-    w_n = Window.partitionBy()
-    ranked = lat.select(
-        "latency_sec",
-        F.row_number().over(Window.orderBy("latency_sec")).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
+    # exact rank-selected median WITHOUT the single-partition
+    # row_number/count() OVER () pair: distributed ranks + the total
+    # from the rank computation's own offsets (operators/ranking.py).
+    # Ties in latency_sec get arbitrary consecutive ranks — the SELECTED
+    # VALUES at the two middle positions are order-independent.
+    ranked, total = ranked_with_total(
+        lat, ["latency_sec"], "rn", num_partitions=None
     )
     mid = ranked.filter(
-        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        F.col("rn").isin((total + 1) // 2, (total + 2) // 2)
     )
     return mid.agg(
-        F.max("n").cast("bigint").alias("n"),
+        F.lit(total).cast("bigint").alias("n"),
         F.round(F.avg(F.col("latency_sec").cast("double")), 6).alias(
             "median_latency_sec"
         ),
@@ -5684,26 +5693,34 @@ _RRF_TERMS_B = ["table", "scan", "hash"]
 _RRF_TERMS_B_SQL = "('table', 'scan', 'hash')"
 
 
+_RRF_SHORTLIST = 100  # per-side top-N fused; N >= the fused k bound (20)
+
+
 def _rrf_side_sql(terms_sql: str) -> str:
+    # mirror of the Spark shortlist: each side contributes ranks only
+    # inside its top-N by (score desc, id) — the standard RRF deployment
+    # (fuse bounded retrieval lists, not corpus-wide rankings)
     return f"""(
-      SELECT doc_id,
-             row_number() OVER (ORDER BY kw_score DESC, doc_id) AS rank
-      FROM (
-        WITH post AS (
-          SELECT doc_id, u.token, count(*) AS tf
-          FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
-               unnest(t.tk) AS u(token)
-          WHERE u.token IN {terms_sql}
-          GROUP BY doc_id, u.token
-        ),
-        idf AS (
-          SELECT token, ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
-          FROM post GROUP BY token
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY kw_score DESC, doc_id) AS rank
+        FROM (
+          WITH post AS (
+            SELECT doc_id, u.token, count(*) AS tf
+            FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+                 unnest(t.tk) AS u(token)
+            WHERE u.token IN {terms_sql}
+            GROUP BY doc_id, u.token
+          ),
+          idf AS (
+            SELECT token, ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+            FROM post GROUP BY token
+          )
+          SELECT p.doc_id, round(sum(p.tf * i.idf), 6) AS kw_score
+          FROM post p JOIN idf i USING (token)
+          GROUP BY p.doc_id
         )
-        SELECT p.doc_id, round(sum(p.tf * i.idf), 6) AS kw_score
-        FROM post p JOIN idf i USING (token)
-        GROUP BY p.doc_id
-      )
+      ) WHERE rank <= {_RRF_SHORTLIST}
     )"""
 
 
@@ -5727,16 +5744,22 @@ def _rrf_side_sql(terms_sql: str) -> str:
     """,
 )
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from rag_content_spark.operators.search import keyword_scores, rrf_fuse
+    from rag_content_spark.operators.search import (
+        keyword_scores,
+        rrf_fuse,
+        shortlist_ranks,
+    )
 
     docs = _docs(spark, sf_dir)
-    w = Window.orderBy(F.desc("kw_score"), "doc_id")
 
     def _ranked(terms):
-        return keyword_scores(docs, terms).select(
-            "doc_id", F.row_number().over(w).alias("rank")
+        # per-side top-N via TakeOrdered (parallel), ranks computed over
+        # the <=N-row shortlist — no corpus-sized unpartitioned window
+        return shortlist_ranks(
+            keyword_scores(docs, terms),
+            n=_RRF_SHORTLIST,
+            score_col="kw_score",
+            id_col="doc_id",
         )
 
     return rrf_fuse(
@@ -6751,13 +6774,35 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.ranking import ranked_with_total
+
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    # (c_acctbal, c_custkey) is a strict total order, so all three rank
+    # functions are pure arithmetic over the exact distributed rank:
+    # percent_rank = (rank-1)/(n-1), cume_dist = rank/n (no equal keys),
+    # ntile(4) = the cumulative-bound CASE — no corpus-sized window
+    ranked, n = ranked_with_total(
+        c.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        "_rk",
+        num_partitions=None,
+    )
+    q, r = divmod(int(n), 4)
+    bounds = [b * q + min(b, r) for b in range(1, 5)]
+    quart = F.lit(4)
+    for b in range(3, 0, -1):
+        quart = F.when(F.col("_rk") <= F.lit(bounds[b - 1]), F.lit(b)).otherwise(
+            quart
+        )
+    return ranked.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(
+            (F.col("_rk") - 1).cast("double") / F.lit(float(max(n - 1, 1))), 6
+        ).alias("pct_rank"),
+        F.round(F.col("_rk").cast("double") / F.lit(float(n)), 6).alias(
+            "cum_dist"
+        ),
+        quart.cast("bigint").alias("quartile"),
     )
 
 

@@ -84,3 +84,97 @@ def test_no_python_row_udfs_in_headline_plans(spark):
     for name in ["build_pipeline", "chunk_llama", "semdedup", "dsir_weights"]:
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
+
+
+# --- no corpus-sized unpartitioned windows -------------------------------
+
+BOUNDING = {
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+    "LocalTableScan",
+}
+
+
+def _tree_nodes(plan):
+    """[(depth, name, id)] from the formatted plan's tree section."""
+    out = []
+    for ln in plan.split("\n\n")[0].splitlines():
+        m = re.match(r"^([ :+\-*]*)(\w+)[^(]*\((\d+)\)\s*$", ln)
+        if m:
+            out.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    return out
+
+
+def _bracket_groups(s):
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_window_ids(plan):
+    ids = []
+    for m in re.finditer(
+        r"\((\d+)\) Window\n(?:Input[^\n]*\n)?Arguments: ([^\n]*)", plan
+    ):
+        groups = _bracket_groups(m.group(2))
+        # Window args: [exprs], [partition spec], [order spec]; when
+        # unpartitioned the 2nd group is the ORDER spec (ASC/DESC) or
+        # empty (unordered frame over the whole input)
+        if len(groups) >= 2:
+            second = groups[1]
+            if second.strip() == "" or re.search(r"\b(ASC|DESC)\b", second):
+                ids.append(int(m.group(1)))
+    return ids
+
+
+def _window_is_bounded(plan, win_id):
+    nodes = _tree_nodes(plan)
+    idx = next(i for i, (_, n, nid) in enumerate(nodes) if nid == win_id)
+    depth = nodes[idx][0]
+    subtree = []
+    for d, name, nid in nodes[idx + 1 :]:
+        if d <= depth:
+            break
+        subtree.append(name)
+    has_scan = any(n == "Scan" for n in subtree)
+    has_bound = any(n in BOUNDING for n in subtree)
+    return has_bound or not has_scan
+
+
+GLOBAL_WINDOW_FIXED = [
+    # each of these used to funnel the corpus through ONE window task;
+    # now every unpartitioned Window must sit above a bounded input
+    # (TakeOrdered/limit) — new corpus-sized global windows are a bug
+    "rrf_hybrid",
+    "ccnet_buckets",
+    "id_gaps",
+    "median_latency",
+    "balance_rank_profile",
+    "skew_report",
+    "bpe_tokenize",
+]
+
+
+@pytest.mark.parametrize("name", GLOBAL_WINDOW_FIXED)
+def test_no_corpus_sized_unpartitioned_windows(spark, name):
+    plan = _plan(spark, name)
+    bad = [
+        w
+        for w in _unpartitioned_window_ids(plan)
+        if not _window_is_bounded(plan, w)
+    ]
+    assert not bad, f"{name}: unbounded global window node(s) {bad}\n{plan[:2000]}"
