@@ -174,7 +174,8 @@ HEADLINE = [
     "streaming_chunk_parity", # streaming docs->chunks twin (upsert table)
     "cms_merge",              # CMS cell-wise-sum mergeability proof
     "group_sample",           # deterministic per-group inspection sample
-    "text_index_search",      # persisted inverted index, pruned lookup
+    "text_index_build",       # persisted inverted index: one-time build
+    "text_index_lookup",      # amortized partition-pruned index lookup
     "min_cost_supplier",      # TPC-H Q2 shape (correlated scalar MIN)
     "product_type_profit",    # TPC-H Q9 shape (5-way join, LIKE filter)
     "important_stock",        # TPC-H Q11 shape (HAVING vs scalar total)

@@ -4,11 +4,12 @@ Images/audio/video are opaque ``binary`` columns + typed metadata; the
 heavy decode/feature steps are Arrow-batched mapInPandas UDFs. PNG
 (zlib-deflate + per-scanline filters), baseline JPEG (huffman entropy
 decode + dequant + IDCT + chroma upsample), GIF (LZW + interlace),
-BMP24, netpbm and PCM16 WAV are ALL real stdlib+numpy decoders; only
-profiles that genuinely need external codecs (progressive JPEG, video
-containers) fall back to a clearly-marked deterministic fake. The Spark-side plumbing — schema,
-size-balanced partitioning, UDF signature, batch shape — is real and
-tested either way.
+BMP24, netpbm and PCM16 WAV are ALL real stdlib+numpy decoders, and
+animated-GIF frame sampling reads the real graphic-control schedule;
+only profiles that genuinely need external codecs (progressive JPEG,
+non-GIF video containers) fall back to a clearly-marked deterministic
+fake. The Spark-side plumbing — schema, size-balanced partitioning,
+UDF signature, batch shape — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -127,10 +128,67 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def gif_frame_schedule(content: bytes) -> list:
+    """REAL animated-GIF frame schedule: [(start_s, delay_s)] per frame,
+    from a header-only walk of the block stream — graphic-control
+    extensions (0x21 0xF9) carry each following image descriptor's delay
+    in 1/100 s; color tables and LZW sub-blocks are skipped without
+    pixel decode, so this is O(block count), not O(pixels). Raises
+    ValueError on malformed streams. (Block layout per the public
+    GIF89a specification.)"""
+    b = content or b""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    pos = 13
+    if b[10] & 0x80:  # global color table
+        pos += 3 * (2 ** ((b[10] & 7) + 1))
+    frames = []
+    t = 0.0
+    pending_delay = 0.0
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos + 4 < len(b) and b[pos] == 4:
+                pending_delay = (
+                    int.from_bytes(b[pos + 2 : pos + 4], "little") / 100.0
+                )
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        iflags = b[pos + 9]
+        pos += 10
+        if iflags & 0x80:  # local color table
+            pos += 3 * (2 ** ((iflags & 7) + 1))
+        pos += 1  # LZW minimum code size
+        while pos < len(b) and b[pos] != 0:  # skip pixel sub-blocks
+            pos += 1 + b[pos]
+        pos += 1
+        frames.append((t, pending_delay))
+        t += pending_delay
+        pending_delay = 0.0
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return frames
+
+
 def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
-    """Frame-sampling plumbing: one row per sampled frame. STUB decode —
-    frame count is derived deterministically from content size (a real
-    implementation reads container metadata via pyav)."""
+    """One row per sampled instant (``frame_index`` = the frame displayed
+    at ``frame_time_s``). REAL for animated GIFs: the frame schedule
+    comes from :func:`gif_frame_schedule` (graphic-control delays), and
+    sampling picks the frame on screen at each ``every_n_seconds`` grid
+    point. Other video containers (mp4/webm/...) need external codecs
+    this container lacks — they keep the clearly-marked deterministic
+    FAKE schedule derived from content size (a real implementation reads
+    container metadata via pyav)."""
+    import bisect
+
     schema = T.StructType(
         [
             T.StructField("media_id", T.StringType()),
@@ -143,11 +201,38 @@ def sample_video_frames(media: DataFrame, every_n_seconds: float = 1.0) -> DataF
         for pdf in batches:
             rows = {"media_id": [], "frame_index": [], "frame_time_s": []}
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                fake_duration = (len(content or b"") % 10) + 1
-                for i in range(int(fake_duration / every_n_seconds)):
+                raw = bytes(content) if content is not None else b""
+                sched = None
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        sched = gif_frame_schedule(raw)
+                    except (ValueError, IndexError):
+                        sched = None
+                if sched is not None:
+                    starts = [s for s, _ in sched]
+                    total = sched[-1][0] + sched[-1][1]
+                    if total <= 0:  # static / zero-delay GIF: one frame
+                        picks = [(0, 0.0)]
+                    else:
+                        picks = []
+                        k = 0
+                        while k * every_n_seconds < total:
+                            tt = k * every_n_seconds
+                            picks.append(
+                                (bisect.bisect_right(starts, tt) - 1, tt)
+                            )
+                            k += 1
+                else:
+                    # DETERMINISTIC FAKE for non-GIF containers
+                    fake_duration = (len(raw) % 10) + 1
+                    picks = [
+                        (i, i * every_n_seconds)
+                        for i in range(int(fake_duration / every_n_seconds))
+                    ]
+                for idx, tt in picks:
                     rows["media_id"].append(media_id)
-                    rows["frame_index"].append(i)
-                    rows["frame_time_s"].append(i * every_n_seconds)
+                    rows["frame_index"].append(idx)
+                    rows["frame_time_s"].append(tt)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_sample, schema=schema)

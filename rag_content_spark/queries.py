@@ -8278,9 +8278,7 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persisted inverted-index twin of bm25_search: build the token-bucket
 # partitioned postings index, query it partition-pruned — scores must
 # hash-match the on-the-fly scorer's oracle (shared bm25_from_postings).
-@register(
-    "text_index_search",
-    f"""
+_TEXT_INDEX_LOOKUP_ORACLE = f"""
     WITH lens AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
     stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
     post AS (
@@ -8301,8 +8299,28 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, round(sum(term_score), 6) AS bm25
     FROM scored GROUP BY doc_id
-    """,
-)
+    """
+
+# build-once fixture: at scale the index is built once and queried many
+# times, so bench splits build (text_index_build) from the amortized
+# partition-pruned lookup (text_index_lookup, memoized build).
+_TEXT_INDEX_MEMO: dict = {}
+
+
+def _memo_text_index(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from rag_content_spark.plans.text_index import build_text_index
+
+    d = _TEXT_INDEX_MEMO.get(sf_dir)
+    if d is None or not os.path.exists(os.path.join(d, "meta.json")):
+        d = tempfile.mkdtemp(prefix="sgraft_text_index_")
+        build_text_index(_docs(spark, sf_dir), d, n_buckets=32)
+        _TEXT_INDEX_MEMO[sf_dir] = d
+    return d
+
+
+@register("text_index_search", _TEXT_INDEX_LOOKUP_ORACLE)
 def q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -8314,6 +8332,51 @@ def q_text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="sgraft_text_index_")
     build_text_index(_docs(spark, sf_dir), d, n_buckets=32)
     return query_text_index(spark, d, _KW_TERMS)
+
+
+@register(
+    "text_index_build",
+    # the build step in isolation: per-bucket postings manifest read
+    # back from the written artifact — the oracle recomputes the same
+    # (bucket, token stats) partitioning from the raw corpus
+    f"""
+    WITH post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      GROUP BY doc_id, u.token
+    )
+    SELECT CAST({stable_hash64_sql('token', salt='ti')} % 32 AS INT) AS bucket,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_postings,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM post GROUP BY 1
+    """,
+)
+def q_text_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rag_content_spark.plans.text_index import build_text_index
+
+    d = tempfile.mkdtemp(prefix="sgraft_text_index_")
+    build_text_index(_docs(spark, sf_dir), d, n_buckets=32)
+    _TEXT_INDEX_MEMO[sf_dir] = d  # lookups amortize against this build
+    return (
+        spark.read.parquet(os.path.join(d, "postings"))
+        .groupBy("bucket")
+        .agg(
+            F.count_distinct("token").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+    )
+
+
+@register("text_index_lookup", _TEXT_INDEX_LOOKUP_ORACLE)
+def q_text_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.plans.text_index import query_text_index
+
+    return query_text_index(spark, _memo_text_index(spark, sf_dir), _KW_TERMS)
 
 
 # --- the five remaining TPC-H decorrelation shapes (Q2/Q9/Q11/Q16/Q20) ---

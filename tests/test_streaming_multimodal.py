@@ -898,3 +898,104 @@ def test_extract_image_features_corrupt_streams_fall_back(spark):
             abs(float(x) - f) < 1e-5
             for x, f in zip(rows[mid]["feature"], feat)
         )
+
+
+def _encode_animated_gif(frames, palette, delays_cs):
+    """Spec-true ANIMATED GIF: graphic-control extension (delay in
+    1/100 s) before each frame's image descriptor; pixel data uses the
+    same uncompressed-LZW trick as _encode_gif."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    n = len(palette)
+    mcs = max(2, (n - 1).bit_length())
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gct_bits = max(1, (n - 1).bit_length())
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])
+    for i in range(1 << gct_bits):
+        out += bytes(palette[i] if i < n else (0, 0, 0))
+    for idx, delay in zip(frames, delays_cs):
+        out += b"\x21\xf9\x04\x00" + int(delay).to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + b"\x00" * 4
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0, mcs])
+        codes = []
+        for px in idx.reshape(-1):
+            codes += [clear, int(px)]
+        codes.append(end)
+        buf = bytearray()
+        acc = nbits = 0
+        for c in codes:
+            acc |= c << nbits
+            nbits += mcs + 1
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            buf.append(acc & 0xFF)
+        for i in range(0, len(buf), 255):
+            chunk = buf[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_frame_schedule_real_delays():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import (
+        decode_gif,
+        gif_frame_schedule,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [np.full((4, 4), i % 3, dtype=np.uint8) for i in range(3)]
+    gif = _encode_animated_gif(frames, palette, delays_cs=[10, 20, 30])
+    sched = gif_frame_schedule(gif)
+    assert [(round(a, 9), round(b, 9)) for a, b in sched] == [
+        (0.0, 0.1), (0.1, 0.2), (0.3, 0.3)
+    ]
+    # the pixel decoder still reads the FIRST frame of the animation
+    img = decode_gif(gif)
+    assert img.shape == (4, 4, 3) and tuple(img[0, 0]) == (255, 0, 0)
+    # single-frame GIFs from the non-animated encoder: one zero-delay frame
+    single = _encode_gif(frames[0], palette)
+    assert gif_frame_schedule(single) == [(0.0, 0.0)]
+
+
+def test_video_frame_sampling_real_gif(spark):
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [np.full((4, 4), i % 3, dtype=np.uint8) for i in range(3)]
+    gif = _encode_animated_gif(frames, palette, delays_cs=[10, 20, 30])
+    static = _encode_gif(frames[0], palette)
+    df = spark.createDataFrame(
+        [
+            ("anim", "video", gif, len(gif), {}),
+            ("stat", "video", static, len(static), {}),
+            ("mp4", "video", b"\x00\x00ftypmp4fake", 12, {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_video_frames(df, every_n_seconds=0.25).collect()
+    anim = sorted(
+        (r["frame_time_s"], r["frame_index"])
+        for r in rows
+        if r["media_id"] == "anim"
+    )
+    # duration 0.6 s, grid 0.25 s: the frame ON SCREEN at 0 / 0.25 / 0.5
+    assert anim == [(0.0, 0), (0.25, 1), (0.5, 2)]
+    stat = [r for r in rows if r["media_id"] == "stat"]
+    assert [(r["frame_time_s"], r["frame_index"]) for r in stat] == [(0.0, 0)]
+    # non-GIF containers keep the documented deterministic fake
+    assert any(r["media_id"] == "mp4" for r in rows)
