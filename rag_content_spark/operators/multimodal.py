@@ -442,6 +442,84 @@ def extract_audio_features(
     return media.mapInPandas(_extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("clip_frac", T.DoubleType()),
+        T.StructField("silence_frac", T.DoubleType()),
+        T.StructField("dyn_range_db", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_quality_stats(
+    media: DataFrame,
+    silence_thresh: float = 1e-3,
+    rolloff_pct: float = 0.85,
+) -> DataFrame:
+    """Audio QUALITY gate for training-data curation — the audio twin of
+    gopher_quality: per-clip clipping fraction (|x| at full scale),
+    silence fraction, dynamic range (dB between p99 and p10 of |x|),
+    and rfft-based spectral centroid / rolloff. All REAL math over the
+    stdlib PCM16 WAV decode (numpy rfft — no external audio library);
+    non-WAV rows emit nulls so a gated decoder stage can pick them up.
+    One narrow Arrow-batched pass, bytes never leave the executor."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_QUALITY_SCHEMA.fields}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_wav_pcm16(
+                    bytes(content) if content is not None else b""
+                )
+                rows["media_id"].append(media_id)
+                if samples is None or not len(samples):
+                    for k in (
+                        "duration_s",
+                        "clip_frac",
+                        "silence_frac",
+                        "dyn_range_db",
+                        "spectral_centroid_hz",
+                        "spectral_rolloff_hz",
+                    ):
+                        rows[k].append(None)
+                    continue
+                ab = np.abs(samples)
+                # PCM16 full scale after /32768 mono mix: >= 32766/32768
+                clip = float((ab >= 32766.0 / 32768.0).mean())
+                silence = float((ab < silence_thresh).mean())
+                p99, p10 = np.percentile(ab, [99.0, 10.0])
+                dyn = float(
+                    20.0 * np.log10(max(p99, 1e-9) / max(p10, 1e-9))
+                )
+                spec = np.abs(np.fft.rfft(samples))
+                freqs = np.fft.rfftfreq(len(samples), d=1.0 / rate)
+                power = spec * spec
+                tot = float(power.sum())
+                if tot <= 0.0:
+                    centroid = 0.0
+                    rolloff = 0.0
+                else:
+                    centroid = float((freqs * power).sum() / tot)
+                    cum = np.cumsum(power)
+                    rolloff = float(
+                        freqs[int(np.searchsorted(cum, rolloff_pct * tot))]
+                    )
+                rows["duration_s"].append(len(samples) / rate)
+                rows["clip_frac"].append(round(clip, 6))
+                rows["silence_frac"].append(round(silence, 6))
+                rows["dyn_range_db"].append(round(dyn, 6))
+                rows["spectral_centroid_hz"].append(round(centroid, 6))
+                rows["spectral_rolloff_hz"].append(round(rolloff, 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=AUDIO_QUALITY_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # REAL image decode: 24-bit uncompressed BMP needs only struct + numpy
 # (fixed header + raw BGR rows, bottom-up, 4-byte row padding) — so like

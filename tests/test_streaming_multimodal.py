@@ -999,3 +999,60 @@ def test_video_frame_sampling_real_gif(spark):
     assert [(r["frame_time_s"], r["frame_index"]) for r in stat] == [(0.0, 0)]
     # non-GIF containers keep the documented deterministic fake
     assert any(r["media_id"] == "mp4" for r in rows)
+
+
+def test_audio_quality_stats_real_signals(spark):
+    import io
+    import struct as _s
+    import wave
+
+    from rag_content_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_quality_stats,
+    )
+
+    def _pcm(vals, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"".join(_s.pack("<h", v) for v in vals))
+        return buf.getvalue()
+
+    import math
+
+    rate = 8000
+    sine = _pcm(
+        [
+            int(20000 * math.sin(2 * math.pi * 440.0 * i / rate))
+            for i in range(rate)
+        ]
+    )
+    # hard-clipped square wave at full scale (max clipping)
+    square = _pcm(
+        [32767 if (i // 10) % 2 == 0 else -32768 for i in range(rate)]
+    )
+    silent = _pcm([0] * rate)
+    df = spark.createDataFrame(
+        [
+            ("sine", "audio", sine, len(sine), {}),
+            ("sq", "audio", square, len(square), {}),
+            ("zero", "audio", silent, len(silent), {}),
+            ("junk", "audio", b"not audio", 9, {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in audio_quality_stats(df).collect()}
+    # pure 440 Hz tone: spectral centroid within a few Hz of the tone
+    assert abs(rows["sine"]["spectral_centroid_hz"] - 440.0) < 5.0
+    assert rows["sine"]["clip_frac"] == 0.0
+    assert rows["sine"]["silence_frac"] < 0.01
+    # square wave: heavily clipped, wideband (centroid >> 440)
+    assert rows["sq"]["clip_frac"] > 0.9
+    assert rows["sq"]["spectral_centroid_hz"] > 440.0
+    # digital silence: fully silent, zero spectrum
+    assert rows["zero"]["silence_frac"] == 1.0
+    assert rows["zero"]["spectral_centroid_hz"] == 0.0
+    # non-WAV bytes: nulls for the decoder-gated stage
+    assert rows["junk"]["duration_s"] is None
