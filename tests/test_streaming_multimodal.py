@@ -1047,7 +1047,7 @@ def test_audio_quality_stats_real_signals(spark):
     # pure 440 Hz tone: spectral centroid within a few Hz of the tone
     assert abs(rows["sine"]["spectral_centroid_hz"] - 440.0) < 5.0
     assert rows["sine"]["clip_frac"] == 0.0
-    assert rows["sine"]["silence_frac"] < 0.01
+    assert rows["sine"]["silence_frac"] < 0.05  # near-zero-crossing samples only
     # square wave: heavily clipped, wideband (centroid >> 440)
     assert rows["sq"]["clip_frac"] > 0.9
     assert rows["sq"]["spectral_centroid_hz"] > 440.0
