@@ -185,6 +185,8 @@ HEADLINE = [
     "quantile_sketch",        # log-linear mergeable quantile sketch
     "qsketch_merge",          # sketch mergeability proof (bucket sums)
     "streaming_qsketch",      # per-batch sketch appends, merge on read
+    "triangle_count",         # per-node triangle enumeration (set algebra)
+    "equi_depth_hist",        # ANALYZE-style equal-frequency histogram
 ]
 
 

@@ -8925,6 +8925,99 @@ def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "triangle_count",
+    # Per-node triangle counts (the clustering-coefficient numerator)
+    # over a synthesized dense 25-node doc graph: canonical u<v edges, wedges
+    # a<b<c closed against the edge set — pure set algebra, so the
+    # oracle is the identical three-join SQL.
+    """
+    WITH raw AS (
+      SELECT CAST(doc_id % 25 AS BIGINT) AS s,
+             CAST((doc_id * 7 + 3) % 25 AS BIGINT) AS d
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id % 25 AS BIGINT) AS s,
+             CAST((doc_id * 13 + 5) % 25 AS BIGINT) AS d
+      FROM documents
+    ),
+    e AS (
+      SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      FROM raw WHERE s <> d
+    ),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab JOIN e bc ON ab.v = bc.u
+                JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    nodes AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.graph import triangle_counts
+
+    docs = _docs(spark, sf_dir)
+    e1 = docs.select(
+        (F.col("doc_id") % 25).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 25).alias("dst"),
+    )
+    e2 = docs.select(
+        (F.col("doc_id") % 25).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % 25).alias("dst"),
+    )
+    return triangle_counts(e1.unionAll(e2))
+
+
+@register(
+    "equi_depth_hist",
+    # Equi-depth (equal-frequency) histogram of line-item prices: the
+    # ANALYZE-style statistics build every CBO needs. Buckets come from
+    # the distributed exact rank (operators/ranking.py exact_ntile — no
+    # corpus-sized window); the oracle is the rank-exact global ntile
+    # over the same strict total order.
+    """
+    WITH t AS (
+      SELECT l_extendedprice AS p,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(p) AS DOUBLE) AS lo,
+           CAST(max(p) AS DOUBLE) AS hi,
+           CAST(sum(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM t GROUP BY 1
+    """,
+)
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.ranking import exact_ntile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    b = exact_ntile(
+        li,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        n=8,
+        bucket_col="bucket",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("l_extendedprice").cast("double").alias("lo"),
+        F.max("l_extendedprice").cast("double").alias("hi"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
 # registry ordering: the driver's correctness gate samples a prefix of the
 # registry, so the ordering policy is computed — not hardcoded — each
 # import:

@@ -511,3 +511,23 @@ def test_pagerank_checkpoint_invariant(spark):
         for r in pagerank_fixed(edges, iters=12, checkpoint_every=5).collect()
     }
     assert plain == cut
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 (every node in C(3,2)=3 triangles) + a pendant edge (no
+    triangles) + duplicate/reversed/self-loop edges that must collapse."""
+    from rag_content_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 2), (2, 3), (1, 1), (4, 5)]  # noise: dup/rev/self/pendant
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from rag_content_spark.operators.graph import triangle_counts
+
+    # a path graph has no triangles
+    df = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    assert triangle_counts(df).collect() == []
