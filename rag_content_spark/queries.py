@@ -8579,15 +8579,17 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = natps.groupBy("pk").agg(
         F.sum("v").cast("decimal(38,4)").alias("val")
     )
-    # total and nparts come from a global window over the ALREADY
-    # AGGREGATED per-part table (one tiny single-partition exchange) —
-    # ONE lineitem scan in the whole plan, no duplicated agg subtree
-    wall = Window.partitionBy()
+    # the per-part table is part-cardinality-sized (corpus-scale), so
+    # total/nparts come from a ONE-ROW aggregate broadcast back in —
+    # not a single-partition window over every part. localCheckpoint
+    # pins the aggregated table so lineitem is still scanned once.
+    per_part = per_part.localCheckpoint(eager=False)
+    totals = per_part.agg(
+        F.sum("val").cast("decimal(38,4)").alias("total"),
+        F.count(F.lit(1)).alias("nparts"),
+    )
     return (
-        per_part.withColumn(
-            "total", F.sum("val").over(wall).cast("decimal(38,4)")
-        )
-        .withColumn("nparts", F.count(F.lit(1)).over(wall))
+        per_part.crossJoin(F.broadcast(totals))
         .filter(F.col("val") * F.col("nparts") > 2 * F.col("total"))
         .select(
             F.col("pk").cast("bigint").alias("partkey"),

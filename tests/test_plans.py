@@ -166,6 +166,8 @@ GLOBAL_WINDOW_FIXED = [
     "balance_rank_profile",
     "skew_report",
     "bpe_tokenize",
+    "important_stock",
+    "equi_depth_hist",
 ]
 
 
