@@ -7499,16 +7499,23 @@ def _pca_literal_components(sf_dir: str, q: int = 8) -> list:
     )
 
 
+_PCA_ORACLE_MEMO: dict = {}
+
+
 def _pca_project_oracle() -> str:
     """Lazy oracle: eigendecomposition itself is not SQL-expressible, but
     the projection GIVEN literal components is plain arithmetic — embed
     the eigh output as double literals (the ann_ivf centroid pattern) and
-    mirror the Spark fold's left-to-right summation order exactly."""
+    mirror the Spark fold's left-to-right summation order exactly.
+    Memoized per sf_dir (the cov pass costs seconds; oracle_sql() may be
+    called more than once)."""
     import os as _os
 
     sf_dir = _os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
+    if sf_dir in _PCA_ORACLE_MEMO:
+        return _PCA_ORACLE_MEMO[sf_dir]
     selects = []
     for rank, _eigval, vec in _pca_literal_components(sf_dir, q=8):
         # left-assoc + chain == Spark's F.aggregate left fold, so the
@@ -7521,7 +7528,8 @@ def _pca_project_oracle() -> str:
             f"SELECT vec_id, {rank} AS component,"
             f" round(0.0 + {terms}, 6) + 0.0 AS val6 FROM embeddings"
         )
-    return "\nUNION ALL\n".join(selects)
+    _PCA_ORACLE_MEMO[sf_dir] = "\nUNION ALL\n".join(selects)
+    return _PCA_ORACLE_MEMO[sf_dir]
 
 
 @register("pca_project", _pca_project_oracle)
