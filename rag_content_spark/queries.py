@@ -3174,6 +3174,106 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "cluster_representatives",
+    # The dedup END step: for every near-dup cluster keep the
+    # highest-quality member (tie -> lowest id); singletons represent
+    # themselves. Composes the dedup_clusters transitive closure with
+    # the quality_score formula — both oracle fragments verbatim.
+    f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    qual AS (
+      SELECT doc_id AS id,
+             round(CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END * 0.4
+                   + CASE WHEN sw_ratio >= 0.05 THEN 1.0 ELSE 0.0 END * 0.4
+                   + (1.0 - least(non_alnum_ratio * 5, 1.0)) * 0.2, 6) AS quality
+      FROM (
+        SELECT doc_id,
+               list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE))) / greatest(len(tk), 1) AS mean_len,
+               len(list_filter(tk, t -> lower(t) IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                 / greatest(len(tk), 1) AS sw_ratio,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1) AS non_alnum_ratio
+        FROM (SELECT doc_id, text, {_TOKENS_SQL} AS tk FROM corpus)
+      )
+    ),
+    member AS (
+      SELECT q.id, coalesce(c.component, q.id) AS component, q.quality
+      FROM qual q LEFT JOIN comp c USING (id)
+    )
+    SELECT component, id AS rep_id, n_members, best_quality FROM (
+      SELECT component, id, quality,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, id) AS rk,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+             max(quality) OVER (PARTITION BY component) AS best_quality
+      FROM member
+    ) WHERE rk = 1
+    """,
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    pairs = dedup.jaccard_pairs(corpus, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    comp = dedup.connected_components(pairs)
+    qual = corpus.select(
+        F.col("doc_id").alias("id"),
+        text_analysis.quality_score("text").alias("quality"),
+    )
+    member = qual.join(comp, "id", "left").withColumn(
+        "component", F.coalesce("component", F.col("id"))
+    )
+    # argmax quality, tie -> min id: lexicographic struct max over
+    # (quality, -id) — one map-side-combining aggregate, no per-cluster
+    # window (cluster count is corpus-scale)
+    best = member.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col("id")).alias("negid"))
+        ).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return best.select(
+        "component",
+        (-F.col("b.negid")).cast("bigint").alias("rep_id"),
+        "n_members",
+        (F.round(F.col("b.quality"), 6) + F.lit(0.0)).alias("best_quality"),
+    )
+
+
 # ===================== round-2 curation operators ==========================
 
 
