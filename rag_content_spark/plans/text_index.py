@@ -154,3 +154,53 @@ def add_to_text_index(
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return meta
+
+
+def compact_text_index(spark: SparkSession, out_dir: str) -> dict:
+    """Compact the postings after many :func:`add_to_text_index` appends:
+    rewrite each token bucket's accumulated small files into one sorted
+    file per bucket (the OPTIMIZE/small-files maintenance step every
+    append-only lake table needs — query latency degrades with file
+    count, not bytes).
+
+    Safe shape: the rewrite stages into ``postings.compact`` and swaps
+    via atomic rename, so a crash mid-compact leaves the live index
+    untouched. Stats/meta are unchanged (compaction moves bytes, not
+    rows). Returns {n_files_before, n_files_after, n_rows}.
+    """
+    import shutil
+
+    post_dir = os.path.join(out_dir, "postings")
+    staging = os.path.join(out_dir, "postings.compact")
+    backup = os.path.join(out_dir, "postings.old")
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+
+    before = _count_files(post_dir)
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    post = spark.read.parquet(post_dir)
+    n_rows = post.count()
+    (
+        post.repartition(meta["n_buckets"], "bucket")
+        .sortWithinPartitions("bucket", "token", meta["id_col"])
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(post_dir, backup)
+    os.rename(staging, post_dir)
+    shutil.rmtree(backup)
+    return {
+        "n_files_before": before,
+        "n_files_after": _count_files(post_dir),
+        "n_rows": n_rows,
+    }

@@ -478,3 +478,37 @@ def test_maxsim_matches_python_model(spark):
         key=lambda p: (-p[1], p[0]),
     )
     assert got == want  # doc 5 (whitespace-only) filtered out
+
+
+def test_compact_text_index_preserves_results(spark, tmp_path):
+    """Appends fragment the bucket dirs; compaction must collapse files
+    per bucket while the pruned BM25 lookup stays bit-identical."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        compact_text_index,
+        query_text_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    d = str(tmp_path / "ti")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 0), d, n_buckets=8)
+    add_to_text_index(docs.filter(F.col("doc_id") % 3 == 1), d)
+    add_to_text_index(docs.filter(F.col("doc_id") % 3 == 2), d)
+    terms = ["spark", "join", "merge"]
+    before = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(spark, d, terms).collect()
+    )
+    stats = compact_text_index(spark, d)
+    assert stats["n_files_after"] < stats["n_files_before"]
+    assert stats["n_files_after"] <= 8  # one file per non-empty bucket
+    after = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(spark, d, terms).collect()
+    )
+    assert after == before and len(after) > 0
