@@ -308,6 +308,52 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Verify candidate pairs with ASYMMETRIC shingle containment:
+    ``contain_a = |A n B| / |A|`` and ``contain_b = |A n B| / |B|`` —
+    the quote/subset-duplication signal symmetric Jaccard misses (a
+    short doc fully embedded in a long one has J ~ |A|/|B| but
+    contain_a = 1). Same candidate-bounded shape as
+    :func:`jaccard_pairs`: shingles only for docs in a candidate pair,
+    set math on |candidates| rows.
+    """
+    pairs = pairs.localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, on=id_col, how="leftsemi").select(
+        F.col(id_col), hashed_shingles(text_col, n=shingle_n).alias("_shingles")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        pairs.join(
+            sh.withColumnRenamed("_shingles", "_sa"),
+            pairs["id_a"] == sh[id_col],
+        )
+        .drop(id_col)
+        .join(
+            sh.withColumnRenamed("_shingles", "_sb"),
+            F.col("id_b") == sh[id_col],
+        )
+        .drop(id_col)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("_sa"), round_to).alias("contain_a"),
+            F.round(inter / F.size("_sb"), round_to).alias("contain_b"),
+        )
+    )
+
+
 def simhash(text_col: Column | str = "text", bits: int = 16) -> Column:
     """SimHash fingerprint: bit j is set iff sum over tokens of
     (+1 if bit j of stable_hash64(token) else -1) >= 0.

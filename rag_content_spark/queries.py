@@ -3174,6 +3174,75 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+_CONTAIN_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           array_to_string(list_slice({_TOKENS_SQL}, 1,
+             greatest(len({_TOKENS_SQL}) // 2, 1)), ' ') AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _fan(_docs(spark, sf_dir).select("doc_id", "text"))
+    tok = tokens(F.col("text"))
+    halves = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                tok,
+                1,
+                F.greatest((F.size(tok) / 2).cast("int"), F.lit(1)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return docs.unionAll(halves)
+
+
+@register(
+    "containment_dedup",
+    # ASYMMETRIC near-dup: shingle containment |AnB|/|A| vs |AnB|/|B| —
+    # the quote/subset signal symmetric Jaccard misses (planted
+    # half-prefix docs have J ~ 0.5 but containment ~ 1.0). Candidates
+    # from the same LSH bands; verification bounded to candidates.
+    f"""
+    WITH corpus AS ({_CONTAIN_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, sh, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, sh, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, sh, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh), 6) AS contain_a,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh), 6) AS contain_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE greatest(
+            round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh), 6),
+            round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh), 6)
+          ) >= 0.9
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _contain_corpus(spark, sf_dir)
+    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    return dedup.containment_pairs(corpus, cand).filter(
+        F.greatest("contain_a", "contain_b") >= 0.9
+    )
+
+
 @register(
     "cluster_representatives",
     # The dedup END step: for every near-dup cluster keep the

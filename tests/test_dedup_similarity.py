@@ -398,3 +398,37 @@ def test_semdedup_np_pairwise_equals_declarative(spark):
         ).collect()
     }
     assert np_small == sql_keep
+
+
+def test_containment_pairs_subset_detection(spark):
+    """A doc fully embedded in a longer one: containment of the short
+    side ~1.0 while Jaccard stays at the length ratio."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    short_text = " ".join(f"tok{i}" for i in range(20))  # strict prefix
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["contain_a"], r["contain_b"])
+        for r in containment_pairs(df, cand).collect()
+    }
+    ca, cb = got[(1, 2)]
+    # shingles(short) subset of shingles(long): contain_b == 1.0,
+    # contain_a == |short shingles| / |long shingles|
+    assert cb == 1.0 and 0.2 < ca < 0.45
+    assert got[(1, 3)] == (0.0, 0.0)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, cand).collect()
+    }
+    # the signal Jaccard misses: J(1,2) ~ len ratio, far below 0.9
+    assert jac[(1, 2)] < 0.5
