@@ -3174,6 +3174,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "novelty_scan",
+    # Dataset growth curve: per-doc fraction of shingles UNSEEN in any
+    # lower-id doc — "how much new content does each batch add", the
+    # diminishing-returns signal crawl curation watches. One shuffle on
+    # the shingle hash (first-occurrence = groupBy-min, never a window);
+    # docs shorter than the shingle width contribute their (single)
+    # degenerate shingle like the dedup family does.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    ex AS (SELECT doc_id, u.s FROM sh, unnest(sh.sh) AS u(s)),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS novelty
+    FROM ex e JOIN first f USING (s)
+    GROUP BY e.doc_id
+    """,
+)
+def q_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        _fan(_docs(spark, sf_dir).select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.explode(dedup.hashed_shingles("text", n=3)).alias("s"),
+        )
+    )
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 _CONTAIN_CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
