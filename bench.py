@@ -187,6 +187,8 @@ HEADLINE = [
     "streaming_qsketch",      # per-batch sketch appends, merge on read
     "triangle_count",         # per-node triangle enumeration (set algebra)
     "equi_depth_hist",        # ANALYZE-style equal-frequency histogram
+    "novelty_scan",           # per-doc novel-shingle fraction (growth curve)
+    "containment_dedup",      # asymmetric subset/quote duplication
 ]
 
 
