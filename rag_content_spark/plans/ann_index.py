@@ -40,8 +40,8 @@ def build_ann_index(
 ) -> dict:
     """Train + encode + write. Returns the meta dict.
 
-    Seeding is deterministic (every len/nlist-th vector by id), so the
-    same corpus always builds the same index.
+    Seeding is deterministic (the nlist lowest (xxhash64(id), id) keys),
+    so the same corpus always builds the same index.
     """
     from rag_content_spark.functions.vector import train_pq_codebook
     from rag_content_spark.operators.kmeans import kmeans
@@ -232,3 +232,50 @@ def add_to_ann_index(
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return meta
+
+
+def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
+    """Compact the cell-partitioned postings after many
+    :func:`add_to_ann_index` appends — one sorted file per cell instead
+    of one file per (cell, append batch). Same safe shape as the text
+    sibling (plans/text_index.compact_text_index): stage into
+    ``index.compact``, atomic-rename swap, so a crash leaves the live
+    index untouched. Model sidecars (centroids/codebook/meta) are
+    untouched — compaction moves bytes, not rows."""
+    import shutil
+
+    idx_dir = os.path.join(out_dir, "index")
+    staging = os.path.join(out_dir, "index.compact")
+    backup = os.path.join(out_dir, "index.old")
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    before = _count_files(idx_dir)
+    rows = spark.read.parquet(idx_dir)
+    n_rows = rows.count()
+    id_col = next(c for c in rows.columns if c not in ("embedding", "cell", "codes"))
+    (
+        rows.repartition(int(meta["nlist"]), "cell")
+        .sortWithinPartitions("cell", id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(idx_dir, backup)
+    os.rename(staging, idx_dir)
+    shutil.rmtree(backup)
+    return {
+        "n_files_before": before,
+        "n_files_after": _count_files(idx_dir),
+        "n_rows": n_rows,
+    }

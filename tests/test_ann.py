@@ -288,3 +288,35 @@ def test_ann_index_incremental_add(spark, tmp_path):
         spark, d, list(probe["embedding"]), topk=1, n_probe=1, refine=False
     )
     assert df.count() >= 0  # smoke: pruned path executes
+
+
+def test_compact_ann_index_preserves_results(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.plans.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = str(tmp_path / "idx")
+    build_ann_index(emb.filter(F.col("vec_id") % 2 == 0), d, nlist=8, m=4, k=16)
+    add_to_ann_index(emb.filter(F.col("vec_id") % 2 == 1), d)
+    qv = list(emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"])
+    before = [
+        (r["vec_id"], r["exact"])
+        for r in query_ann_index(spark, d, qv, topk=5, n_probe=8).collect()
+    ]
+    stats = compact_ann_index(spark, d)
+    assert stats["n_files_after"] < stats["n_files_before"]
+    after = [
+        (r["vec_id"], r["exact"])
+        for r in query_ann_index(spark, d, qv, topk=5, n_probe=8).collect()
+    ]
+    assert after == before and after[0][0] == 3
