@@ -6779,6 +6779,9 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # NB: no checkpoint here — ReusedExchange already shares the
+    # join+distinct subtree across the four consumers (measured: a
+    # localCheckpoint is ~1.2x SLOWER at sf0.1)
     pairs = lo.select("ok", "sk").distinct()
     late_pairs = lo.filter(F.col("late")).select("ok", "sk").distinct()
     other = pairs.select(
