@@ -99,21 +99,61 @@ def interleave_manifest(
             for s, w in sorted(weights.items())
         ]
     )
-    part = [shard_col] if shard_col else []
-    rn_w = Window.partitionBy(*part, source_col).orderBy(id_col)
-    pos_w = Window.partitionBy(*part).orderBy(
-        "order_key", source_col, id_col
-    )
     kept = docs.filter(F.col(source_col).isin(list(weights)))
-    ranked = kept.select(
-        *( [F.col(shard_col)] if shard_col else [] ),
+    if shard_col:
+        # sharded path: both windows are PARTITIONED by shard — each
+        # shard's manifest is one window partition, parallel across
+        # shards (size your shards so one fits a task)
+        rn_w = Window.partitionBy(shard_col, source_col).orderBy(id_col)
+        pos_w = Window.partitionBy(shard_col).orderBy(
+            "order_key", source_col, id_col
+        )
+        ranked = kept.select(
+            F.col(shard_col),
+            F.col(id_col),
+            F.col(source_col),
+            (F.row_number().over(rn_w).cast("double") / w_col).alias(
+                "order_key"
+            ),
+        )
+        return ranked.select(
+            F.row_number().over(pos_w).cast("bigint").alias("position"),
+            F.col(shard_col),
+            F.col(id_col),
+            F.col(source_col),
+        )
+    # GLOBAL manifest: both ranks via the distributed exact rank
+    # (operators/ranking.py) — no corpus-sized single-task window.
+    # Per-source rank = global rank over (source, id) minus the
+    # source's first rank + 1 (sources are few: a broadcast map).
+    from rag_content_spark.operators.ranking import exact_global_rank
+
+    g1 = exact_global_rank(
+        kept.select(id_col, source_col), [source_col, id_col], "_g"
+    )
+    firsts = {
+        r[source_col]: r["m"]
+        for r in g1.groupBy(source_col).agg(F.min("_g").alias("m")).collect()
+    }
+    first_expr = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(int(m)))
+            for s, m in sorted(firsts.items())
+        ],
+        F.lit(1),
+    )
+    ranked = g1.select(
         F.col(id_col),
         F.col(source_col),
-        (F.row_number().over(rn_w).cast("double") / w_col).alias("order_key"),
+        (
+            (F.col("_g") - first_expr + 1).cast("double") / w_col
+        ).alias("order_key"),
     )
-    return ranked.select(
-        F.row_number().over(pos_w).cast("bigint").alias("position"),
-        *( [F.col(shard_col)] if shard_col else [] ),
+    out = exact_global_rank(
+        ranked, ["order_key", source_col, id_col], "position"
+    )
+    return out.select(
+        F.col("position").cast("bigint"),
         F.col(id_col),
         F.col(source_col),
     )

@@ -168,6 +168,7 @@ GLOBAL_WINDOW_FIXED = [
     "bpe_tokenize",
     "important_stock",
     "equi_depth_hist",
+    "training_manifest",
 ]
 
 
