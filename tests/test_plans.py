@@ -171,6 +171,15 @@ GLOBAL_WINDOW_FIXED = [
     "training_manifest",
 ]
 
+# Registry-wide sweep result (r7): the ONLY unpartitioned windows over
+# scan-rooted subtrees outside this list are `weekly_growth` (lag over
+# the per-WEEK aggregate — cardinality bounded by the time span) and
+# `quantile_sketch` (cumulative sum over the <=512-bucket sketch) —
+# both windows over BOUNDED-DOMAIN aggregates, which a static detector
+# cannot distinguish from corpus-sized inputs. Zero BatchEvalPython and
+# zero CartesianProduct across all 187 registered queries in the same
+# sweep.
+
 
 @pytest.mark.parametrize("name", GLOBAL_WINDOW_FIXED)
 def test_no_corpus_sized_unpartitioned_windows(spark, name):
