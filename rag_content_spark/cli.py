@@ -342,6 +342,13 @@ def main(argv: list[str] | None = None) -> int:
     txa.add_argument("-d", "--index-dir", required=True)
     txa.set_defaults(func=cmd_text_add)
 
+    txc = sub.add_parser(
+        "text-compact",
+        help="compact a text index's postings (one file per bucket)",
+    )
+    txc.add_argument("-d", "--index-dir", required=True)
+    txc.set_defaults(func=cmd_text_compact)
+
     txq = sub.add_parser(
         "text-query", help="BM25 query a built text index (pruned read)"
     )
@@ -356,6 +363,13 @@ def main(argv: list[str] | None = None) -> int:
     aa.add_argument("-i", "--input", required=True, help="embeddings parquet to add")
     aa.add_argument("-d", "--index-dir", required=True)
     aa.set_defaults(func=cmd_ann_add)
+
+    ac = sub.add_parser(
+        "ann-compact",
+        help="compact an ANN index's postings (one file per cell)",
+    )
+    ac.add_argument("-d", "--index-dir", required=True)
+    ac.set_defaults(func=cmd_ann_compact)
 
     aq = sub.add_parser("ann-query", help="query a built ANN index")
     aq.add_argument("-d", "--index-dir", required=True)
@@ -439,6 +453,26 @@ def cmd_text_query(args: argparse.Namespace) -> int:
         .toJSON().collect()
     ):
         print(row)
+    return 0
+
+
+def cmd_text_compact(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.text_index import compact_text_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-text-compact")
+    ensure_reader_confs(spark)
+    print(json.dumps(compact_text_index(spark, args.index_dir)))
+    return 0
+
+
+def cmd_ann_compact(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.ann_index import compact_ann_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-ann-compact")
+    ensure_reader_confs(spark)
+    print(json.dumps(compact_ann_index(spark, args.index_dir)))
     return 0
 
 

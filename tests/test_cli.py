@@ -314,3 +314,26 @@ def test_cli_export_hf_and_table_delete_vacuum(spark, tmp_path):
     run("table", "compact", "-t", t)
     out = run("table", "vacuum", "-t", t)
     assert _json.loads(out.strip().splitlines()[-1])["removed"] == 2
+
+
+def test_cli_text_and_ann_compact(spark, tmp_path, capsys):
+    import json as _json
+
+    from rag_content_spark import cli
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    tdir = str(tmp_path / "ti")
+    adir = str(tmp_path / "ai")
+    assert cli.main(["text-build", "-i", docs, "-o", tdir, "--buckets", "4"]) == 0
+    assert cli.main(["text-add", "-i", docs, "-d", tdir]) == 0
+    capsys.readouterr()
+    assert cli.main(["text-compact", "-d", tdir]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_files_after"] < stats["n_files_before"]
+
+    assert cli.main(["ann-build", "-i", emb, "-o", adir]) == 0
+    capsys.readouterr()
+    assert cli.main(["ann-compact", "-d", adir]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_rows"] > 0
