@@ -1056,3 +1056,71 @@ def test_audio_quality_stats_real_signals(spark):
     assert rows["zero"]["spectral_centroid_hz"] == 0.0
     # non-WAV bytes: nulls for the decoder-gated stage
     assert rows["junk"]["duration_s"] is None
+
+
+def test_resize_array_exact_box_filter():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import resize_array
+
+    # 2x2 checkerboard area-averaged to 1x1 == the exact mean
+    cb = np.array([[[0], [100]], [[200], [100]]], dtype=np.uint8)
+    out = resize_array(cb, 1, 1, method="area")
+    assert out.shape == (1, 1, 1) and int(out[0, 0, 0]) == 100
+    # integer 2x downscale of a constant image stays constant
+    const = np.full((8, 8, 3), 77, dtype=np.uint8)
+    out = resize_array(const, 4, 4, method="area")
+    assert out.shape == (4, 4, 3) and np.all(out == 77)
+    # nearest on a gradient picks source pixels exactly
+    grad = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    near = resize_array(grad, 2, 2, method="nearest")
+    assert near[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # non-integer ratio (3 -> 2): fractional boundary cells average
+    tri = np.array([[0, 90, 180]], dtype=np.uint8).reshape(1, 3, 1)
+    out = resize_array(tri, 2, 1, method="area")
+    # cells cover [0,1.5) and [1.5,3): means (0*1 + 90*0.5)/1.5 = 30,
+    # (90*0.5 + 180*1)/1.5 = 150
+    assert out[0, :, 0].tolist() == [30, 150]
+
+
+def test_encode_png_roundtrip():
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, size=(9, 5, c), dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        if back.ndim == 2:
+            back = back[:, :, None]
+        assert np.array_equal(back, img), c
+
+
+def test_resize_images_stage(spark):
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    big = np.full((128, 64, 3), 9, dtype=np.uint8)
+    small = np.full((16, 16, 3), 5, dtype=np.uint8)
+    rows = [
+        ("big", "image", encode_png(big), 0, {}),
+        ("small", "image", encode_png(small), 0, {}),
+        ("junk", "image", b"not an image", 12, {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, max_side=32).collect()}
+    # aspect preserved: 128x64 -> 32x16
+    assert (out["big"]["width"], out["big"]["height"]) == (16, 32)
+    thumb = decode_png(bytes(out["big"]["content"]))
+    assert thumb.shape == (32, 16, 3) and int(thumb[0, 0, 0]) == 9
+    # never upscaled
+    assert (out["small"]["width"], out["small"]["height"]) == (16, 16)
+    # undecodable -> null content
+    assert out["junk"]["content"] is None
