@@ -332,3 +332,62 @@ def test_fim_reassembly_property(spark, tokens_list, pct):
     m = body[body.index(FIM_MIDDLE) + len(FIM_MIDDLE):]
     assert (p + " " + m + " " + s).split() == text.split()
     assert r["n_prefix"] >= 1 and r["n_middle"] >= 1 and r["n_suffix"] >= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=80),
+    st.integers(min_value=1, max_value=9),
+)
+def test_exact_global_rank_property(spark, keys, parts):
+    """Distributed rank == unpartitioned-window rank on any multiset of
+    keys (id tie-break makes the order strict) and any partition count."""
+    from pyspark.sql import Window
+
+    from rag_content_spark.operators.ranking import exact_global_rank
+
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], ["id", "k"]
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in exact_global_rank(
+            df, ["k", "id"], num_partitions=parts
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("k", "id")).alias("rank")
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-100, max_value=100),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_exact_global_lead_property(spark, keys, parts):
+    from pyspark.sql import Window
+
+    from rag_content_spark.operators.ranking import exact_global_lead
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["k"]: r["nxt"]
+        for r in exact_global_lead(df, "k", num_partitions=parts).collect()
+    }
+    want = {
+        r["k"]: r["nxt"]
+        for r in df.select(
+            "k", F.lead("k").over(Window.orderBy("k")).alias("nxt")
+        ).collect()
+    }
+    assert got == want
