@@ -2162,7 +2162,10 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance_score",
     # Q4 full parity (reference scripts/distance.py:17-38): cosine distance,
     # euclidean, length penalty, combined score between consecutive docs'
-    # mock embeddings.
+    # mock embeddings. len_score is the exact rational |na-nb|/(na+nb)*0.1
+    # rounded to 6 decimals via INTEGER half-up on both engines —
+    # float round(x, 6) flips on exact .5-micro boundaries (sf0.1 hit
+    # one: docs 686/687 at 0.0653125, Spark HALF_UP vs DuckDB even).
     f"""
     WITH e AS (
       SELECT doc_id, length(text) AS n, {_mock_embed_sql('text')} AS v FROM documents
@@ -2170,7 +2173,8 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(1.0 - {cosine_sql('a.v', 'b.v')}, 6) AS cos_dist,
            round({euclidean_sql('a.v', 'b.v')}, 6) AS euc_dist,
-           round(abs(CAST(a.n AS DOUBLE) - b.n) / (CAST(a.n AS DOUBLE) + b.n) * 0.1, 6) AS len_score,
+           CAST((2 * abs(a.n - b.n) * 100000 + (a.n + b.n)) // (2 * (a.n + b.n)) AS DOUBLE)
+             / 1000000 AS len_score,
            round(abs(CAST(a.n AS DOUBLE) - b.n) / (CAST(a.n AS DOUBLE) + b.n) * 0.1
                  + ((1.0 - {cosine_sql('a.v', 'b.v')}) + {euclidean_sql('a.v', 'b.v')}) / 2.0, 6)
              AS final_score
@@ -2180,7 +2184,6 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.functions.vector import (
         euclidean as euc,
-        length_penalty,
         response_distance_score,
     )
 
@@ -2202,7 +2205,13 @@ def q_distance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(F.lit(1.0) - cosine("_va", "_vb", 8), 6).alias("cos_dist"),
             F.round(euc("_va", "_vb", 8), 6).alias("euc_dist"),
-            F.round(length_penalty("_na", "_nb"), 6).alias("len_score"),
+            (
+                F.expr(
+                    "(2 * abs(_na - _nb) * 100000L + (_na + _nb))"
+                    " div (2 * (_na + _nb))"
+                ).cast("double")
+                / 1_000_000
+            ).alias("len_score"),
             F.round(
                 response_distance_score("_va", "_vb", "_na", "_nb", dim=8), 6
             ).alias("final_score"),
@@ -5761,9 +5770,12 @@ def q_rolling_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_native",
     # Spark's BUILT-IN session_window aggregation (the declarative twin
     # of the custom stateful sessionizer): merged-window semantics — a
-    # new session starts when the gap is >= 30 min (strictly-less-than
-    # overlap rule, unlike the islands query's <=), and session_end =
-    # last event + gap. The oracle replicates exactly those semantics.
+    # new session starts only when the gap is STRICTLY > 30 min. Spark
+    # merges an event whose start equals the current session end
+    # (UpdatingSessionsIterator merges on start <= end, so a gap of
+    # exactly 1800 s stays one session — sf0.1 user 511 pins this), and
+    # session_end = last event + gap. The oracle replicates exactly
+    # those semantics.
     """
     WITH e AS (
       SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events
@@ -5771,7 +5783,7 @@ def q_rolling_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, ts_sec,
              CASE WHEN lag(ts_sec) OVER w IS NULL
-                       OR ts_sec - lag(ts_sec) OVER w >= 1800
+                       OR ts_sec - lag(ts_sec) OVER w > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
@@ -9261,8 +9273,22 @@ def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order.
 
 
+def _row_green(row: object) -> bool:
+    """A driver row counts as VERIFIED only if it actually passed: an
+    err row or a rows/hash mismatch must leave the query ranked as
+    unverified, or a query that has only ever errored (pca_project
+    r01-r06) keeps sorting to the back of the sample prefix exactly
+    because the harness kept recording its failures."""
+    if not isinstance(row, dict):
+        return True
+    if row.get("err"):
+        return False
+    return row.get("rows_match") is not False and row.get("hash_match") is not False
+
+
 def _last_sampled_rounds() -> dict[str, int]:
-    """query name -> highest round whose CORRECTNESS_r*.json has a row."""
+    """query name -> highest round whose CORRECTNESS_r*.json has a
+    GREEN row (see _row_green)."""
     import glob as _glob
     import json as _json
     import re as _re
@@ -9279,8 +9305,9 @@ def _last_sampled_rounds() -> dict[str, int]:
                 rows = _json.load(f)
         except Exception:
             continue
-        for name in rows:
-            last[name] = max(last.get(name, -1), rnd)
+        for name, row in rows.items():
+            if _row_green(row):
+                last[name] = max(last.get(name, -1), rnd)
     return last
 
 
@@ -9295,7 +9322,7 @@ def _changed_queries() -> set[str]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     snaps = sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if not snaps:
-        return set()
+        return set(), set()
 
     def _git(*args: str) -> str:
         return _sp.run(
@@ -9304,12 +9331,12 @@ def _changed_queries() -> set[str]:
 
     base = _git("log", "-1", "--format=%H", "--", snaps[-1]).strip()
     if not base:
-        return set()
+        return set(), set()
     # base vs WORKING TREE: includes this round's committed and
     # uncommitted edits alike
     changed_files = {p for p in _git("diff", "--name-only", base).splitlines() if p}
     if not changed_files:
-        return set()
+        return set(), set()
 
     this_file = os.path.abspath(__file__)
     rel_this = os.path.relpath(this_file, root)
@@ -9395,7 +9422,7 @@ def _changed_queries() -> set[str]:
     try:
         tree = _ast.parse(cur_src)
     except SyntaxError:
-        return set()
+        return set(), set()
     # module-alias imports (`from pkg import mod`): flag `alias.sym`
     # attribute uses of changed symbols
     mod_alias_pats: list[str] = []
@@ -9414,7 +9441,7 @@ def _changed_queries() -> set[str]:
                     )
 
     if not changed_syms and not mod_alias_pats:
-        return set()
+        return set(), set()
 
     # a query is changed if its own def changed or its body references a
     # changed helper/operator symbol (directly or as alias.sym)
@@ -9427,20 +9454,26 @@ def _changed_queries() -> set[str]:
     pat = _re.compile("|".join(parts))
     fns = _fn_sources(cur_src)
     reg = {fn.__name__: name for name, fn in QUERIES.items()}
+    direct: set[str] = set()
     out: set[str] = set()
     for fn_name, q_name in reg.items():
         src = fns.get(fn_name, "")
-        if fn_name in changed_syms or pat.search(src):
+        if fn_name in changed_syms:
+            # the query's OWN def (incl. its @register oracle) changed
+            direct.add(q_name)
             out.add(q_name)
-    return out
+        elif pat.search(src):
+            out.add(q_name)
+    return direct, out
 
 
 def _row_counts() -> dict[str, int]:
-    """query name -> number of rounds with ANY driver row. Tie-breaker:
-    among equally-stale queries, the least-historically-verified drains
-    first, so a query repeatedly bumped off the end of a full tie group
-    (e.g. 53 stale vs a 50-slot prefix) gains priority instead of losing
-    the same registration-order tie every round."""
+    """query name -> number of rounds with a GREEN driver row.
+    Tie-breaker: among equally-stale queries, the
+    least-historically-verified drains first, so a query repeatedly
+    bumped off the end of a full tie group (e.g. 53 stale vs a 50-slot
+    prefix) gains priority instead of losing the same
+    registration-order tie every round."""
     import glob as _glob
     import json as _json
 
@@ -9452,20 +9485,29 @@ def _row_counts() -> dict[str, int]:
                 rows = _json.load(f)
         except Exception:
             continue
-        for name in rows:
-            counts[name] = counts.get(name, 0) + 1
+        for name, row in rows.items():
+            if _row_green(row):
+                counts[name] = counts.get(name, 0) + 1
     return counts
 
 
 def _sample_order(names: list[str]) -> list[str]:
+    """Least-verified-first: (1) queries whose OWN def/oracle changed
+    since the last driver snapshot, (2) queries transitively flagged by
+    a changed shared helper, then within each tier by oldest green
+    verification (never-green first) and fewest green rounds. The
+    direct/transitive split matters when an infra symbol (e.g.
+    ``register``) changes and the transitive closure flags the whole
+    registry — the handful of genuinely edited queries must still land
+    inside the driver's ~50-query sample prefix."""
     try:
         last = _last_sampled_rounds()
     except Exception:
         last = {}
     try:
-        changed = _changed_queries()
+        direct, changed = _changed_queries()
     except Exception:
-        changed = set()
+        direct, changed = set(), set()
     try:
         counts = _row_counts()
     except Exception:
@@ -9473,7 +9515,13 @@ def _sample_order(names: list[str]) -> list[str]:
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
-        key=lambda n: (n not in changed, last.get(n, -1), counts.get(n, 0), idx[n]),
+        key=lambda n: (
+            n not in direct,
+            n not in changed,
+            last.get(n, -1),
+            counts.get(n, 0),
+            idx[n],
+        ),
     )
 
 

@@ -20,9 +20,41 @@ def test_registry_and_oracles_aligned():
 def test_order_prefers_changed_then_longest_unsampled(monkeypatch):
     names = ["a", "b", "c", "d"]
     monkeypatch.setattr(Q, "_last_sampled_rounds", lambda: {"a": 3, "b": 1, "d": 2})
-    monkeypatch.setattr(Q, "_changed_queries", lambda: {"d"})
+    monkeypatch.setattr(Q, "_changed_queries", lambda: ({"d"}, {"d"}))
     # changed first, then never-sampled (c, last=-1), then oldest round
     assert Q._sample_order(names) == ["d", "c", "b", "a"]
+
+
+def test_order_prefers_directly_changed_over_transitive(monkeypatch):
+    # an infra-symbol edit can transitively flag the WHOLE registry;
+    # the genuinely edited query must still outrank the flag-only ones
+    names = ["a", "b", "c"]
+    monkeypatch.setattr(Q, "_last_sampled_rounds", lambda: {"a": 1, "b": 2, "c": 3})
+    monkeypatch.setattr(
+        Q, "_changed_queries", lambda: ({"c"}, {"a", "b", "c"})
+    )
+    assert Q._sample_order(names) == ["c", "a", "b"]
+
+
+def test_error_rows_do_not_count_as_verified(tmp_path, monkeypatch):
+    # a driver row with err (or a mismatch) must leave the query ranked
+    # never-verified — pca_project r01-r06 kept erroring yet kept
+    # sorting to the back because its failures counted as samples
+    import json
+
+    (tmp_path / "rag_content_spark").mkdir()
+    rows = {
+        "good": {"rows_match": True, "hash_match": True, "err": None},
+        "errq": {"rows_match": None, "hash_match": None, "err": "boom"},
+        "badhash": {"rows_match": True, "hash_match": False, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(
+        Q.os.path, "abspath", lambda _: str(tmp_path / "rag_content_spark" / "q.py")
+    )
+    last = Q._last_sampled_rounds()
+    assert last == {"good": 3}
+    assert Q._row_counts() == {"good": 1}
 
 
 def test_order_degrades_to_recency_on_git_failure(monkeypatch):
@@ -52,7 +84,7 @@ def test_no_query_goes_long_unsampled():
     overdue = [n for n in names if n in last and last[n] <= newest - period]
     assert all(names.index(n) < 50 for n in overdue)
     try:
-        changed = Q._changed_queries()
+        _, changed = Q._changed_queries()
     except Exception:
         changed = set()
     # oldest-first drain: among previously-sampled, non-changed queries
