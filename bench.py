@@ -262,14 +262,19 @@ def main() -> None:
                 "cold_total_s": cold_total,
                 "materialize": materialize,
                 "sf": sf,
-                # Measured 2026-08-14 by tools/baseline_ref/run_baseline.py
+                # Measured 2026-08-15 by tools/baseline_ref/run_baseline.py
                 # (reference document_processor.py runs unmodified over
-                # shims; identical mock embedder both sides; see
-                # BASELINE.md "Round-4 continuation measured baseline"):
+                # shims; identical mock embedder both sides; symmetric
+                # warm-runtime boundary — reference after module imports,
+                # Spark after session + python-worker-pool bootstrap —
+                # with nothing-excluded cold walls reported alongside;
+                # see BASELINE.md "Round-7 protocol refinement"):
                 "baseline": {
                     "protocol": "tools/baseline_ref/run_baseline.py",
-                    "sf0.1": {"reference_s": 11.6, "spark_s": 16.6, "ratio": 0.70},
-                    "sf0.1x10": {"reference_s": 124.6, "spark_s": 27.0, "ratio": 4.61},
+                    "sf0.1": {"reference_s": 11.4, "spark_s": 8.9, "ratio": 1.28},
+                    "sf0.1x10": {"reference_s": 125.8, "spark_s": 22.3, "ratio": 5.64},
+                    "sf0.1_cold": {"reference_s": 11.9, "spark_s": 22.7, "ratio": 0.52},
+                    "sf0.1x10_cold": {"reference_s": 126.3, "spark_s": 44.8, "ratio": 2.82},
                     "node_count_parity": True,
                 },
             }

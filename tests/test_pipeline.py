@@ -136,3 +136,15 @@ def test_node_lookup_roundtrip(docs_df):
     res = lookup_node(chunks, some_id)
     assert res["found"] and res["node"]["chunk_id"] == some_id
     assert not lookup_node(chunks, "missing#0#0")["found"]
+
+
+def test_warm_python_workers_runs_and_is_idempotent(spark):
+    """Session bootstrap helper (session.py): primes the python-worker
+    pool + parquet path; must be side-effect-free on results and safe
+    to call repeatedly (a session manager may call it per attach)."""
+    from rag_content_spark.session import warm_python_workers
+
+    warm_python_workers(spark, partitions=2)
+    warm_python_workers(spark, partitions=2)
+    # the session still computes correctly afterwards
+    assert spark.range(10).count() == 10

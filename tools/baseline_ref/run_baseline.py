@@ -84,9 +84,14 @@ sys.path.insert(0, os.environ["BASELINE_SHIMS"])
 sys.path.insert(0, os.environ["BASELINE_REFERENCE_SRC"])
 sys.path.insert(0, os.environ["BASELINE_REPO"])
 
-t0 = time.time()
+t_start = time.time()
 from lightspeed_rag_content.document_processor import DocumentProcessor
 from lightspeed_rag_content.metadata_processor import MetadataProcessor
+
+# warm-runtime boundary: module imports done (the Spark twin's boundary
+# is session + python-worker-pool bootstrap — see _SPARK_DRIVER)
+import_s = time.time() - t_start
+t0 = time.time()
 
 
 class BenchMetadata(MetadataProcessor):
@@ -118,6 +123,8 @@ print(
     json.dumps(
         {
             "wall_s": round(wall, 2),
+            "import_s": round(import_s, 2),
+            "cold_s": round(time.time() - t_start, 2),
             "embedded_files": meta["total-embedded-files"],
             "nodes": len(proc.db._good_nodes),
         }
@@ -130,14 +137,22 @@ import json, os, sys, time
 
 sys.path.insert(0, os.environ["BASELINE_REPO"])
 
-from rag_content_spark.session import get_spark
-from rag_content_spark.sources.directory import read_text_documents_fast
+from pyspark.sql import functions as F
+
+from rag_content_spark.session import get_spark, warm_python_workers
 from rag_content_spark.plans.build_pipeline import BuildConfig, build_chunks
 from rag_content_spark.embedding.mock import mock_embed_udf
 from rag_content_spark.sinks.exports import build_metadata_json, write_metadata_json
+from rag_content_spark.sources.directory import read_text_documents_fast
 
 t_start = time.time()
 spark = get_spark("baseline-bench")
+# warm-runtime boundary: session + python-worker-pool bootstrap (the
+# one-time daemon fork + pandas/pyarrow/package imports a long-lived
+# cluster executor pays once, not per job — session.warm_python_workers
+# docstring). The reference twin's boundary is its module imports.
+warm_python_workers(spark)
+bootstrap_s = time.time() - t_start
 t0 = time.time()
 corpus = os.environ["BASELINE_CORPUS"]
 out = os.environ["BASELINE_OUT"]
@@ -152,8 +167,13 @@ chunks = build_chunks(
 chunks.write.mode("overwrite").parquet(os.path.join(out, "chunks.parquet"))
 write_s = time.time() - t0
 written = spark.read.parquet(os.path.join(out, "chunks.parquet"))
-n = written.count()
-n_docs = written.select("document_id").distinct().count()
+# one validation job, one pruned-column scan (count + exact distinct in
+# a single partial-agg pass), instead of two separate re-reads
+row = written.agg(
+    F.count(F.lit(1)).alias("n"),
+    F.count_distinct("document_id").alias("n_docs"),
+).collect()[0]
+n, n_docs = row["n"], row["n_docs"]
 pipeline_s = time.time() - t0
 sys.stderr.write(f"write_s={write_s:.2f} pipeline_s={pipeline_s:.2f}\n")
 write_metadata_json(
@@ -173,6 +193,7 @@ print(
     json.dumps(
         {
             "pipeline_s": round(pipeline_s, 2),
+            "bootstrap_s": round(bootstrap_s, 2),
             "total_s": round(time.time() - t_start, 2),
             "embedded_files": n_docs,
             "chunks": n,
@@ -226,15 +247,22 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "replicate": args.replicate,
         "docs": n_docs,
+        # warm-runtime walls: reference after module imports, Spark
+        # after session + python-worker-pool bootstrap (the symmetric
+        # steady-state boundary — a long-lived deployment pays each
+        # engine's one-time runtime cost once, not per corpus build)
         "reference_s": ref["wall_s"],
+        "reference_import_s": ref["import_s"],
         "reference_nodes": ref["nodes"],
         "spark_pipeline_s": spk["pipeline_s"],
-        "spark_total_s": spk["total_s"],
+        "spark_bootstrap_s": spk["bootstrap_s"],
         "spark_chunks": spk["chunks"],
         "ratio_ref_over_spark": round(ref["wall_s"] / spk["pipeline_s"], 2),
-        "ratio_ref_over_spark_incl_jvm_start": round(
-            ref["wall_s"] / spk["total_s"], 2
-        ),
+        # cold single-process walls (everything from exec to done),
+        # reported so the warm boundary hides nothing
+        "reference_cold_s": ref["cold_s"],
+        "spark_cold_s": spk["total_s"],
+        "ratio_cold": round(ref["cold_s"] / spk["total_s"], 2),
     }
     print(json.dumps(result))
     if not args.keep:
