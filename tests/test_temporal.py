@@ -70,3 +70,43 @@ def test_range_join_rejects_empty_window(spark):
     left, right = _frames(spark)
     with pytest.raises(ValueError):
         range_join(left, right, lo=5, hi=5)
+
+
+def test_builtin_session_window_merges_at_exact_gap(spark):
+    """Pin the Spark semantics the session_window_native oracle mirrors
+    (queries.py): an event whose start equals the current session END
+    (gap == exactly the window duration) MERGES — Spark's session merge
+    rule is start <= end, so a new session needs a STRICTLY greater
+    gap. sf0.1 user 511 hit this boundary in the wild (two events
+    1800 s apart collapsed to one session while a >=-gap oracle split
+    them)."""
+    rows = [
+        (1, 0),
+        (1, 1800),   # == gap: merges (end extends to 3600)
+        (1, 5401),   # 5401 - 1800 = 3601 > 1800: new session
+        (2, 0),
+        (2, 1801),   # > gap by 1 s: new session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_sec"]).select(
+        "user_id", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    sess = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .select(
+            "user_id",
+            F.unix_seconds("session_window.start").alias("start"),
+            F.unix_seconds("session_window.end").alias("end"),
+            "count",
+        )
+    )
+    got = {
+        (r["user_id"], r["start"], r["end"]): r["count"]
+        for r in sess.collect()
+    }
+    assert got == {
+        (1, 0, 3600): 2,      # exact-gap pair merged, end = last + gap
+        (1, 5401, 7201): 1,
+        (2, 0, 1800): 1,      # gap+1 split
+        (2, 1801, 3601): 1,
+    }
