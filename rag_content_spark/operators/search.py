@@ -199,6 +199,53 @@ def bm25_from_postings(
     )
 
 
+def doc_top_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the corpus-summary /
+    tagging op (the extractive little sibling of the keyword search
+    modes; the reference's query side has term matching but no
+    per-document term profiling).
+
+    Score = tf * ln((N+1)/(df_t+1)) — the smooth idf (always >= 0, no
+    df=N singularity). Rank ties break on the ROUNDED score then token,
+    so the ordering is identical across engines at ``round_to``
+    decimals.
+
+    Plan shape (scale): postings agg (exchange on (id, token)) ->
+    df_t window partitioned by token (exchange on token) -> per-doc
+    row_number window partitioned by id (exchange on id). Three
+    key-partitioned exchanges, broadcast one-row stats, no corpus-sized
+    unpartitioned window — holds at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    post = postings(docs, id_col, text_col)
+    stats = corpus_stats(docs, id_col, text_col).select("n_docs")
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    scored = post.join(F.broadcast(stats)).withColumn(
+        "tfidf6",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(
+                (F.col("n_docs").cast("double") + F.lit(1.0))
+                / (df_t.cast("double") + F.lit(1.0))
+            ),
+            round_to,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf6"), F.asc("token"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(id_col, "kw_rank", "token", "tfidf6")
+    )
+
+
 def retrieval_eval(
     index,
     queries,

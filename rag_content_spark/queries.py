@@ -2309,6 +2309,44 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_keywords",
+    # Per-document top-3 TF-IDF keywords (operators/search.doc_top_keywords):
+    # smooth idf ln((N+1)/(df+1)), rank ties broken on rounded score then
+    # token so ordering is engine-stable at 6 decimals.
+    f"""
+    WITH tok AS (
+      SELECT doc_id, u.token
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+    ),
+    post AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    stats AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             round(CAST(tf AS DOUBLE)
+                   * ln((CAST(s.n_docs AS DOUBLE) + 1)
+                        / (count(*) OVER (PARTITION BY token) + 1)), 6) AS tfidf6
+      FROM post, stats s
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf6 DESC, token) AS kw_rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, token, tfidf6
+    FROM ranked WHERE kw_rank <= 3
+    """,
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import doc_top_keywords
+
+    return doc_top_keywords(_docs(spark, sf_dir), k=3).withColumn(
+        "kw_rank", F.col("kw_rank").cast("bigint")
+    )
+
+
+@register(
     "distinct_counts",
     # Exact distinct aggregation (the count-distinct shuffle shape).
     """

@@ -512,3 +512,32 @@ def test_compact_text_index_preserves_results(spark, tmp_path):
         for r in query_text_index(spark, d, terms).collect()
     )
     assert after == before and len(after) > 0
+
+
+def test_doc_top_keywords_ranks_rare_terms_first(spark):
+    from rag_content_spark.operators.search import doc_top_keywords
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the the the quorbitex"),
+            ("d2", "the zyranex zyranex"),
+            ("d3", "the filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = doc_top_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["kw_rank"], r["token"], r["tfidf6"]))
+    for v in by_doc.values():
+        v.sort()
+    # N=3. idf('the') = ln(4/4) = 0 -> tf 3 * 0 = 0; rare terms win.
+    # d1: quorbitex tf=1 df=1 -> ln(2)=0.693147 beats 'the' (0.0)
+    assert [t for _, t, _ in by_doc["d1"]] == ["quorbitex", "the"]
+    assert by_doc["d1"][0][2] == round(math.log(2), 6)
+    assert by_doc["d1"][1][2] == 0.0
+    # d2: zyranex tf=2 -> 2*ln(2)
+    assert by_doc["d2"][0][1] == "zyranex"
+    assert by_doc["d2"][0][2] == round(2 * math.log(2), 6)
+    # every doc emits at most k rows, ranks contiguous from 1
+    assert all([r for r, _, _ in v] == list(range(1, len(v) + 1)) for v in by_doc.values())
