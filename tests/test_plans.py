@@ -178,7 +178,9 @@ GLOBAL_WINDOW_FIXED = [
 # both windows over BOUNDED-DOMAIN aggregates, which a static detector
 # cannot distinguish from corpus-sized inputs. Zero BatchEvalPython and
 # zero CartesianProduct across all 187 registered queries in the same
-# sweep.
+# sweep. (`doc_keywords`, added after the sweep, audited clean in
+# PLANS.md: both its windows are key-partitioned, joins are the
+# one-row stats broadcast.)
 
 
 @pytest.mark.parametrize("name", GLOBAL_WINDOW_FIXED)
