@@ -43,6 +43,7 @@ HEADLINE = [
     "build_pipeline",      # end-to-end documents->chunks->embeddings
     "keyword_search",
     "bm25_search",
+    "doc_keywords",
     "hybrid_search",
     "dedup_apply",
     "lsh_buckets",
