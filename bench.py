@@ -44,6 +44,7 @@ HEADLINE = [
     "keyword_search",
     "bm25_search",
     "doc_keywords",
+    "phrase_search",
     "hybrid_search",
     "dedup_apply",
     "lsh_buckets",

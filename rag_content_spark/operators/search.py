@@ -246,6 +246,52 @@ def doc_top_keywords(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact consecutive-token phrase match (the positional-postings
+    retrieval mode; the reference's keyword path has term/substring
+    matching only, query_rag.py:190).
+
+    Declarative formulation — NO per-term join chain: posexplode once,
+    keep only the phrase's terms, then per doc intersect each term's
+    position set shifted by its phrase offset
+    (``positions(t_i) - i``); every surviving position is a phrase
+    start. One key-partitioned groupBy(id) exchange; the per-doc state
+    is bounded by the phrase terms' occurrence counts.
+
+    At 100 TB this runs against a POSITIONAL postings index (the
+    per-(token, doc) position arrays plans/text_index.py would store,
+    partition-pruned to the phrase's tokens); the query-side
+    intersection is identical.
+    """
+    terms = [t for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    ).filter(F.col("token").isin(terms))
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("token") == t, F.col("pos") - i))
+        ).alias(f"_p{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    inter = F.col("_p0")
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, F.col(f"_p{i}"))
+    return (
+        per_doc.select(
+            F.col(id_col), F.size(inter).cast("bigint").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 def retrieval_eval(
     index,
     queries,

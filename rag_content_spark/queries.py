@@ -2346,6 +2346,32 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE = "stream table hash"
+
+
+@register(
+    "phrase_search",
+    # Positional phrase retrieval (operators/search.phrase_search):
+    # exact consecutive-token match via intersection of offset-shifted
+    # per-term position sets. The oracle slides a window over the token
+    # list (the repo's bounded CROSS JOIN range pattern).
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks CROSS JOIN range(0, 100000) r
+    WHERE r.range <= len(tk) - 3
+      AND array_to_string(
+            list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 3 AS INT)),
+            ' ') = '{_PHRASE}'
+    GROUP BY doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), _PHRASE)
+
+
 @register(
     "distinct_counts",
     # Exact distinct aggregation (the count-distinct shuffle shape).

@@ -541,3 +541,25 @@ def test_doc_top_keywords_ranks_rare_terms_first(spark):
     assert by_doc["d2"][0][2] == round(2 * math.log(2), 6)
     # every doc emits at most k rows, ranks contiguous from 1
     assert all([r for r, _, _ in v] == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+def test_phrase_search_counts_starts_and_handles_repeats(spark):
+    from rag_content_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b a b a"),     # "a b a" starts at 0 and 2 -> 2
+            ("d2", "a a a a"),       # "a a a" test below
+            ("d3", "b a b"),         # no "a b a"
+            ("d4", "a b"),           # too short
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(docs, "a b a").collect()}
+    assert got == {"d1": 2}
+    # repeated term in the phrase: "a a a" in "a a a a" -> starts 0,1
+    got2 = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(docs, "a a a").collect()}
+    assert got2 == {"d2": 2}
+    # single-token phrase = term count
+    got3 = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(docs, "b").collect()}
+    assert got3 == {"d1": 2, "d3": 2, "d4": 1}
