@@ -391,3 +391,84 @@ def test_exact_global_lead_property(spark, keys, parts):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # corpus: several docs over a tiny alphabet
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(st.sampled_from("abc"), min_size=1, max_size=3),  # phrase
+)
+def test_phrase_search_equals_naive_scan(spark, corpus, phrase_toks):
+    """phrase_search == a naive python sliding-window count on every
+    random corpus (covers repeats, overlaps, absent terms, 1-token
+    phrases)."""
+    from rag_content_spark.operators.search import phrase_search
+
+    phrase = " ".join(phrase_toks)
+    rows = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(df, phrase).collect()
+    }
+    want = {}
+    k = len(phrase_toks)
+    for doc_id, toks in ((f"d{i}", t) for i, t in enumerate(corpus)):
+        n = sum(
+            1
+            for s in range(len(toks) - k + 1)
+            if toks[s : s + k] == phrase_toks
+        )
+        if n > 0:
+            want[doc_id] = n
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_doc_keywords_equals_python_tfidf(spark, corpus):
+    """doc_top_keywords == a python re-model of smooth TF-IDF with the
+    same rounded-score/token tiebreak, on every random corpus."""
+    import math
+    from collections import Counter
+
+    from rag_content_spark.operators.search import doc_top_keywords
+
+    rows = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in doc_top_keywords(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["kw_rank"], r["token"], r["tfidf6"])
+        )
+    for v in got.values():
+        v.sort()
+    n_docs = len(corpus)
+    dfreq = Counter()
+    for toks in corpus:
+        for t in set(toks):
+            dfreq[t] += 1
+    want = {}
+    for i, toks in enumerate(corpus):
+        tf = Counter(toks)
+        scored = sorted(
+            (
+                (round(c * math.log((n_docs + 1) / (dfreq[t] + 1)), 6), t)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        want[f"d{i}"] = [
+            (j + 1, t, s) for j, (s, t) in enumerate(scored)
+        ]
+    assert got == want
