@@ -45,6 +45,7 @@ HEADLINE = [
     "bm25_search",
     "doc_keywords",
     "phrase_search",
+    "proximity_search",
     "hybrid_search",
     "dedup_apply",
     "lsh_buckets",

@@ -292,6 +292,77 @@ def phrase_search(
     )
 
 
+def proximity_search(
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unordered proximity retrieval: per doc, the number of
+    ``window``-wide sliding-window START positions whose window contains
+    at least one occurrence of EVERY term (the slop-style sibling of
+    :func:`phrase_search`; crisp window-start counting instead of
+    Lucene's per-match slop).
+
+    Same declarative shape as phrase_search: one filtered posexplode,
+    one key-partitioned groupBy(id) exchange, then each term's position
+    set expands to its valid-start interval
+    ``[max(p-w+1, 0), min(p, L-w)]`` (``sequence`` + ``flatten`` +
+    ``array_distinct``, bounded by w x occurrences) and the per-term
+    start sets intersect. Docs shorter than the window can't match and
+    are filtered before the shuffle.
+    """
+    terms = list(dict.fromkeys(t for t in terms if t))
+    if not terms:
+        raise ValueError("terms must contain at least one token")
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+    tok = (
+        docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.size("_tk").alias("_len"),
+            F.posexplode("_tk").alias("pos", "token"),
+        )
+        .filter(F.col("token").isin(terms) & (F.col("_len") >= w))
+    )
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("token") == t, F.col("pos")))
+        ).alias(f"_p{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = tok.groupBy(id_col).agg(F.max("_len").alias("_len"), *aggs)
+
+    def _starts(col: Column) -> Column:
+        # valid window starts covering position p: [p-w+1, p], clipped
+        # to [0, L-w]; with L >= w the range is never empty, so
+        # sequence() cannot flip into descending mode
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    col,
+                    lambda p: F.sequence(
+                        F.greatest(p - F.lit(w - 1), F.lit(0)),
+                        F.least(p, F.col("_len") - F.lit(w)),
+                    ),
+                )
+            )
+        )
+
+    inter = _starts(F.col("_p0"))
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, _starts(F.col(f"_p{i}")))
+    return (
+        per_doc.select(
+            F.col(id_col), F.size(inter).cast("bigint").alias("n_windows")
+        )
+        .filter(F.col("n_windows") > 0)
+    )
+
+
 def retrieval_eval(
     index,
     queries,

@@ -2373,6 +2373,29 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "proximity_search",
+    # Unordered proximity retrieval (operators/search.proximity_search):
+    # windows of width 6 containing BOTH terms; counts distinct window
+    # starts per doc. Oracle slides the window directly.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+    FROM toks CROSS JOIN range(0, 100000) r
+    WHERE r.range <= len(tk) - 6
+      AND list_contains(list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 6 AS INT)), 'spark')
+      AND list_contains(list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 6 AS INT)), 'stream')
+    GROUP BY doc_id
+    """,
+)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import proximity_search
+
+    return proximity_search(
+        _docs(spark, sf_dir), ["spark", "stream"], window=6
+    )
+
+
+@register(
     "distinct_counts",
     # Exact distinct aggregation (the count-distinct shuffle shape).
     """

@@ -472,3 +472,36 @@ def test_doc_keywords_equals_python_tfidf(spark, corpus):
             (j + 1, t, s) for j, (s, t) in enumerate(scored)
         ]
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=5),  # window
+)
+def test_proximity_search_equals_naive_windows(spark, corpus, window):
+    """proximity_search == a naive python window scan on every random
+    corpus (terms fixed to {a, b}; covers absent terms, short docs,
+    every window width)."""
+    from rag_content_spark.operators.search import proximity_search
+
+    rows = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_windows"]
+        for r in proximity_search(df, ["a", "b"], window=window).collect()
+    }
+    want = {}
+    for i, toks in enumerate(corpus):
+        n = sum(
+            1
+            for s in range(len(toks) - window + 1)
+            if "a" in toks[s : s + window] and "b" in toks[s : s + window]
+        )
+        if n > 0:
+            want[f"d{i}"] = n
+    assert got == want

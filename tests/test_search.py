@@ -563,3 +563,23 @@ def test_phrase_search_counts_starts_and_handles_repeats(spark):
     # single-token phrase = term count
     got3 = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(docs, "b").collect()}
     assert got3 == {"d1": 2, "d3": 2, "d4": 1}
+
+
+def test_proximity_search_window_start_counting(spark):
+    from rag_content_spark.operators.search import proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "x a y b x"),   # w=3: windows [a y b] start 1 -> 1
+            ("d2", "a x x x b"),   # w=3: no window holds both
+            ("d3", "a b x a b"),   # w=3: starts 0,1,2,3 hold both? see below
+            ("d4", "a b"),         # shorter than window
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_windows"]
+        for r in proximity_search(docs, ["a", "b"], window=3).collect()
+    }
+    # d3 tokens: a b x a b ; windows: [a b x]=Y [b x a]=Y [x a b]=Y -> 3
+    assert got == {"d1": 1, "d3": 3}
