@@ -46,6 +46,8 @@ HEADLINE = [
     "doc_keywords",
     "phrase_search",
     "proximity_search",
+    "phrase_index_lookup",
+    "proximity_index_lookup",
     "hybrid_search",
     "dedup_apply",
     "lsh_buckets",

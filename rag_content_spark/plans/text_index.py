@@ -44,17 +44,43 @@ def _bucket_of(token: str, n_buckets: int) -> int:
     return h % n_buckets
 
 
+def _postings_of(
+    docs: DataFrame, id_col: str, text_col: str, positions: bool
+) -> DataFrame:
+    """(id, token, tf[, positions]) — the positional variant stores each
+    term's sorted in-document position array, enabling index-served
+    phrase/proximity retrieval (operators/search.phrase_search /
+    proximity_search run the same intersection algebra over these
+    arrays instead of a corpus scan)."""
+    from rag_content_spark.operators.search import postings
+
+    if not positions:
+        return postings(docs, id_col, text_col)
+    return (
+        docs.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+        )
+        .groupBy(id_col, "token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
 def build_text_index(
     docs: DataFrame,
     out_dir: str,
     n_buckets: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> dict:
-    """Build + write; returns the meta dict."""
-    from rag_content_spark.operators.search import postings
-
-    post = postings(docs, id_col, text_col).withColumn(
+    """Build + write; returns the meta dict. ``positions=True`` stores
+    per-(doc, token) sorted position arrays alongside tf (meta records
+    the flag; BM25 lookup ignores the extra column, phrase/proximity
+    lookup requires it)."""
+    post = _postings_of(docs, id_col, text_col, positions).withColumn(
         "bucket",
         (stable_hash64(F.col("token"), salt=_SALT) % n_buckets).cast("int"),
     )
@@ -77,6 +103,7 @@ def build_text_index(
         "sum_dl": int(row["s"]),
         "n_buckets": n_buckets,
         "id_col": id_col,
+        "positions": bool(positions),
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -115,6 +142,120 @@ def query_text_index(
     )
 
 
+def _pruned_positional_read(
+    spark: SparkSession, out_dir: str, terms: list[str]
+) -> tuple[DataFrame, dict]:
+    """Partition-pruned positional postings for ``terms``; raises if the
+    index was built without positions."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positions"):
+        raise ValueError(
+            "index was built without positions=True — phrase/proximity "
+            "lookup needs the positional postings"
+        )
+    buckets = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
+    post = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("token").isin(terms))
+        .select(meta["id_col"], "token", "positions")
+    )
+    return post, meta
+
+
+def phrase_query_text_index(
+    spark: SparkSession, out_dir: str, phrase: str
+) -> DataFrame:
+    """Index-served exact phrase match: same offset-shifted
+    position-set intersection as operators/search.phrase_search, but
+    over the STORED per-(doc, token) position arrays — the read carries
+    a ``bucket IN (...)`` partition filter, so only the phrase's token
+    buckets are scanned, never the corpus. Results are bit-identical to
+    the corpus-scan operator (pinned in tests)."""
+    terms = [t for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    post, meta = _pruned_positional_read(spark, out_dir, terms)
+    id_col = meta["id_col"]
+    # (doc, token) is unique in the postings, so per-term pickup is a
+    # conditional first(); a term absent from a doc leaves NULL and the
+    # intersection nulls out (size(NULL) = -1 fails the > 0 gate)
+    aggs = [
+        F.first(
+            F.when(F.col("token") == t, F.col("positions")), ignorenulls=True
+        ).alias(f"_p{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = post.groupBy(id_col).agg(*aggs)
+    inter = F.col("_p0")
+    for i in range(1, len(terms)):
+        # the transform Column is built EAGERLY this iteration, so the
+        # 1-arg lambda's closure over the loop variable is safe (the
+        # 2-arg form would receive the array index — repo gotcha)
+        off = F.lit(i)
+        inter = F.array_intersect(
+            inter, F.transform(F.col(f"_p{i}"), lambda p: p - off)
+        )
+    return (
+        per_doc.select(
+            F.col(id_col), F.size(inter).cast("bigint").alias("n_occurrences")
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def proximity_query_text_index(
+    spark: SparkSession, out_dir: str, terms: list[str], window: int = 6
+) -> DataFrame:
+    """Index-served unordered proximity match (the slop-window sibling;
+    operators/search.proximity_search semantics): valid-start interval
+    expansion over the stored position arrays, doc length from the
+    lengths table joined only against candidate docs."""
+    terms = list(dict.fromkeys(t for t in terms if t))
+    if not terms:
+        raise ValueError("terms must contain at least one token")
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+    post, meta = _pruned_positional_read(spark, out_dir, terms)
+    id_col = meta["id_col"]
+    aggs = [
+        F.first(
+            F.when(F.col("token") == t, F.col("positions")), ignorenulls=True
+        ).alias(f"_p{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = post.groupBy(id_col).agg(*aggs)
+    lengths = spark.read.parquet(os.path.join(out_dir, "lengths")).select(
+        F.col(id_col), F.col("dl").alias("_len")
+    )
+    per_doc = per_doc.join(lengths, id_col).filter(F.col("_len") >= w)
+
+    def _starts(col):
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    col,
+                    lambda p: F.sequence(
+                        F.greatest(p - F.lit(w - 1), F.lit(0)),
+                        F.least(p, F.col("_len") - F.lit(w)),
+                    ),
+                )
+            )
+        )
+
+    inter = _starts(F.col("_p0"))
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, _starts(F.col(f"_p{i}")))
+    return (
+        per_doc.select(
+            F.col(id_col), F.size(inter).cast("bigint").alias("n_windows")
+        )
+        .filter(F.col("n_windows") > 0)
+    )
+
+
 def add_to_text_index(
     docs: DataFrame,
     out_dir: str,
@@ -125,12 +266,12 @@ def add_to_text_index(
     append, and the exact-integer corpus stats advance — per-term df is
     a window over the postings at query time, so appends need no df
     rewrite. Id uniqueness across adds is the caller's contract."""
-    from rag_content_spark.operators.search import postings
-
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     id_col = meta["id_col"]
-    post = postings(docs, id_col, text_col).withColumn(
+    post = _postings_of(
+        docs, id_col, text_col, bool(meta.get("positions"))
+    ).withColumn(
         "bucket",
         (stable_hash64(F.col("token"), salt=_SALT) % meta["n_buckets"]).cast(
             "int"

@@ -2395,6 +2395,69 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXT_INDEX_POS_MEMO: dict = {}
+
+
+def _memo_positional_index(spark: SparkSession, sf_dir: str) -> str:
+    """Positional text index built once per sf_dir (separate from the
+    tf-only _memo_text_index so the existing lookup artifacts are
+    untouched)."""
+    import tempfile
+
+    from rag_content_spark.plans.text_index import build_text_index
+
+    d = _TEXT_INDEX_POS_MEMO.get(sf_dir)
+    if d is None or not os.path.exists(os.path.join(d, "meta.json")):
+        d = tempfile.mkdtemp(prefix="sgraft_text_index_pos_")
+        build_text_index(_docs(spark, sf_dir), d, n_buckets=32, positions=True)
+        _TEXT_INDEX_POS_MEMO[sf_dir] = d
+    return d
+
+
+@register(
+    "phrase_index_lookup",
+    # Index-served phrase match (plans/text_index.phrase_query_text_index):
+    # bucket-pruned positional postings, same intersection algebra and —
+    # by construction — the same oracle as the corpus-scan phrase_search.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks CROSS JOIN range(0, 100000) r
+    WHERE r.range <= len(tk) - 3
+      AND array_to_string(
+            list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 3 AS INT)),
+            ' ') = '{_PHRASE}'
+    GROUP BY doc_id
+    """,
+)
+def q_phrase_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.plans.text_index import phrase_query_text_index
+
+    d = _memo_positional_index(spark, sf_dir)
+    return phrase_query_text_index(spark, d, _PHRASE)
+
+
+@register(
+    "proximity_index_lookup",
+    # Index-served proximity match (plans/text_index.
+    # proximity_query_text_index) — same oracle as proximity_search.
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+    FROM toks CROSS JOIN range(0, 100000) r
+    WHERE r.range <= len(tk) - 6
+      AND list_contains(list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 6 AS INT)), 'spark')
+      AND list_contains(list_slice(tk, CAST(r.range + 1 AS INT), CAST(r.range + 6 AS INT)), 'stream')
+    GROUP BY doc_id
+    """,
+)
+def q_proximity_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.plans.text_index import proximity_query_text_index
+
+    d = _memo_positional_index(spark, sf_dir)
+    return proximity_query_text_index(spark, d, ["spark", "stream"], window=6)
+
+
 @register(
     "distinct_counts",
     # Exact distinct aggregation (the count-distinct shuffle shape).

@@ -583,3 +583,110 @@ def test_proximity_search_window_start_counting(spark):
     }
     # d3 tokens: a b x a b ; windows: [a b x]=Y [b x a]=Y [x a b]=Y -> 3
     assert got == {"d1": 1, "d3": 3}
+
+
+def test_positional_index_phrase_and_proximity_parity(spark, tmp_path):
+    """Index-served phrase/proximity == their corpus-scan operators,
+    bit-identically, on the sf0.001 corpus; the positional read is
+    partition-pruned; BM25 lookup ignores the positions column; a
+    non-positional index refuses phrase lookup."""
+    import re as _re
+
+    import pytest
+
+    from rag_content_spark.operators.search import (
+        bm25_scores,
+        phrase_search,
+        proximity_search,
+    )
+    from rag_content_spark.plans.text_index import (
+        build_text_index,
+        phrase_query_text_index,
+        proximity_query_text_index,
+        query_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "pidx")
+    meta = build_text_index(docs, d, n_buckets=32, positions=True)
+    assert meta["positions"] is True
+
+    phrase = "stream table hash"
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_query_text_index(spark, d, phrase).collect()
+    }
+    ref = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, phrase).collect()
+    }
+    assert got == ref
+
+    terms = ["spark", "stream"]
+    gotp = {
+        r["doc_id"]: r["n_windows"]
+        for r in proximity_query_text_index(spark, d, terms, window=6).collect()
+    }
+    refp = {
+        r["doc_id"]: r["n_windows"]
+        for r in proximity_search(docs, terms, window=6).collect()
+    }
+    assert gotp == refp and len(gotp) > 0
+
+    # the positional read is partition-pruned to the phrase's buckets
+    plan = (
+        phrase_query_text_index(spark, d, phrase)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+
+    # BM25 over the positional index still matches the on-the-fly scorer
+    bm_idx = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, ["spark", "join"]).collect()
+    }
+    bm_ref = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["spark", "join"]).collect()
+    }
+    assert bm_idx == bm_ref
+
+    # a tf-only index refuses positional lookups with a clear error
+    d2 = str(tmp_path / "tfidx")
+    build_text_index(docs, d2, n_buckets=8)
+    with pytest.raises(ValueError, match="positions"):
+        phrase_query_text_index(spark, d2, phrase)
+
+
+def test_positional_index_incremental_add_matches_full_build(spark, tmp_path):
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        phrase_query_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    d_full = str(tmp_path / "full")
+    d_inc = str(tmp_path / "inc")
+    build_text_index(docs, d_full, n_buckets=8, positions=True)
+    build_text_index(half_a, d_inc, n_buckets=8, positions=True)
+    meta = add_to_text_index(half_b, d_inc)
+    assert meta["positions"] is True
+    phrase = "stream table hash"
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_query_text_index(spark, d_inc, phrase).collect()
+    }
+    ref = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_query_text_index(spark, d_full, phrase).collect()
+    }
+    assert got == ref
