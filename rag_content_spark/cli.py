@@ -252,6 +252,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("-o", "--output", required=True, help="output directory")
     c.add_argument("--near-dedup", action="store_true", help="also MinHash-LSH near-dedup (within batch)")
     c.add_argument("--jaccard", type=float, default=0.7, help="near-dup verify threshold")
+    c.add_argument("--max-bucket-size", type=int, default=None,
+                   help="cap LSH band-bucket membership (bounds a degenerate "
+                        "bucket at cap^2 pairs); truncated buckets are "
+                        "counted in stats.json, never silent")
     c.add_argument("--mix", default=None, help="target language mix, e.g. en=0.5,es=0.25,fr=0.25")
     c.add_argument("--pack-budget", type=int, default=2048, help="tokens per training sequence")
     c.add_argument("--scrub-passages", action="store_true", help="remove cross-document duplicate passages first")
@@ -510,10 +514,24 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
     if args.vector:
         qv = [float(x) for x in args.vector.split(",")]
     elif args.vec_id is not None:
+        from rag_content_spark.plans import index_commit as ic
+        from rag_content_spark.plans.ann_index import load_ann_meta
+
+        meta, _cb = load_ann_meta(args.index_dir)
+        root, adds = ic.live_view(
+            args.index_dir,
+            legacy_root={
+                "kind": "base", "version": 0, "base_version": 0,
+                "dirs": {"index": "index"},
+                "stats": {"n_vectors": meta["n_vectors"]},
+            },
+        )
         qv = list(
-            spark.read.parquet(os.path.join(args.index_dir, "index"))
-            .filter(F.col("vec_id") == args.vec_id)
-            .collect()[0]["embedding"]
+            ic.read_union(
+                spark, args.index_dir, ic.view_dirs(root, adds, "index")
+            )
+            .filter(F.col(meta["id_col"]) == args.vec_id)
+            .collect()[0][meta["embedding_col"]]
         )
     else:
         print("error: pass -v or --vec-id", file=sys.stderr)
@@ -577,7 +595,27 @@ def cmd_curate(args: argparse.Namespace) -> int:
     stats["after_exact_dedup"] = deduped.count()
 
     if args.near_dedup:
-        cand = minhash_lsh_candidates(deduped)
+        # exact_dedup above already collapsed identical texts to one
+        # representative, so LSH buckets see one member per distinct
+        # content — the pre-collapse that keeps boilerplate-heavy crawls
+        # from densifying band buckets; the cap is the hard bound on top
+        cap = getattr(args, "max_bucket_size", None)
+        cand = minhash_lsh_candidates(deduped, max_bucket_size=cap)
+        if cap is not None:
+            from rag_content_spark.operators.dedup import (
+                minhash_lsh_overflow,
+                overflow_summary,
+            )
+
+            row = overflow_summary(
+                minhash_lsh_overflow(deduped, cap)
+            ).collect()[0]
+            stats["lsh_overflow"] = {
+                "max_bucket_size": cap,
+                "n_overflow_buckets": int(row["n_overflow_buckets"]),
+                "max_bucket_size_seen": int(row["max_bucket_size_seen"]),
+                "n_dropped_ids": int(row["n_dropped_ids"]),
+            }
         pairs = jaccard_pairs(deduped, cand, threshold=args.jaccard)
         deduped = apply_dedup(deduped, pairs)
         stats["after_near_dedup"] = deduped.count()

@@ -192,13 +192,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Pipeline: shingle → signature → explode into ``bands`` band-hashes →
     self-equi-join on (band, band_hash) → distinct (a < b) pairs.
     The only shuffles are the band-hash join and the final distinct; both
-    scale linearly with corpus size for non-pathological band sizes.
+    scale linearly with corpus size for non-pathological band sizes —
+    and ``max_bucket_size`` bounds the pathological ones (see
+    :func:`bucket_pairs`; :func:`minhash_lsh_overflow` reports what a
+    binding cap truncated). At 100 TB pair this with
+    :func:`collapse_exact_before_lsh` so a boilerplate page repeated
+    10^6 times is ONE bucket member, not 10^6.
     """
     banded = df.select(
         F.col(id_col),
@@ -208,11 +214,139 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
-    return bucket_pairs(banded, id_col, ["band", "band_hash"])
+    return bucket_pairs(
+        banded, id_col, ["band", "band_hash"], max_bucket_size=max_bucket_size
+    )
+
+
+def minhash_lsh_overflow(
+    df: DataFrame,
+    max_bucket_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Overflow report for ``minhash_lsh_candidates(max_bucket_size=)``:
+    (band, band_hash, bucket_size, n_dropped) per truncated bucket."""
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            minhash_band_hashes(
+                hashed_shingles(text_col, n=shingle_n), num_hashes, bands
+            )
+        ).alias("band", "band_hash"),
+    )
+    return bucket_overflow_report(
+        banded, ["band", "band_hash"], max_bucket_size
+    )
+
+
+def collapse_exact_before_lsh(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate pre-collapse for the near-dup pipeline: returns
+    ``(reps, members)`` where ``reps`` is one surviving row (the min-id
+    representative) per distinct content hash and ``members`` maps every
+    id to its representative (rep_id, doc_id, n_copies).
+
+    Why this precedes MinHash/LSH at scale: identical documents have
+    identical signatures, so a page repeated k times puts k members into
+    EVERY band bucket it touches — the k² pair blowup measured in the
+    round-7 100× containment/cluster probes (replicated-corpus
+    densification) and the single-task OOM a boilerplate-heavy crawl
+    causes. Collapsing first makes each exact-dup cluster one bucket
+    member; near-dup pairs found between representatives extend to the
+    members transitively (an exact dup of A is near-dup of whatever A
+    is), which :func:`expand_rep_pairs` materializes when needed.
+    One content-hash shuffle + one leftsemi join — both linear.
+    """
+    groups = exact_dedup(df, text_col, id_col)
+    reps = df.join(
+        groups.select(F.col("keep_id").alias(id_col)), id_col, "leftsemi"
+    )
+    members = (
+        df.select(stable_hash64(F.col(text_col)).alias("content_hash"), id_col)
+        .join(
+            groups.select(
+                "content_hash",
+                F.col("keep_id").alias("rep_id"),
+                F.col("dup_count").alias("n_copies"),
+            ),
+            "content_hash",
+        )
+        .select("rep_id", F.col(id_col), "n_copies")
+    )
+    return reps, members
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Expand representative-level near-dup pairs back to member level:
+    every (member of rep_a, member of rep_b) pair, plus the intra-cluster
+    exact-dup pairs (members sharing a representative), as (id_a < id_b).
+    Output size is the TRUE duplicate-pair count — call it on the
+    (small) verified pair set, never on raw candidates."""
+    ma = members.select(
+        F.col("rep_id").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    cross = (
+        rep_pairs.select("id_a", "id_b")
+        .join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "rep_id")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+    )
+    return cross.unionByName(intra).distinct()
+
+
+def _cap_ids(ids_col: Column, max_bucket_size: int) -> Column:
+    """Deterministic hash-ordered truncation of a bucket's id list to
+    ``max_bucket_size`` members: sort by (stable_hash64(id), id) and
+    keep the first ``max_bucket_size``. Hash order — not the plain id
+    order — so the survivors are an unbiased pseudo-random sample of the
+    bucket (prefix truncation of sorted ids would permanently exclude
+    lexicographically-large ids from candidacy in every overflowing
+    bucket).
+
+    DuckDB twin: QUALIFY row_number() OVER (PARTITION BY bucket
+    ORDER BY h60('cap:' || id), id) <= cap.
+    """
+    keyed = F.array_sort(
+        F.transform(
+            ids_col,
+            lambda x: F.struct(
+                stable_hash64(x.cast("string"), salt="cap").alias("h"),
+                x.alias("id"),
+            ),
+        )
+    )
+    return F.transform(
+        F.slice(keyed, 1, max_bucket_size), lambda s: s["id"]
+    )
 
 
 def bucket_pairs(
-    banded: DataFrame, id_col: str, bucket_cols: list[str]
+    banded: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs of ids sharing a bucket.
 
@@ -222,14 +356,31 @@ def bucket_pairs(
     broadcast join), and the only shuffle is the groupBy.
 
     Pathological buckets (a band hash shared by k docs) cost O(k²) pairs
-    in one task — same output as the join, but concentrated; cap upstream
-    (more bands / wider bands) if a corpus has degenerate boilerplate.
+    in one task — same output as the join, but concentrated.
+    ``max_bucket_size`` ENFORCES the bound: each overflowing bucket's id
+    list is truncated to a deterministic hash-ordered sample of
+    ``max_bucket_size`` members before pair enumeration, so per-bucket
+    cost is O(cap²) regardless of corpus degeneracy (the
+    boilerplate-heavy-crawl case: millions of near-identical pages
+    sharing a band hash). The cap is NEVER silent — pair it with
+    :func:`bucket_overflow_report` over the same banded frame to count
+    and size the truncated buckets, and collapse exact duplicates first
+    (:func:`collapse_exact_before_lsh`) so identical docs contribute one
+    representative instead of inflating buckets. The per-bucket
+    collect_list itself is linear in bucket size (ids only, not text);
+    the quadratic pair emission is what the cap bounds.
     """
     ids = (
         banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        ids = ids.withColumn(
+            "_ids", F.array_sort(_cap_ids(F.col("_ids"), max_bucket_size))
+        )
     pair_structs = F.flatten(
         F.transform(
             F.col("_ids"),
@@ -243,6 +394,41 @@ def bucket_pairs(
         ids.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+
+
+def bucket_overflow_report(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """The no-silent-caps companion of ``bucket_pairs(max_bucket_size=)``:
+    one row per TRUNCATED bucket — (bucket_cols..., bucket_size,
+    n_dropped) with n_dropped = bucket_size - max_bucket_size — plus the
+    caller can aggregate it to a one-line summary
+    (:func:`overflow_summary`). Runs the same groupBy the pair
+    enumeration runs (a count, not a collect), so it costs one cheap
+    aggregate over the banded frame."""
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+        .withColumn(
+            "n_dropped", F.col("bucket_size") - F.lit(max_bucket_size)
+        )
+    )
+
+
+def overflow_summary(report: DataFrame) -> DataFrame:
+    """One row: (n_overflow_buckets, max_bucket_size_seen, n_dropped_ids)
+    over a :func:`bucket_overflow_report` frame — the line a pipeline
+    logs so a binding cap is visible in every run report."""
+    return report.agg(
+        F.count(F.lit(1)).alias("n_overflow_buckets"),
+        F.coalesce(F.max("bucket_size"), F.lit(0)).alias(
+            "max_bucket_size_seen"
+        ),
+        F.coalesce(F.sum("n_dropped"), F.lit(0)).alias("n_dropped_ids"),
     )
 
 
@@ -385,6 +571,7 @@ def embedding_neardup_pairs(
     bands: int = 2,
     dim: int = 64,
     vectorized_signatures: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-random-projection LSH
     with OR-amplification (a pair is a candidate if ANY of ``bands``
@@ -393,7 +580,10 @@ def embedding_neardup_pairs(
 
     Vectors are assumed L2-normalized (dot == cosine). At 100 TB the
     band-bucket join is the only shuffle; raise ``bits`` to shrink
-    buckets, raise ``bands`` to raise recall. ``vectorized_signatures``
+    buckets, raise ``bands`` to raise recall, and set
+    ``max_bucket_size`` to bound degenerate buckets (zero vectors,
+    mass-duplicated embeddings) at O(cap²) per bucket — see
+    :func:`bucket_pairs`. ``vectorized_signatures``
     (the default — the 100 TB build shape) swaps the interpreted per-bit
     folds for the numpy-matmul twin (lsh_signature_np); pass False for
     the exact-fold twin that oracle queries and the equality tests pin
@@ -430,7 +620,9 @@ def embedding_neardup_pairs(
                 )
             ).alias("band", "bucket"),
         )
-    cand = bucket_pairs(banded, id_col, ["band", "bucket"])
+    cand = bucket_pairs(
+        banded, id_col, ["band", "bucket"], max_bucket_size=max_bucket_size
+    )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(embedding_col).alias("_va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(embedding_col).alias("_vb"))
     return (
@@ -637,6 +829,7 @@ def dedup_against_corpus(
     shingle_n: int = 3,
     threshold: float = 0.7,
     corpus_bands: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup: drop new docs that duplicate the
     EXISTING corpus (the daily-ingest path — new data never re-scans
@@ -647,6 +840,12 @@ def dedup_against_corpus(
     materialized snapshot to skip recomputing it); verification runs
     n-gram Jaccard on candidate pairs only; survivors are the anti-join.
     Requires disjoint id spaces between batch and corpus.
+    ``max_bucket_size`` bounds a degenerate band bucket's join output at
+    cap² (each side truncated to a deterministic hash-ordered sample of
+    ``cap`` members per (band, band_hash) — the same guarantee as
+    :func:`bucket_pairs`); a new doc whose corpus twin was sampled out
+    of one bucket usually survives in another band, and the drop is
+    reportable via :func:`bucket_overflow_report` on either band table.
     """
     nb = minhash_band_table(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n
@@ -658,6 +857,21 @@ def dedup_against_corpus(
             corpus_docs, text_col, id_col, num_hashes, bands, shingle_n
         )
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError("max_bucket_size must be >= 1")
+
+        def _capped(side: DataFrame) -> DataFrame:
+            return (
+                side.groupBy("band", "band_hash")
+                .agg(F.collect_list(id_col).alias("_ids"))
+                .withColumn("_ids", _cap_ids(F.col("_ids"), max_bucket_size))
+                .select(
+                    "band", "band_hash", F.explode("_ids").alias(id_col)
+                )
+            )
+
+        nb, cb = _capped(nb), _capped(cb)
     cand = (
         nb.join(
             cb.withColumnRenamed(id_col, "_corpus_id"),

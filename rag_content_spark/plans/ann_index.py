@@ -13,6 +13,26 @@ The reference persists FAISS binaries that only FAISS can read; the
   optionally exact-refine the shortlist against the full vectors kept
   in the same rows (column pruning keeps them out of the ADC scan).
 
+Layout (commit-logged since round 8, same protocol as text_index):
+
+    out_dir/
+      meta.json                   static config {format, metric, dim,
+                                  nlist, m, k, id_col, embedding_col}
+      centroids.parquet           frozen IVF model
+      codebook.json               frozen PQ model
+      data/i-<uuid>/cell=NN/...   index segments (one per writer)
+      commits/snap-NNNNN.json     hard-link-claimed manifests
+                                  {kind, dirs, stats: {n_vectors}}
+
+Maintenance is CONCURRENCY-SAFE via plans/index_commit.py: adds write
+unique staging segments and claim commits (no shared-dir appends, no
+meta.json read-modify-write — concurrent adds never lose an
+``n_vectors`` update), compaction absorbs the live view into one
+segment under a single ``compact`` commit with ``base_version``
+snapshot isolation, and a crash at any point leaves the old view
+intact (no renames). Pre-log indexes (bare ``index/`` + stats in
+meta.json) read transparently and upgrade on their first logged write.
+
 Why this shape at 100 TB: the index is splittable, schema-evolvable,
 queryable by any engine, and cells map to directories — a probe reads
 ``n_probe / nlist`` of the bytes. Training uses the vectorized numpy
@@ -27,6 +47,29 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from rag_content_spark.plans import index_commit as ic
+
+
+def _legacy_root(meta: dict) -> dict:
+    return {
+        "kind": "base",
+        "version": 0,
+        "base_version": 0,
+        "dirs": {"index": "index"},
+        "stats": {"n_vectors": int(meta["n_vectors"])},
+    }
+
+
+def _live(out_dir: str, meta: dict) -> tuple[dict, list[dict], dict]:
+    legacy = _legacy_root(meta) if "n_vectors" in meta else None
+    root, adds = ic.live_view(out_dir, legacy_root=legacy)
+    return root, adds, ic.view_stats(root, adds)
+
+
+def _read_live_index(spark: SparkSession, out_dir: str, meta: dict) -> DataFrame:
+    root, adds, _stats = _live(out_dir, meta)
+    return ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "index"))
+
 
 def build_ann_index(
     emb: DataFrame,
@@ -38,10 +81,15 @@ def build_ann_index(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
 ) -> dict:
-    """Train + encode + write. Returns the meta dict.
+    """Train + encode + write. Returns the meta dict (config +
+    n_vectors).
 
     Seeding is deterministic (the nlist lowest (xxhash64(id), id) keys),
-    so the same corpus always builds the same index.
+    so the same corpus always builds the same index. ``id_col`` and
+    ``embedding_col`` are recorded in meta.json so maintenance never
+    has to infer column roles (round-7 ADVICE: compact guessed the id
+    column and a custom embedding column name silently broke the
+    per-cell sort).
     """
     from rag_content_spark.functions.vector import train_pq_codebook
     from rag_content_spark.operators.kmeans import kmeans
@@ -82,13 +130,15 @@ def build_ann_index(
         emb, centroids, embedding_col=embedding_col, id_col=id_col
     )
     encoded = pq_encode_np(assigned, codebook, embedding_col=embedding_col)
+    os.makedirs(out_dir, exist_ok=True)
+    i_dir = ic.staging_dir(out_dir, "i")
     (
         encoded.select(
             id_col, embedding_col, F.col("centroid_id").alias("cell"), "codes"
         )
-        .write.mode("overwrite")
+        .write.mode("errorifexists")
         .partitionBy("cell")
-        .parquet(os.path.join(out_dir, "index"))
+        .parquet(os.path.join(out_dir, i_dir))
     )
     spark = emb.sparkSession
     spark.createDataFrame(
@@ -98,27 +148,37 @@ def build_ann_index(
         os.path.join(out_dir, "centroids.parquet")
     )
     meta = {
-        "format": "rag-spark-ann/1",
+        "format": "rag-spark-ann/2",
         "metric": "l2",
         "dim": dim,
         "nlist": nlist,
         "m": m,
         "k": k,
-        "n_vectors": n,
+        "id_col": id_col,
+        "embedding_col": embedding_col,
     }
     with open(os.path.join(out_dir, "codebook.json"), "w") as f:
         json.dump(codebook, f)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
-    return meta
+    ic.claim(
+        out_dir,
+        {"kind": "base", "dirs": {"index": i_dir}, "stats": {"n_vectors": n}},
+    )
+    return meta | {"n_vectors": n}
 
 
-def load_ann_meta(out_dir: str) -> tuple[dict, list, list]:
-    """(meta, centroids [(id, vec)...], codebook)."""
+def load_ann_meta(out_dir: str) -> tuple[dict, list]:
+    """(meta, codebook); meta includes live n_vectors and defaults
+    id_col/embedding_col for pre-round-8 indexes."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     with open(os.path.join(out_dir, "codebook.json")) as f:
         codebook = json.load(f)
+    meta.setdefault("id_col", "vec_id")
+    meta.setdefault("embedding_col", "embedding")
+    _root, _adds, stats = _live(out_dir, meta)
+    meta["n_vectors"] = stats["n_vectors"]
     return meta, codebook
 
 
@@ -132,10 +192,10 @@ def query_ann_index(
 ) -> DataFrame:
     """Probe -> pruned scan -> ADC -> (optional) exact refine.
 
-    The returned plan's scan carries a ``cell IN (...)`` partition
-    filter; with ``refine`` the full vectors are read ONLY for the
-    ``4 * topk`` ADC shortlist (broadcast self-join on vec_id).
-    """
+    The returned plan's scans carry a ``cell IN (...)`` partition
+    filter (every live segment's scan — per-segment reads keep the
+    filter); with ``refine`` the full vectors are read ONLY for the
+    ``4 * topk`` ADC shortlist (broadcast self-join on the id)."""
     from rag_content_spark.functions.vector import (
         euclidean,
         pq_adc_score,
@@ -143,6 +203,7 @@ def query_ann_index(
     )
 
     meta, codebook = load_ann_meta(out_dir)
+    id_col, embedding_col = meta["id_col"], meta["embedding_col"]
     cents = spark.read.parquet(
         os.path.join(out_dir, "centroids.parquet")
     ).collect()
@@ -156,28 +217,28 @@ def query_ann_index(
     )[:n_probe]
     cells = [int(c) for _, c in probes]
 
-    index = spark.read.parquet(os.path.join(out_dir, "index")).filter(
+    index = _read_live_index(spark, out_dir, meta).filter(
         F.col("cell").isin(cells)
     )
     table = pq_adc_table([float(x) for x in query_vec], codebook)
     adc = F.round(pq_adc_score("codes", table), 6)
     shortlist = (
-        index.select("vec_id", adc.alias("adc"))
-        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        index.select(id_col, adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(4 * topk if refine else topk)
     )
     if not refine:
         return shortlist
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     exact = (
-        index.select("vec_id", "embedding")
-        .join(F.broadcast(shortlist), "vec_id")
+        index.select(id_col, embedding_col)
+        .join(F.broadcast(shortlist), id_col)
         .select(
-            "vec_id",
+            id_col,
             "adc",
-            F.round(euclidean(F.col("embedding"), qlit), 6).alias("exact"),
+            F.round(euclidean(F.col(embedding_col), qlit), 6).alias("exact"),
         )
-        .orderBy(F.asc("exact"), F.asc("vec_id"))
+        .orderBy(F.asc("exact"), F.asc(id_col))
         .limit(topk)
     )
     return exact
@@ -186,16 +247,16 @@ def query_ann_index(
 def add_to_ann_index(
     new_emb: DataFrame,
     out_dir: str,
-    id_col: str = "vec_id",
-    embedding_col: str = "embedding",
 ) -> dict:
     """Incremental add — the FAISS ``index.add()`` shape: the trained
     model (centroids + PQ codebook) is FROZEN; new vectors are assigned
     to their existing cells, PQ-encoded with the existing codebook, and
-    APPENDED to the partitioned index (new parquet files inside the
-    matching ``cell=`` directories — readers and the partition-pruned
-    query path pick them up with no rebuild and no rewrite of existing
-    postings). Returns the updated meta.
+    committed as a new cell-partitioned segment (unique staging dir +
+    hard-link commit claim — concurrent adds never collide or lose an
+    ``n_vectors`` update; pinned by the threaded race test). Readers
+    and the partition-pruned query path pick segments up with no
+    rebuild. Column roles come from meta.json (id_col/embedding_col
+    recorded at build). Returns the meta view after this add.
 
     Quantization drift is the documented trade (same as FAISS): adds
     do not move centroids, so after heavy growth rebuild with
@@ -207,6 +268,9 @@ def add_to_ann_index(
     from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     meta, codebook = load_ann_meta(out_dir)
+    id_col, embedding_col = meta["id_col"], meta["embedding_col"]
+    if "n_vectors" in json.load(open(os.path.join(out_dir, "meta.json"))):
+        ic.ensure_base(out_dir, _legacy_root({"n_vectors": meta["n_vectors"]}))
     spark = new_emb.sparkSession
     centroids = [
         (r["centroid_id"], list(r["centroid_vec"]))
@@ -220,62 +284,87 @@ def add_to_ann_index(
         emb, centroids, embedding_col=embedding_col, id_col=id_col
     )
     encoded = pq_encode_np(assigned, codebook, embedding_col=embedding_col)
+    i_dir = ic.staging_dir(out_dir, "i")
     (
         encoded.select(
             id_col, embedding_col, F.col("centroid_id").alias("cell"), "codes"
         )
-        .write.mode("append")
+        .write.mode("errorifexists")
         .partitionBy("cell")
-        .parquet(os.path.join(out_dir, "index"))
+        .parquet(os.path.join(out_dir, i_dir))
     )
-    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    ic.claim(
+        out_dir,
+        {
+            "kind": "add",
+            "dirs": {"index": i_dir},
+            "stats": {"n_vectors": n_new},
+        },
+    )
+    _root, _adds, stats = _live(out_dir, meta)
+    meta["n_vectors"] = stats["n_vectors"]
     return meta
 
 
 def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
-    """Compact the cell-partitioned postings after many
-    :func:`add_to_ann_index` appends — one sorted file per cell instead
-    of one file per (cell, append batch). Same safe shape as the text
-    sibling (plans/text_index.compact_text_index): stage into
-    ``index.compact``, atomic-rename swap, so a crash leaves the live
-    index untouched. Model sidecars (centroids/codebook/meta) are
-    untouched — compaction moves bytes, not rows."""
-    import shutil
-
-    idx_dir = os.path.join(out_dir, "index")
-    staging = os.path.join(out_dir, "index.compact")
-    backup = os.path.join(out_dir, "index.old")
-
-    def _count_files(d: str) -> int:
-        return sum(
-            1
-            for root, _dirs, files in os.walk(d)
-            for fn in files
-            if fn.endswith(".parquet")
+    """Compact the cell-partitioned segments after many
+    :func:`add_to_ann_index` commits — one sorted file per cell instead
+    of one file per (cell, add batch). Same protocol as the text
+    sibling (plans/text_index.compact_text_index): stage a fresh
+    segment, claim ONE ``compact`` commit recording ``base_version`` —
+    an add racing the compaction stays live, a crash leaves the old
+    view intact (no renames), and superseded segments are reclaimed by
+    :func:`vacuum_ann_index`. Model sidecars (centroids/codebook/meta)
+    are untouched — compaction moves bytes, not rows. The per-cell sort
+    key is the RECORDED id column (round-7 ADVICE: no more inference)."""
+    meta, _codebook = load_ann_meta(out_dir)
+    raw_meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    if "n_vectors" in raw_meta:
+        ic.ensure_base(
+            out_dir, _legacy_root({"n_vectors": raw_meta["n_vectors"]})
         )
-
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
-    before = _count_files(idx_dir)
-    rows = spark.read.parquet(idx_dir)
+    root, adds, live = _live(out_dir, meta)
+    base_version = max([root["version"]] + [a["version"] for a in adds])
+    i_dirs = ic.view_dirs(root, adds, "index")
+    before = _count_files(out_dir, i_dirs)
+    rows = ic.read_union(spark, out_dir, i_dirs)
     n_rows = rows.count()
-    id_col = next(c for c in rows.columns if c not in ("embedding", "cell", "codes"))
+    i_dir = ic.staging_dir(out_dir, "i")
     (
         rows.repartition(int(meta["nlist"]), "cell")
-        .sortWithinPartitions("cell", id_col)
-        .write.mode("overwrite")
+        .sortWithinPartitions("cell", meta["id_col"])
+        .write.mode("errorifexists")
         .partitionBy("cell")
-        .parquet(staging)
+        .parquet(os.path.join(out_dir, i_dir))
     )
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(idx_dir, backup)
-    os.rename(staging, idx_dir)
-    shutil.rmtree(backup)
+    ic.claim(
+        out_dir,
+        {
+            "kind": "compact",
+            "base_version": base_version,
+            "dirs": {"index": i_dir},
+            "stats": {"n_vectors": live["n_vectors"]},
+        },
+    )
+    new_root, new_adds, _s = _live(out_dir, meta)
     return {
         "n_files_before": before,
-        "n_files_after": _count_files(idx_dir),
+        "n_files_after": _count_files(
+            out_dir, ic.view_dirs(new_root, new_adds, "index")
+        ),
         "n_rows": n_rows,
     }
+
+
+def vacuum_ann_index(out_dir: str) -> int:
+    """Reclaim segments superseded by compaction; see
+    index_commit.vacuum_index. Returns directories removed."""
+    return ic.vacuum_index(out_dir)
+
+
+def _count_files(out_dir: str, rel_dirs: list[str]) -> int:
+    n = 0
+    for rel in rel_dirs:
+        for _root, _dirs, files in os.walk(os.path.join(out_dir, rel)):
+            n += sum(1 for fn in files if fn.endswith(".parquet"))
+    return n

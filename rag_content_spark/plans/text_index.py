@@ -1,24 +1,41 @@
 """Persisted inverted text index: token-bucket-partitioned postings on
-parquet + a lengths table + one-row corpus stats — keyword/BM25 lookup
-that reads ONLY the buckets containing the queried terms instead of
-re-scanning the corpus per query (the text twin of the cell-partitioned
-ANN index in plans/ann_index.py).
+parquet + a lengths table + exact-integer corpus stats — keyword/BM25
+lookup that reads ONLY the buckets containing the queried terms instead
+of re-scanning the corpus per query (the text twin of the
+cell-partitioned ANN index in plans/ann_index.py).
 
-Layout:
+Layout (commit-logged since round 8):
 
     index_dir/
-      postings/bucket=NN/...parquet   (doc_id, token, tf)
-      lengths/...parquet              (doc_id, dl)
-      meta.json                       {n_docs, avgdl, n_buckets}
+      meta.json                       static config {format, n_buckets,
+                                      id_col, positions}
+      data/p-<uuid>/bucket=NN/...     postings segments (one per writer)
+      data/l-<uuid>/...parquet        lengths segments
+      commits/snap-NNNNN.json         hard-link-claimed manifests:
+                                      {kind: base|add|compact, dirs,
+                                      stats: {n_docs, sum_dl}, ...}
+
+Maintenance is CONCURRENCY-SAFE via plans/index_commit.py (the
+versioned_table protocol): each add writes unique staging dirs and
+claims a commit — no shared-directory appends, no meta.json
+read-modify-write, so concurrent adds never lose a stats update and
+BM25 idf/avgdl stay exact. Compaction absorbs the live view into one
+segment and claims a ``compact`` commit recording ``base_version``; an
+add racing the compaction stays live, and a crash mid-compact leaves
+the old view fully intact (no renames — the round-7 ADVICE hole is
+structurally gone). Pre-log indexes (bare ``postings/`` +
+``lengths/`` + stats in meta.json) read transparently and upgrade on
+their first logged write.
 
 Scale shape: the build is one corpus scan -> explode -> groupBy
 (doc, token) with map-side combine, then a single partitioned write;
 a query computes its term buckets DRIVER-SIDE from the same stable
-hash (no data touched), so the postings scan carries a
+hash (no data touched), so every postings scan carries a
 ``bucket IN (...)`` partition filter — |terms| buckets read, not the
-corpus. All of a term's postings live in exactly one bucket, so the
-per-term df window over the pruned read is the true corpus df and
-scores are bit-identical to the on-the-fly scorer
+corpus (per-segment reads keep the filter in every scan; pinned in
+tests). All of a term's postings live in exactly one bucket per
+segment, so the per-term df window over the pruned read is the true
+corpus df and scores are bit-identical to the on-the-fly scorer
 (operators/search.bm25_scores shares bm25_from_postings).
 """
 
@@ -31,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from rag_content_spark.functions.hashing import stable_hash64
 from rag_content_spark.functions.text import tokens
+from rag_content_spark.plans import index_commit as ic
 
 _SALT = "ti"
 
@@ -68,6 +86,67 @@ def _postings_of(
     )
 
 
+def _read_meta(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def _legacy_root(meta: dict) -> dict:
+    """Synthesized root for a pre-log index (stats live in meta.json,
+    data in the bare postings/ + lengths/ dirs)."""
+    return {
+        "kind": "base",
+        "version": 0,
+        "base_version": 0,
+        "dirs": {"postings": "postings", "lengths": "lengths"},
+        "stats": {"n_docs": int(meta["n_docs"]), "sum_dl": int(meta["sum_dl"])},
+    }
+
+
+def _live(out_dir: str, meta: dict | None = None) -> tuple[dict, list[dict], dict]:
+    """(root, adds, live stats) of the index's current view."""
+    meta = meta or _read_meta(out_dir)
+    legacy = _legacy_root(meta) if "n_docs" in meta else None
+    root, adds = ic.live_view(out_dir, legacy_root=legacy)
+    return root, adds, ic.view_stats(root, adds)
+
+
+def _write_segment(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    positions: bool,
+) -> tuple[dict, dict]:
+    """Write one (postings, lengths) segment pair into unique staging
+    dirs; returns (dirs, stats) for the commit record."""
+    post = _postings_of(docs, id_col, text_col, positions).withColumn(
+        "bucket",
+        (stable_hash64(F.col("token"), salt=_SALT) % n_buckets).cast("int"),
+    )
+    p_dir = ic.staging_dir(out_dir, "p")
+    (
+        post.repartition(n_buckets, "bucket")
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, p_dir))
+    )
+    lengths = docs.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    l_dir = ic.staging_dir(out_dir, "l")
+    lengths.write.mode("errorifexists").parquet(os.path.join(out_dir, l_dir))
+    # stats from the STAGED files, not a second plan execution
+    row = (
+        docs.sparkSession.read.parquet(os.path.join(out_dir, l_dir))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    return (
+        {"postings": p_dir, "lengths": l_dir},
+        {"n_docs": int(row["n"]), "sum_dl": int(row["s"] or 0)},
+    )
+
+
 def build_text_index(
     docs: DataFrame,
     out_dir: str,
@@ -76,38 +155,44 @@ def build_text_index(
     text_col: str = "text",
     positions: bool = False,
 ) -> dict:
-    """Build + write; returns the meta dict. ``positions=True`` stores
-    per-(doc, token) sorted position arrays alongside tf (meta records
-    the flag; BM25 lookup ignores the extra column, phrase/proximity
-    lookup requires it)."""
-    post = _postings_of(docs, id_col, text_col, positions).withColumn(
-        "bucket",
-        (stable_hash64(F.col("token"), salt=_SALT) % n_buckets).cast("int"),
+    """Build + write; returns {config..., n_docs, sum_dl}.
+    ``positions=True`` stores per-(doc, token) sorted position arrays
+    alongside tf (meta records the flag; BM25 lookup ignores the extra
+    column, phrase/proximity lookup requires it)."""
+    os.makedirs(out_dir, exist_ok=True)
+    dirs, stats = _write_segment(
+        docs, out_dir, id_col, text_col, n_buckets, positions
     )
-    (
-        post.repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "postings"))
-    )
-    lengths = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("dl")
-    )
-    lengths.write.mode("overwrite").parquet(os.path.join(out_dir, "lengths"))
-    row = lengths.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
     meta = {
-        "format": "rag-spark-text/1",
-        "n_docs": int(row["n"]),
-        "sum_dl": int(row["s"]),
+        "format": "rag-spark-text/2",
         "n_buckets": n_buckets,
         "id_col": id_col,
         "positions": bool(positions),
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
-    return meta
+    ic.claim(out_dir, {"kind": "base", "dirs": dirs, "stats": stats})
+    return meta | stats
+
+
+def _pruned_postings(
+    spark: SparkSession, out_dir: str, terms: list[str]
+) -> tuple[DataFrame, DataFrame, dict, dict]:
+    """(postings for terms — partition-pruned per segment, lengths,
+    meta, live stats)."""
+    meta = _read_meta(out_dir)
+    root, adds, stats = _live(out_dir, meta)
+    buckets = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
+    post = (
+        ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("token").isin(terms))
+        .drop("bucket")
+    )
+    lengths = ic.read_union(
+        spark, out_dir, ic.view_dirs(root, adds, "lengths")
+    )
+    return post, lengths, meta, stats
 
 
 def query_text_index(
@@ -118,23 +203,15 @@ def query_text_index(
     b: float = 0.75,
 ) -> DataFrame:
     """(id, bm25) for the matching documents — partition-pruned read:
-    only the buckets of ``terms`` are scanned."""
+    only the buckets of ``terms`` are scanned, in every live segment."""
     from rag_content_spark.operators.search import bm25_from_postings
 
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
-    buckets = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
-    post = (
-        spark.read.parquet(os.path.join(out_dir, "postings"))
-        .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("token").isin(terms))
-        .drop("bucket")
-    )
-    lengths = spark.read.parquet(os.path.join(out_dir, "lengths"))
-    # avgdl from exact integer sums recorded at build time — identical
-    # to the on-the-fly corpus_stats aggregate
+    post, lengths, meta, live = _pruned_postings(spark, out_dir, terms)
+    # avgdl from exact integer sums in the commit log — identical to the
+    # on-the-fly corpus_stats aggregate, and never stale under
+    # concurrent adds (each add's delta is its own claimed commit)
     stats = spark.createDataFrame(
-        [(meta["n_docs"], float(meta["sum_dl"]) / meta["n_docs"])],
+        [(live["n_docs"], float(live["sum_dl"]) / live["n_docs"])],
         "n_docs long, avgdl double",
     )
     return bm25_from_postings(
@@ -147,16 +224,16 @@ def _pruned_positional_read(
 ) -> tuple[DataFrame, dict]:
     """Partition-pruned positional postings for ``terms``; raises if the
     index was built without positions."""
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _read_meta(out_dir)
     if not meta.get("positions"):
         raise ValueError(
             "index was built without positions=True — phrase/proximity "
             "lookup needs the positional postings"
         )
+    root, adds, _stats = _live(out_dir, meta)
     buckets = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
     post = (
-        spark.read.parquet(os.path.join(out_dir, "postings"))
+        ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "postings"))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("token").isin(terms))
         .select(meta["id_col"], "token", "positions")
@@ -169,18 +246,19 @@ def phrase_query_text_index(
 ) -> DataFrame:
     """Index-served exact phrase match: same offset-shifted
     position-set intersection as operators/search.phrase_search, but
-    over the STORED per-(doc, token) position arrays — the read carries
-    a ``bucket IN (...)`` partition filter, so only the phrase's token
-    buckets are scanned, never the corpus. Results are bit-identical to
-    the corpus-scan operator (pinned in tests)."""
+    over the STORED per-(doc, token) position arrays — every segment
+    read carries a ``bucket IN (...)`` partition filter, so only the
+    phrase's token buckets are scanned, never the corpus. Results are
+    bit-identical to the corpus-scan operator (pinned in tests)."""
     terms = [t for t in phrase.split() if t]
     if not terms:
         raise ValueError("phrase must contain at least one token")
     post, meta = _pruned_positional_read(spark, out_dir, terms)
     id_col = meta["id_col"]
-    # (doc, token) is unique in the postings, so per-term pickup is a
-    # conditional first(); a term absent from a doc leaves NULL and the
-    # intersection nulls out (size(NULL) = -1 fails the > 0 gate)
+    # (doc, token) is unique in the live view (id uniqueness across adds
+    # is the caller's contract), so per-term pickup is a conditional
+    # first(); a term absent from a doc leaves NULL and the intersection
+    # nulls out (size(NULL) = -1 fails the > 0 gate)
     aggs = [
         F.first(
             F.when(F.col("token") == t, F.col("positions")), ignorenulls=True
@@ -227,9 +305,10 @@ def proximity_query_text_index(
         for i, t in enumerate(terms)
     ]
     per_doc = post.groupBy(id_col).agg(*aggs)
-    lengths = spark.read.parquet(os.path.join(out_dir, "lengths")).select(
-        F.col(id_col), F.col("dl").alias("_len")
-    )
+    root, adds, _stats = _live(out_dir, meta)
+    lengths = ic.read_union(
+        spark, out_dir, ic.view_dirs(root, adds, "lengths")
+    ).select(F.col(id_col), F.col("dl").alias("_len"))
     per_doc = per_doc.join(lengths, id_col).filter(F.col("_len") >= w)
 
     def _starts(col):
@@ -261,87 +340,100 @@ def add_to_text_index(
     out_dir: str,
     text_col: str = "text",
 ) -> dict:
-    """Incremental add (sibling of ann_index.add_to_ann_index): new
-    documents' postings append inside their token buckets, lengths
-    append, and the exact-integer corpus stats advance — per-term df is
-    a window over the postings at query time, so appends need no df
-    rewrite. Id uniqueness across adds is the caller's contract."""
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
-    id_col = meta["id_col"]
-    post = _postings_of(
-        docs, id_col, text_col, bool(meta.get("positions"))
-    ).withColumn(
-        "bucket",
-        (stable_hash64(F.col("token"), salt=_SALT) % meta["n_buckets"]).cast(
-            "int"
-        ),
+    """Incremental add (sibling of ann_index.add_to_ann_index): the new
+    documents' postings + lengths land in UNIQUE staging dirs and one
+    ``add`` commit claims them — concurrent adds serialize through the
+    hard-link claim with no lost stats and no shared-directory append
+    (pinned by the threaded race test). Per-term df is a window over
+    the live postings at query time, so adds need no df rewrite. Id
+    uniqueness across adds is the caller's contract. Returns
+    {config..., n_docs, sum_dl} of the view after this add."""
+    meta = _read_meta(out_dir)
+    if "n_docs" in meta:  # pre-log index: upgrade first
+        ic.ensure_base(out_dir, _legacy_root(meta))
+    dirs, stats = _write_segment(
+        docs,
+        out_dir,
+        meta["id_col"],
+        text_col,
+        meta["n_buckets"],
+        bool(meta.get("positions")),
     )
-    (
-        post.repartition(meta["n_buckets"], "bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "postings"))
-    )
-    lengths = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("dl")
-    )
-    lengths.write.mode("append").parquet(os.path.join(out_dir, "lengths"))
-    row = lengths.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
-    meta["n_docs"] = int(meta["n_docs"]) + int(row["n"])
-    meta["sum_dl"] = int(meta["sum_dl"]) + int(row["s"])
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    return meta
+    ic.claim(out_dir, {"kind": "add", "dirs": dirs, "stats": stats})
+    _root, _adds, live = _live(out_dir, meta)
+    return {
+        k: v for k, v in meta.items() if k not in ("n_docs", "sum_dl")
+    } | live
+
+
+def _count_parquet_files(out_dir: str, rel_dirs: list[str]) -> int:
+    n = 0
+    for rel in rel_dirs:
+        for _root, _dirs, files in os.walk(os.path.join(out_dir, rel)):
+            n += sum(1 for fn in files if fn.endswith(".parquet"))
+    return n
 
 
 def compact_text_index(spark: SparkSession, out_dir: str) -> dict:
     """Compact the postings after many :func:`add_to_text_index` appends:
-    rewrite each token bucket's accumulated small files into one sorted
-    file per bucket (the OPTIMIZE/small-files maintenance step every
-    append-only lake table needs — query latency degrades with file
-    count, not bytes).
+    rewrite the live view's accumulated segments into ONE segment with
+    one sorted file per token bucket (the OPTIMIZE/small-files
+    maintenance step every append-only lake table needs — query latency
+    degrades with file count, not bytes).
 
-    Safe shape: the rewrite stages into ``postings.compact`` and swaps
-    via atomic rename, so a crash mid-compact leaves the live index
-    untouched. Stats/meta are unchanged (compaction moves bytes, not
-    rows). Returns {n_files_before, n_files_after, n_rows}.
+    Safe shape: the rewrite stages into a unique data dir and a single
+    ``compact`` commit claims it, recording ``base_version`` = the
+    highest version absorbed — an add claimed while the compaction ran
+    stays live, a crash at ANY point leaves the old view untouched
+    (there are no renames), and superseded segments are reclaimed later
+    by :func:`vacuum_text_index`. Stats are carried over exactly
+    (compaction moves bytes, not rows). Returns {n_files_before,
+    n_files_after, n_rows} over the live view.
     """
-    import shutil
-
-    post_dir = os.path.join(out_dir, "postings")
-    staging = os.path.join(out_dir, "postings.compact")
-    backup = os.path.join(out_dir, "postings.old")
-
-    def _count_files(d: str) -> int:
-        return sum(
-            1
-            for root, _dirs, files in os.walk(d)
-            for fn in files
-            if fn.endswith(".parquet")
-        )
-
-    before = _count_files(post_dir)
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
-    post = spark.read.parquet(post_dir)
+    meta = _read_meta(out_dir)
+    if "n_docs" in meta:
+        ic.ensure_base(out_dir, _legacy_root(meta))
+    root, adds, live = _live(out_dir, meta)
+    base_version = max(
+        [root["version"]] + [a["version"] for a in adds]
+    )
+    p_dirs = ic.view_dirs(root, adds, "postings")
+    l_dirs = ic.view_dirs(root, adds, "lengths")
+    before = _count_parquet_files(out_dir, p_dirs)
+    post = ic.read_union(spark, out_dir, p_dirs)
     n_rows = post.count()
+    p_dir = ic.staging_dir(out_dir, "p")
     (
         post.repartition(meta["n_buckets"], "bucket")
         .sortWithinPartitions("bucket", "token", meta["id_col"])
-        .write.mode("overwrite")
+        .write.mode("errorifexists")
         .partitionBy("bucket")
-        .parquet(staging)
+        .parquet(os.path.join(out_dir, p_dir))
     )
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(post_dir, backup)
-    os.rename(staging, post_dir)
-    shutil.rmtree(backup)
+    l_dir = ic.staging_dir(out_dir, "l")
+    ic.read_union(spark, out_dir, l_dirs).coalesce(1).write.mode(
+        "errorifexists"
+    ).parquet(os.path.join(out_dir, l_dir))
+    ic.claim(
+        out_dir,
+        {
+            "kind": "compact",
+            "base_version": base_version,
+            "dirs": {"postings": p_dir, "lengths": l_dir},
+            "stats": live,
+        },
+    )
+    new_root, new_adds, _s = _live(out_dir, meta)
     return {
         "n_files_before": before,
-        "n_files_after": _count_files(post_dir),
+        "n_files_after": _count_parquet_files(
+            out_dir, ic.view_dirs(new_root, new_adds, "postings")
+        ),
         "n_rows": n_rows,
     }
+
+
+def vacuum_text_index(out_dir: str) -> int:
+    """Reclaim segments superseded by compaction; see
+    index_commit.vacuum_index. Returns directories removed."""
+    return ic.vacuum_index(out_dir)

@@ -207,8 +207,22 @@ def register(name: str, oracle):
 
 
 def resolve_oracles() -> dict:
-    """ORACLES with lazy (callable) entries materialized to SQL strings."""
-    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
+    """ORACLES with lazy (callable) entries materialized to SQL strings.
+
+    A lazy oracle that raises (e.g. its parquet input is absent at this
+    scale factor) is OMITTED — the harness then records the weaker
+    rows-only check for that one query instead of losing ALL oracles to
+    one unhandled exception (round-7 ADVICE)."""
+    out = {}
+    for k, v in ORACLES.items():
+        if callable(v):
+            try:
+                out[k] = v()
+            except Exception:
+                continue
+        else:
+            out[k] = v
+    return out
 
 
 # ======================== scalar functions / metadata ======================
@@ -1225,6 +1239,201 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
     cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
     return dedup.jaccard_pairs(corpus, cand, threshold=0.5)
+
+
+# degenerate-bucket corpus: every 50th doc replicated VERBATIM 5 more
+# times (ids + k*1000000) — identical text means identical signatures,
+# so each replica cluster lands 6 members into every band bucket it
+# touches; the bucket cap binds at max_bucket_size=4
+_CAP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + k.range * 1000000 AS doc_id, text
+    FROM documents CROSS JOIN range(1, 6) k
+    WHERE doc_id % 50 = 0
+"""
+
+
+def _cap_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _fan(_docs(spark, sf_dir).select("doc_id", "text"))
+    copies = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("_k"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.col("doc_id") + F.col("_k") * 1000000).alias("doc_id"), "text"
+        )
+    )
+    return docs.unionAll(copies)
+
+
+_CAP_BANDS_SQL = f"""
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {{shingles}} AS sh FROM th),
+    sig AS (SELECT doc_id, {{sig}} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, {{bh}} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    )
+"""
+
+
+def _cap_bands_sql() -> str:
+    return _CAP_BANDS_SQL.format(
+        shingles=_hashed_shingles_from_th_sql(3),
+        sig=_minhash_sig_sql(16),
+        bh=_band_hashes_sql(16, 4),
+    )
+
+
+@register(
+    "lsh_bucket_cap",
+    # The enforced max_bucket_size guarantee (the round-7 scale-killer
+    # fix): candidate pairs with every band bucket truncated to a
+    # deterministic hash-ordered sample of 4 members — per-bucket cost
+    # is O(cap^2) no matter how degenerate the corpus. The oracle
+    # replays the truncation with a row_number window over the same
+    # (stable_hash64('cap:'||id), id) order.
+    f"""
+    WITH corpus AS ({_CAP_CORPUS_SQL}),
+    {_cap_bands_sql()},
+    capped AS (
+      SELECT doc_id, band, band_hash FROM bands
+      QUALIFY row_number() OVER (
+        PARTITION BY band, band_hash
+        ORDER BY {stable_hash64_sql("CAST(doc_id AS VARCHAR)", salt="cap")}, doc_id
+      ) <= 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _cap_corpus(spark, sf_dir)
+    return dedup.minhash_lsh_candidates(
+        corpus, num_hashes=16, bands=4, max_bucket_size=4
+    )
+
+
+@register(
+    "lsh_overflow",
+    # The no-silent-caps report for the same capped run: one row of
+    # (n_overflow_buckets, max_bucket_size_seen, n_dropped_ids).
+    f"""
+    WITH corpus AS ({_CAP_CORPUS_SQL}),
+    {_cap_bands_sql()},
+    sizes AS (
+      SELECT band, band_hash, CAST(count(*) AS BIGINT) AS bucket_size
+      FROM bands GROUP BY band, band_hash
+    ),
+    ov AS (SELECT * FROM sizes WHERE bucket_size > 4)
+    SELECT CAST(count(*) AS BIGINT) AS n_overflow_buckets,
+           CAST(coalesce(max(bucket_size), 0) AS BIGINT) AS max_bucket_size_seen,
+           CAST(coalesce(sum(bucket_size - 4), 0) AS BIGINT) AS n_dropped_ids
+    FROM ov
+    """,
+)
+def q_lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _cap_corpus(spark, sf_dir)
+    return dedup.overflow_summary(dedup.minhash_lsh_overflow(corpus, 4))
+
+
+@register(
+    "dedup_precollapse",
+    # Exact-duplicate pre-collapse before LSH (the round-7 densification
+    # fix): identical texts collapse to one representative, MinHash-LSH +
+    # Jaccard-verify run on representatives only, and the verified rep
+    # pairs expand back to member-level duplicate pairs (cross-cluster +
+    # intra-cluster). Corpus: docs + near twins (3 tokens shortened,
+    # %25) + two exact copies (%50).
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice({_TOKENS_SQL}, 1, greatest(len({_TOKENS_SQL}) - 2, 1)), ' ') AS text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + k.range * 2000000 AS doc_id, text
+      FROM documents CROSS JOIN range(1, 3) k
+      WHERE doc_id % 50 = 0
+    ),
+    chash AS (SELECT doc_id, {stable_hash64_sql('text')} AS ch FROM corpus),
+    grp AS (SELECT ch, min(doc_id) AS rep_id FROM chash GROUP BY ch),
+    members AS (SELECT g.rep_id, h.doc_id FROM chash h JOIN grp g USING (ch)),
+    reps AS (
+      SELECT c.doc_id, c.text FROM corpus c JOIN grp g ON g.rep_id = c.doc_id
+    ),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM reps),
+    th AS (SELECT doc_id, list_transform(tk, t -> {stable_hash64_sql('t')} % 2147483647) AS th FROM toks),
+    sh AS (SELECT doc_id, {_hashed_shingles_from_th_sql(3)} AS sh FROM th),
+    sig AS (SELECT doc_id, {_minhash_sig_sql(16)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, CAST(r.range AS INT) AS band, bh[CAST(r.range AS INT) + 1] AS band_hash
+      FROM (SELECT doc_id, {_band_hashes_sql(16, 4)} AS bh FROM sig)
+      CROSS JOIN range(0, 4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
+    ),
+    crossx AS (
+      SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+             greatest(ma.doc_id, mb.doc_id) AS id_b
+      FROM ver v
+      JOIN members ma ON ma.rep_id = v.id_a
+      JOIN members mb ON mb.rep_id = v.id_b
+    ),
+    intra AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM members x JOIN members y
+        ON x.rep_id = y.rep_id AND x.doc_id < y.doc_id
+    )
+    SELECT DISTINCT id_a, id_b
+    FROM (SELECT * FROM crossx UNION ALL SELECT * FROM intra)
+    """,
+)
+def q_dedup_precollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _fan(_docs(spark, sf_dir).select("doc_id", "text"))
+    tok = tokens(F.col("text"))
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(tok, 1, F.greatest(F.size(tok) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(2))).alias("_k"),
+            "doc_id",
+            "text",
+        )
+        .select(
+            (F.col("doc_id") + F.col("_k") * 2000000).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.unionAll(twins).unionAll(copies)
+    reps, members = dedup.collapse_exact_before_lsh(corpus)
+    cand = dedup.minhash_lsh_candidates(reps, num_hashes=16, bands=4)
+    ver = dedup.jaccard_pairs(reps, cand, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return dedup.expand_rep_pairs(ver, members)
 
 
 @register(
@@ -7891,9 +8100,12 @@ def _pca_project_oracle() -> str:
     called more than once)."""
     import os as _os
 
-    sf_dir = _os.environ.get(
-        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-    )
+    # precedence: the verifier's explicit oracle pin, then the harness's
+    # general SF dir, then the driver's correctness SF (round-7 ADVICE:
+    # a caller running at a different scale factor must not silently get
+    # eigenvector literals computed from sf0.01)
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR") or _os.environ.get(
+        "SPARK_GRAFT_SF_DIR") or "/root/testdata/sf0.01"
     if sf_dir in _PCA_ORACLE_MEMO:
         return _PCA_ORACLE_MEMO[sf_dir]
     selects = []
@@ -8749,8 +8961,11 @@ def q_text_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="sgraft_text_index_")
     build_text_index(_docs(spark, sf_dir), d, n_buckets=32)
     _TEXT_INDEX_MEMO[sf_dir] = d  # lookups amortize against this build
+    from rag_content_spark.plans import index_commit as ic
+
+    root, adds = ic.live_view(d)
     return (
-        spark.read.parquet(os.path.join(d, "postings"))
+        ic.read_union(spark, d, ic.view_dirs(root, adds, "postings"))
         .groupBy("bucket")
         .agg(
             F.count_distinct("token").alias("n_tokens"),
@@ -9461,10 +9676,13 @@ def _last_sampled_rounds() -> dict[str, int]:
     return last
 
 
-def _changed_queries() -> set[str]:
-    """Names of registered queries whose code changed since the newest
-    CORRECTNESS snapshot commit (function-level for this file,
-    module-level via imported symbols for the rest of the package)."""
+def _changed_queries() -> tuple[set[str], set[str]]:
+    """(direct, transitive) names of registered queries whose code
+    changed since the newest CORRECTNESS snapshot commit — ``direct`` is
+    queries whose own def/oracle changed, ``transitive`` additionally
+    includes those flagged via a changed shared helper (function-level
+    for this file, module-level via imported symbols for the rest of
+    the package)."""
     import ast as _ast
     import glob as _glob
     import subprocess as _sp

@@ -64,9 +64,17 @@ def write_hf_parquet_dataset(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     key = key_col or df.columns[0]
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
+    # ONE arrow schema for every shard — populated shards written via
+    # from_pandas would otherwise carry pandas-inferred types
+    # (timestamp[ns], nullable-int→float64) that differ from the empty
+    # backfill shards' to_arrow_schema types, and strict loaders reject
+    # a split with inconsistent parquet schemas (round-7 ADVICE)
+    aschema = to_arrow_schema(df.select(*df.columns).schema)
     flat = df.withColumn(
         "_shard",
         (stable_hash64(F.col(key).cast("string"), salt="hf") % n_shards).cast(
@@ -86,7 +94,10 @@ def write_hf_parquet_dataset(
             name = f"{split}-{shard:05d}-of-{n_shards:05d}.parquet"
             path = os.path.join(data_dir, name)
             pq.write_table(
-                pa.Table.from_pandas(pdf[cols], preserve_index=False), path
+                pa.Table.from_pandas(
+                    pdf[cols], schema=aschema, preserve_index=False
+                ),
+                path,
             )
             out.append((shard, len(pdf), os.path.getsize(path)))
         yield pd.DataFrame(out, columns=["shard", "n_rows", "n_bytes"])
@@ -102,9 +113,6 @@ def write_hf_parquet_dataset(
     written = {int(r["shard"]) for r in manifest.select("shard").collect()}
     missing = [s for s in range(n_shards) if s not in written]
     if missing:
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        aschema = to_arrow_schema(df.select(*cols).schema)
         extra = []
         for shard in missing:
             name = f"{split}-{shard:05d}-of-{n_shards:05d}.parquet"

@@ -262,16 +262,17 @@ def test_ann_index_incremental_add(spark, tmp_path):
     meta0 = build_ann_index(old, d, nlist=8, m=4, k=16)
     files_before = {
         os.path.join(r, f)
-        for r, _, fs in os.walk(os.path.join(d, "index"))
+        for r, _, fs in os.walk(os.path.join(d, "data"))
         for f in fs
         if f.endswith(".parquet")
     }
     meta1 = add_to_ann_index(new, d)
     assert meta1["n_vectors"] == meta0["n_vectors"] + new.count()
-    # existing posting files untouched (append-only)
+    # existing segment files untouched (append-only: the add landed in
+    # its own staged segment and claimed a commit)
     files_after = {
         os.path.join(r, f)
-        for r, _, fs in os.walk(os.path.join(d, "index"))
+        for r, _, fs in os.walk(os.path.join(d, "data"))
         for f in fs
         if f.endswith(".parquet")
     }

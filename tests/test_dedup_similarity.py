@@ -432,3 +432,159 @@ def test_containment_pairs_subset_detection(spark):
     }
     # the signal Jaccard misses: J(1,2) ~ len ratio, far below 0.9
     assert jac[(1, 2)] < 0.5
+
+
+# ---------------- max_bucket_size cap + overflow + pre-collapse ----------
+
+
+def _degenerate_corpus(spark, k=8):
+    """k verbatim copies of one boilerplate page + two distinct docs."""
+    boiler = "cookie notice accept all cookies privacy policy terms of use"
+    rows = [(i, boiler) for i in range(k)]
+    rows += [
+        (100, "a unique document about spark adaptive query execution"),
+        (101, "another unique document mentioning broadcast hash joins"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bucket_cap_bounds_pairs(spark):
+    corpus = _degenerate_corpus(spark, k=8)
+    uncapped = dedup.minhash_lsh_candidates(corpus).count()
+    capped = dedup.minhash_lsh_candidates(corpus, max_bucket_size=3)
+    pairs = capped.collect()
+    # 8 identical docs -> C(8,2)=28 uncapped, C(3,2)=3 capped
+    assert uncapped == 28
+    assert len(pairs) == 3
+    # capped pairs are a subset of the uncapped set
+    allp = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(corpus).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs} <= allp
+
+
+def test_bucket_cap_above_size_is_identity(spark):
+    corpus = _corpus(spark)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(corpus, bands=8).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            corpus, bands=8, max_bucket_size=1000
+        ).collect()
+    }
+    assert base == capped
+
+
+def test_bucket_cap_deterministic(spark):
+    corpus = _degenerate_corpus(spark, k=10)
+    a = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates(corpus, max_bucket_size=4).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates(corpus, max_bucket_size=4).collect(),
+        )
+    )
+    assert a == b and len(a) == 6  # C(4,2)
+
+
+def test_overflow_report(spark):
+    corpus = _degenerate_corpus(spark, k=8)
+    rep = dedup.minhash_lsh_overflow(corpus, max_bucket_size=3)
+    rows = rep.collect()
+    # the boilerplate cluster overflows in all 4 bands
+    assert len(rows) == 4
+    assert all(r["bucket_size"] == 8 and r["n_dropped"] == 5 for r in rows)
+    summ = dedup.overflow_summary(rep).collect()[0]
+    assert summ["n_overflow_buckets"] == 4
+    assert summ["max_bucket_size_seen"] == 8
+    assert summ["n_dropped_ids"] == 20
+    # no overflow -> zero-filled one-row summary
+    summ0 = dedup.overflow_summary(
+        dedup.minhash_lsh_overflow(corpus, max_bucket_size=100)
+    ).collect()[0]
+    assert (
+        summ0["n_overflow_buckets"] == 0
+        and summ0["max_bucket_size_seen"] == 0
+        and summ0["n_dropped_ids"] == 0
+    )
+
+
+def test_bucket_cap_rejects_degenerate_cap(spark):
+    import pytest
+
+    corpus = _corpus(spark)
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_candidates(corpus, max_bucket_size=1).collect()
+
+
+def test_embedding_neardup_cap(spark):
+    # 6 identical vectors share every SRP bucket; cap 2 -> 1 pair
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = dedup.embedding_neardup_pairs(
+        emb, threshold=0.5, bits=4, bands=2, dim=4, max_bucket_size=2
+    ).collect()
+    assert len(out) == 1
+    full = dedup.embedding_neardup_pairs(
+        emb, threshold=0.5, bits=4, bands=2, dim=4
+    ).count()
+    assert full == 15  # C(6,2)
+
+
+def test_dedup_against_corpus_cap(spark):
+    corpus = _degenerate_corpus(spark, k=4)
+    new = spark.createDataFrame(
+        [
+            (200, "cookie notice accept all cookies privacy policy terms of use"),
+            (201, "fresh reporting on distributed joins and window functions"),
+        ],
+        ["doc_id", "text"],
+    )
+    # capped and uncapped agree here (the boilerplate new doc collides
+    # with SOME sampled corpus twin in at least one band)
+    base = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_corpus(new, corpus, threshold=0.5).collect()
+    )
+    capped = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_corpus(
+            new, corpus, threshold=0.5, max_bucket_size=2
+        ).collect()
+    )
+    assert base == capped == [201]
+
+
+def test_collapse_exact_and_expand(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base),
+        (2, base),        # exact dup of 1
+        (3, base),        # exact dup of 1
+        (10, base + " x"),  # near dup of the cluster
+        (20, "entirely different content about structured streaming state"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    reps, members = dedup.collapse_exact_before_lsh(df)
+    rep_ids = sorted(r["doc_id"] for r in reps.collect())
+    assert rep_ids == [1, 10, 20]
+    mem = {(r["rep_id"], r["doc_id"], r["n_copies"]) for r in members.collect()}
+    assert (1, 2, 3) in mem and (1, 3, 3) in mem and (10, 10, 1) in mem
+    cand = dedup.minhash_lsh_candidates(reps, bands=8)
+    ver = dedup.jaccard_pairs(reps, cand, threshold=0.5).select("id_a", "id_b")
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.expand_rep_pairs(ver, members).collect()
+    }
+    # intra-cluster exact pairs + cross pairs to the near twin
+    assert {(1, 2), (1, 3), (2, 3), (1, 10), (2, 10), (3, 10)} <= out
+    assert not any(20 in p for p in out)

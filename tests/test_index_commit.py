@@ -1,0 +1,293 @@
+"""Concurrency + crash-safety of the persisted-index commit log
+(plans/index_commit.py) — the round-7 verdict's task 4: no lost meta
+updates under concurrent adds, no append/compact interleave corruption,
+no crash window in compaction."""
+
+import json
+import os
+import threading
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+
+def test_concurrent_text_adds_no_lost_stats(spark, tmp_path):
+    """Three threads race add_to_text_index: every add must land
+    (distinct commit versions) and the live n_docs/sum_dl must equal a
+    single-writer build over the full corpus — the lost-update this
+    protocol closes (the old read-modify-write meta.json lost one
+    side's stats)."""
+    from rag_content_spark.operators.search import bm25_scores
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+    from rag_content_spark.plans.text_index import add_to_text_index
+
+    docs = _docs(spark)
+    d = str(tmp_path / "ti")
+    build_text_index(docs.filter(F.col("doc_id") % 4 == 0), d, n_buckets=8)
+    errors = []
+
+    def adder(residue):
+        try:
+            add_to_text_index(docs.filter(F.col("doc_id") % 4 == residue), d)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=adder, args=(i,)) for i in (1, 2, 3)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    snaps = ic.commits(d)
+    assert [s["version"] for s in snaps] == [1, 2, 3, 4]
+    assert [s["kind"] for s in snaps] == ["base", "add", "add", "add"]
+    root, adds = ic.live_view(d)
+    stats = ic.view_stats(root, adds)
+    n = docs.count()
+    from rag_content_spark.functions.text import tokens
+
+    dl_sum = docs.select(
+        F.sum(F.size(tokens("text"))).alias("s")
+    ).collect()[0]["s"]
+    assert stats["n_docs"] == n
+    # BM25 over the concurrent view is bit-identical to the corpus scan
+    terms = ["spark", "join", "merge"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    ref = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
+    assert got == ref and len(got) > 0
+    assert stats["sum_dl"] == dl_sum
+
+
+def test_add_racing_compact_stays_live(spark, tmp_path):
+    """An add claimed AFTER compaction reads the live view (but before
+    the compact commit) must survive: compact records base_version, and
+    readers stack later adds on the compact root."""
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = _docs(spark)
+    d = str(tmp_path / "ti")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 0), d, n_buckets=8)
+    add_to_text_index(docs.filter(F.col("doc_id") % 3 == 1), d)
+
+    # simulate the race by claiming an add between compact's read and
+    # its commit: monkeypatch claim to inject the racing add first
+    import rag_content_spark.plans.text_index as ti
+
+    real_claim = ic.claim
+    injected = {"done": False}
+
+    def racing_claim(index_dir, record):
+        if record["kind"] == "compact" and not injected["done"]:
+            injected["done"] = True
+            add_to_text_index(docs.filter(F.col("doc_id") % 3 == 2), d)
+        return real_claim(index_dir, record)
+
+    ti.ic.claim = racing_claim
+    try:
+        ti.compact_text_index(spark, d)
+    finally:
+        ti.ic.claim = real_claim
+
+    root, adds = ic.live_view(d)
+    assert root["kind"] == "compact"
+    # the racing add has version > base_version — still live
+    assert len(adds) == 1
+    stats = ic.view_stats(root, adds)
+    assert stats["n_docs"] == docs.count()
+    got = query_text_index(spark, d, ["spark", "join"]).count()
+    from rag_content_spark.operators.search import bm25_scores
+
+    assert got == bm25_scores(docs, ["spark", "join"]).count()
+
+
+def test_compact_crash_leaves_live_view_intact(spark, tmp_path):
+    """A crash at ANY point during compaction (before the commit claim)
+    leaves the old view fully readable — there are no renames, so the
+    round-7 two-rename recovery hole is structurally gone."""
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+    import rag_content_spark.plans.text_index as ti
+
+    docs = _docs(spark)
+    d = str(tmp_path / "ti")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), d, n_buckets=8)
+    add_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), d)
+    terms = ["spark", "join", "merge"]
+    before = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(spark, d, terms).collect()
+    )
+
+    real_claim = ic.claim
+
+    def crashing_claim(index_dir, record):
+        if record["kind"] == "compact":
+            raise RuntimeError("simulated crash before commit claim")
+        return real_claim(index_dir, record)
+
+    ti.ic.claim = crashing_claim
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ti.compact_text_index(spark, d)
+    finally:
+        ti.ic.claim = real_claim
+
+    after = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(spark, d, terms).collect()
+    )
+    assert after == before and len(after) > 0
+    # the staged-but-unclaimed segment is debris, not corruption; a
+    # real compact afterwards still works
+    stats = ti.compact_text_index(spark, d)
+    assert stats["n_files_after"] <= 8
+    final = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(spark, d, terms).collect()
+    )
+    assert final == before
+
+
+def test_vacuum_reclaims_superseded_segments(spark, tmp_path):
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        compact_text_index,
+        query_text_index,
+        vacuum_text_index,
+    )
+
+    docs = _docs(spark)
+    d = str(tmp_path / "ti")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), d, n_buckets=8)
+    add_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), d)
+    compact_text_index(spark, d)
+    terms = ["spark", "join"]
+    before = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(spark, d, terms).collect()
+    )
+    removed = vacuum_text_index(d)
+    # base postings+lengths and add postings+lengths = 4 dirs reclaimed
+    assert removed == 4
+    assert [s["kind"] for s in ic.commits(d)] == ["compact"]
+    after = sorted(
+        (r["doc_id"], r["bm25"])
+        for r in query_text_index(spark, d, terms).collect()
+    )
+    assert after == before
+    # idempotent
+    assert vacuum_text_index(d) == 0
+
+
+def test_concurrent_ann_adds_no_lost_count(spark, tmp_path):
+    """The ANN sibling: racing adds each claim a commit; n_vectors is
+    the exact sum and every added vector is findable."""
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        load_ann_meta,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = str(tmp_path / "ann")
+    build_ann_index(emb.filter(F.col("vec_id") % 3 == 0), d, nlist=4, m=4, k=16)
+    errors = []
+
+    def adder(residue):
+        try:
+            add_to_ann_index(emb.filter(F.col("vec_id") % 3 == residue), d)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=adder, args=(i,)) for i in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    meta, _cb = load_ann_meta(d)
+    assert meta["n_vectors"] == emb.count()
+    assert [s["kind"] for s in ic.commits(d)] == ["base", "add", "add"]
+    probe = emb.filter(F.col("vec_id") == 1).collect()[0]
+    got = query_ann_index(
+        spark, d, list(probe["embedding"]), topk=1, n_probe=4
+    ).collect()
+    assert got[0]["vec_id"] == 1
+
+
+def test_ann_meta_records_column_roles(spark, tmp_path):
+    """Round-7 ADVICE: a custom embedding column name must not break
+    compaction's per-cell sort — id_col/embedding_col are recorded at
+    build and used by add/compact/query."""
+    from rag_content_spark.plans.ann_index import (
+        add_to_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        query_ann_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("node_id"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    d = str(tmp_path / "ann")
+    meta = build_ann_index(
+        emb.filter(F.col("node_id") % 2 == 0),
+        d,
+        nlist=4,
+        m=4,
+        k=16,
+        id_col="node_id",
+        embedding_col="vector",
+    )
+    assert meta["id_col"] == "node_id" and meta["embedding_col"] == "vector"
+    with open(os.path.join(d, "meta.json")) as f:
+        raw = json.load(f)
+    assert raw["id_col"] == "node_id" and raw["embedding_col"] == "vector"
+    add_to_ann_index(emb.filter(F.col("node_id") % 2 == 1), d)
+    qv = list(emb.filter(F.col("node_id") == 3).collect()[0]["vector"])
+    before = [
+        (r["node_id"], r["exact"])
+        for r in query_ann_index(spark, d, qv, topk=5, n_probe=4).collect()
+    ]
+    stats = compact_ann_index(spark, d)
+    assert stats["n_files_after"] < stats["n_files_before"]
+    after = [
+        (r["node_id"], r["exact"])
+        for r in query_ann_index(spark, d, qv, topk=5, n_probe=4).collect()
+    ]
+    assert after == before and after[0][0] == 3
