@@ -41,25 +41,33 @@ def export_faiss(
     per-row add was ~50× slower).
 
     ``index_factory(dim) -> index`` and ``index_writer(index, path)``
-    default to real faiss and are injectable so the ordering/layout
-    logic is testable without faiss in the container.
+    default to real faiss when installed and otherwise to the
+    pure-Python flat-format writer (sinks/faiss_io.py — the public
+    faiss on-disk layout, loadable by ``faiss.read_index``), so this
+    export works end-to-end in containers without the faiss binary;
+    both stay injectable for other backends.
     """
     import numpy as np
 
     if index_factory is None or index_writer is None:
         try:
             import faiss
-        except ImportError as exc:
-            raise NotImplementedError(
-                "faiss not installed in this container; inject "
-                "index_factory/index_writer to export with another backend"
-            ) from exc
-        index_factory = index_factory or (
-            lambda dim: faiss.IndexFlatIP(dim)
-            if metric == "ip"
-            else faiss.IndexFlatL2(dim)
-        )
-        index_writer = index_writer or faiss.write_index
+
+            index_factory = index_factory or (
+                lambda dim: faiss.IndexFlatIP(dim)
+                if metric == "ip"
+                else faiss.IndexFlatL2(dim)
+            )
+            index_writer = index_writer or faiss.write_index
+        except ImportError:
+            from rag_content_spark.sinks.faiss_io import PyFlatIndex
+
+            index_factory = index_factory or (
+                lambda dim: PyFlatIndex(dim, metric)
+            )
+            index_writer = index_writer or (
+                lambda index, path: index.write(path)
+            )
 
     ordered = chunks.select(id_col, embedding_col).orderBy(id_col)
     index = None

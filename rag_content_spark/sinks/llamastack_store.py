@@ -56,18 +56,19 @@ DB_FILENAME = "faiss_store.db"
 
 
 def serialize_flat_l2(vectors) -> bytes:
-    """Serialize an IndexFlatL2 over ``vectors`` with real faiss
-    (import-gated like W1); inject ``serialize_index`` to test the
+    """Serialize an IndexFlatL2 over ``vectors`` with real faiss when
+    installed, else the pure-Python flat-format writer (faiss_io.py —
+    byte-identical layout); inject ``serialize_index`` to test the
     artifact layout without the library."""
-    try:
-        import faiss
-    except ImportError as exc:
-        raise NotImplementedError(
-            "faiss not installed in this container; pass serialize_index="
-        ) from exc
     import numpy as np
 
     mat = np.asarray(vectors, dtype="float32")
+    try:
+        import faiss
+    except ImportError:
+        from rag_content_spark.sinks.faiss_io import serialize_flat
+
+        return serialize_flat(mat, metric="l2")
     index = faiss.IndexFlatL2(mat.shape[1])
     index.add(mat)
     return bytes(faiss.serialize_index(index))

@@ -94,18 +94,30 @@ def test_kv_layout_matches_llamastack(tmp_path, chunks_df):
     ]
 
 
-def test_without_faiss_requires_injection(tmp_path, chunks_df):
-    # real-faiss path is env-gated exactly like W1
-    try:
-        import faiss  # noqa: F401
+def test_without_faiss_pure_python_serialization(tmp_path, chunks_df):
+    """W4 de-gated (round-8): without faiss the embedded index is
+    serialized by the pure-Python flat-format writer — the base64
+    payload decodes to a valid IndexFlatL2 byte string carrying the
+    chunk vectors in id order."""
+    import base64
+    import json as _json
+    import sqlite3
 
-        pytest.skip("faiss present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        write_llamastack_faiss(
-            chunks_df, str(tmp_path / DB_FILENAME), vector_store_id="vs"
-        )
+    from rag_content_spark.sinks.faiss_io import deserialize_flat
+
+    out = write_llamastack_faiss(
+        chunks_df, str(tmp_path / DB_FILENAME), vector_store_id="vs"
+    )
+    assert out["count"] > 0
+    conn = sqlite3.connect(str(tmp_path / DB_FILENAME))
+    (val,) = conn.execute(
+        "SELECT value FROM kvstore WHERE key LIKE '%faiss_index:v3::%'"
+    ).fetchone()
+    payload = _json.loads(val)
+    metric, mat = deserialize_flat(
+        base64.b64decode(payload["faiss_index"])
+    )
+    assert metric == "l2" and mat.shape[0] == out["count"]
 
 
 # ---------------------------------------------------------------------------

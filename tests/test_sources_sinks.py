@@ -229,16 +229,29 @@ def test_export_faiss_empty_input(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "empty.faiss.ids.json"))
 
 
-def test_export_faiss_gate_without_faiss(spark, tmp_path):
-    import pytest
-
+def test_export_faiss_pure_python_fallback(spark, tmp_path):
+    """W1 de-gated (round-8): without faiss installed, export_faiss
+    falls back to the pure-Python flat-format writer and produces a
+    file in the public faiss IndexFlatIP layout (readable by
+    faiss.read_index; pinned here with the read twin)."""
     from rag_content_spark.sinks.exports import export_faiss
+    from rag_content_spark.sinks.faiss_io import read_flat_index
 
-    df = spark.createDataFrame(
-        [("a", [1.0])], "chunk_id string, embedding array<float>"
-    )
-    with pytest.raises(NotImplementedError):
-        export_faiss(df, str(tmp_path / "x.faiss"))
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.0, 1.0]),
+        ("c", [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "chunk_id string, embedding array<float>")
+    path = str(tmp_path / "x.faiss")
+    res = export_faiss(df, path)
+    assert res["count"] == 3 and res["dim"] == 2
+    metric, mat = read_flat_index(path)
+    assert metric == "ip" and mat.shape == (3, 2)
+    # row order == sorted id order
+    assert mat[0].tolist() == [1.0, 0.0] and mat[1].tolist() == [0.0, 1.0]
+    sidecar = json.loads(open(path + ".ids.json").read())
+    assert sidecar == {"0": "a", "1": "b", "2": "c"}
 
 
 def test_write_jsonl_shards(spark, tmp_path):
