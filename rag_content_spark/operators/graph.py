@@ -88,7 +88,12 @@ def pagerank_fixed(
     )
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    wedge_salt: int | None = None,
+) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph —
     the classic clustering/spam-detection primitive (node_iterator++ /
     the Cohen MapReduce formulation): canonicalize every edge to
@@ -103,9 +108,15 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     distributed triangle enumeration) + one explode/groupBy for the
     per-node rollup. Every triangle is generated exactly once (the
     a<b<c total order), so no dedup pass. Skewed high-degree vertices
-    are the known hot spot at scale — mitigate upstream with degree
-    thresholding or the split-vertex trick; AQE skew-join handles
-    moderate skew.
+    concentrate the wedge join's ``b`` key: a power-law hub of degree k
+    emits ~k²/2 wedges from one partition. ``wedge_salt=S`` spreads
+    each hub across S tasks (the salted-replicate join: the a-side
+    wedge key becomes (b, hash(a)%S), the c-side is replicated to all
+    S salts) — identical output, equality-pinned in tests; the
+    power-law probe (tools/probe_graph.py, BASELINE.md round-8)
+    measures when AQE's skew split alone suffices. Degree thresholding
+    upstream remains the semantic mitigation when hubs should not
+    count at all.
     """
     u, v = F.col(src), F.col(dst)
     e = (
@@ -118,7 +129,21 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a < b < c by construction
+    if wedge_salt and wedge_salt > 1:
+        s = int(wedge_salt)
+        ab_s = ab.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("a")), F.lit(s)).cast("int")
+        )
+        bc_s = bc.select(
+            "b",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
+        )
+        tri = ab_s.join(bc_s, ["b", "_salt"]).drop("_salt").join(
+            ac, ["a", "c"]
+        )
+    else:
+        tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a < b < c by construction
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

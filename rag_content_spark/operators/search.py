@@ -252,9 +252,14 @@ def phrase_search(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact consecutive-token phrase match (the positional-postings
-    retrieval mode; the reference's keyword path has term/substring
-    matching only, query_rag.py:190).
+    """Exact consecutive-token phrase match — the CORPUS-SCAN form: it
+    re-tokenizes every document per query, so use it for one-off
+    analytics only. The default route at scale is the persisted
+    positional index (``plans/query.phrase_retrieval(use_index=...)``
+    -> ``plans/text_index.phrase_query_text_index``), which reads only
+    the phrase's token buckets and is bit-identical to this operator
+    (pinned in tests). (The reference's keyword path has term/substring
+    matching only, query_rag.py:190.)
 
     Declarative formulation — NO per-term join chain: posexplode once,
     keep only the phrase's terms, then per doc intersect each term's
@@ -262,11 +267,6 @@ def phrase_search(
     (``positions(t_i) - i``); every surviving position is a phrase
     start. One key-partitioned groupBy(id) exchange; the per-doc state
     is bounded by the phrase terms' occurrence counts.
-
-    At 100 TB this runs against a POSITIONAL postings index (the
-    per-(token, doc) position arrays plans/text_index.py would store,
-    partition-pruned to the phrase's tokens); the query-side
-    intersection is identical.
     """
     terms = [t for t in phrase.split() if t]
     if not terms:
@@ -303,7 +303,10 @@ def proximity_search(
     ``window``-wide sliding-window START positions whose window contains
     at least one occurrence of EVERY term (the slop-style sibling of
     :func:`phrase_search`; crisp window-start counting instead of
-    Lucene's per-match slop).
+    Lucene's per-match slop). This is the CORPUS-SCAN form (re-tokenizes
+    per query, for one-off analytics); at scale route through
+    ``plans/query.proximity_retrieval(use_index=...)`` — the
+    bucket-pruned positional index twin with bit-identical results.
 
     Same declarative shape as phrase_search: one filtered posexplode,
     one key-partitioned groupBy(id) exchange, then each term's position

@@ -66,6 +66,55 @@ def lookup_node(index: DataFrame, node_id: str, id_col: str = "chunk_id") -> dic
     return {"id": node_id, "found": True, "node": row}
 
 
+def phrase_retrieval(
+    spark,
+    phrase: str,
+    docs: DataFrame | None = None,
+    use_index: str | None = None,
+) -> DataFrame:
+    """Phrase match with the 100 TB-correct route made the discoverable
+    one: pass ``use_index=<positional text index dir>`` (built with
+    ``plans.text_index.build_text_index(..., positions=True)``) and the
+    lookup reads ONLY the phrase's token buckets (partition-pruned,
+    amortized across queries); pass ``docs`` instead for the one-off
+    corpus-scan twin (operators/search.phrase_search — re-tokenizes the
+    whole corpus per query, fine for ad-hoc analytics only). Results
+    are bit-identical between the two routes (pinned in tests)."""
+    if (use_index is None) == (docs is None):
+        raise ValueError("pass exactly one of docs= or use_index=")
+    if use_index is not None:
+        from rag_content_spark.plans.text_index import phrase_query_text_index
+
+        return phrase_query_text_index(spark, use_index, phrase)
+    from rag_content_spark.operators.search import phrase_search
+
+    return phrase_search(docs, phrase)
+
+
+def proximity_retrieval(
+    spark,
+    terms: list[str],
+    window: int = 6,
+    docs: DataFrame | None = None,
+    use_index: str | None = None,
+) -> DataFrame:
+    """Proximity match, same routing contract as
+    :func:`phrase_retrieval`: ``use_index=`` is the scale path
+    (bucket-pruned positional postings), ``docs=`` the ad-hoc
+    corpus-scan twin."""
+    if (use_index is None) == (docs is None):
+        raise ValueError("pass exactly one of docs= or use_index=")
+    if use_index is not None:
+        from rag_content_spark.plans.text_index import (
+            proximity_query_text_index,
+        )
+
+        return proximity_query_text_index(spark, use_index, terms, window)
+    from rag_content_spark.operators.search import proximity_search
+
+    return proximity_search(docs, terms, window)
+
+
 def detect_store_type(path: str) -> str:
     """Q5 (reference query_rag.py:306-316): pick the store flavor from
     artifacts present in a directory, in the reference's dispatch order:

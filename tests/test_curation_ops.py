@@ -531,3 +531,19 @@ def test_triangle_counts_triangle_free(spark):
     # a path graph has no triangles
     df = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
     assert triangle_counts(df).collect() == []
+
+
+def test_triangle_counts_wedge_salt_equality(spark):
+    """The skew mitigation is output-invariant: salted wedge join ==
+    unsalted on a graph with a hub (star + K4)."""
+    from rag_content_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(0, i) for i in range(10, 40)]  # hub at node 0
+    extra = [(10, 11), (11, 12), (10, 12)]  # one triangle off the hub
+    df = spark.createDataFrame(k4 + star + extra, ["src", "dst"])
+    base = sorted(map(tuple, triangle_counts(df).collect()))
+    salted = sorted(
+        map(tuple, triangle_counts(df, wedge_salt=8).collect())
+    )
+    assert base == salted and len(base) > 0

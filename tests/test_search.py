@@ -690,3 +690,48 @@ def test_positional_index_incremental_add_matches_full_build(spark, tmp_path):
         for r in phrase_query_text_index(spark, d_full, phrase).collect()
     }
     assert got == ref
+
+
+def test_retrieval_use_index_routing(spark, tmp_path):
+    """plans/query.phrase_retrieval / proximity_retrieval: use_index=
+    routes to the bucket-pruned positional index, docs= to the corpus
+    scan — identical results; passing both/neither raises."""
+    import pytest
+
+    from rag_content_spark.plans.query import (
+        phrase_retrieval,
+        proximity_retrieval,
+    )
+    from rag_content_spark.plans.text_index import build_text_index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    d = str(tmp_path / "pidx")
+    build_text_index(docs, d, n_buckets=16, positions=True)
+    phrase = "the spark"
+    scan = sorted(
+        map(tuple, phrase_retrieval(spark, phrase, docs=docs).collect())
+    )
+    idx = sorted(
+        map(tuple, phrase_retrieval(spark, phrase, use_index=d).collect())
+    )
+    assert scan == idx
+    terms = ["spark", "join"]
+    scan_p = sorted(
+        map(
+            tuple,
+            proximity_retrieval(spark, terms, window=8, docs=docs).collect(),
+        )
+    )
+    idx_p = sorted(
+        map(
+            tuple,
+            proximity_retrieval(spark, terms, window=8, use_index=d).collect(),
+        )
+    )
+    assert scan_p == idx_p
+    with pytest.raises(ValueError, match="exactly one"):
+        phrase_retrieval(spark, phrase)
+    with pytest.raises(ValueError, match="exactly one"):
+        proximity_retrieval(spark, terms, docs=docs, use_index=d)
