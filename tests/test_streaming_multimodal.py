@@ -1124,3 +1124,256 @@ def test_resize_images_stage(spark):
     assert (out["small"]["width"], out["small"]["height"]) == (16, 16)
     # undecodable -> null content
     assert out["junk"]["content"] is None
+
+
+# ------------------- progressive JPEG (round-8: de-faked) -----------------
+
+
+class _PBits:
+    """MSB-first bit writer with 0xFF stuffing (shared by the
+    progressive test encoder)."""
+
+    def __init__(self):
+        self.body = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, length, code):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.body.append(byte)
+            if byte == 0xFF:
+                self.body.append(0x00)
+            self.n -= 8
+
+    def pad(self):
+        if self.n:
+            self.put(8 - self.n, (1 << (8 - self.n)) - 1)
+
+
+def _canonical_table(symbols):
+    syms = sorted(symbols)
+    L = max(2, len(syms).bit_length() + 1)
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    code = {}
+    c = 0
+    for length in range(1, 17):
+        for s in syms[: counts[length - 1]] if counts[length - 1] else []:
+            code[s] = (length, c)
+            c += 1
+        c <<= 1
+    return bytes(counts), bytes(syms), code
+
+
+def _trunc_shift(v, al):
+    """T.81 AC point transform: v / 2^Al truncated toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_jpeg_gray_progressive(img):
+    """Spec-true progressive (SOF2) grayscale encoder for decoder
+    parity tests: libjpeg's default band progression at one bit of
+    successive approximation — DC first (Al=1), AC 1-5 first (Al=1),
+    AC 6-63 first (Al=1), DC refine (1->0), AC 1-63 refine (1->0).
+    quant=1, one canonical huffman table per scan, EOB runs of 1.
+    Correction bits in refinement are associated per the DECODER's walk
+    (an event queue of zero-history / correction positions), which is
+    the T.81 G.1.2.3 contract."""
+    import numpy as np
+
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    x, u = np.meshgrid(np.arange(8), np.arange(8))
+    C = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    C[0, :] /= np.sqrt(2.0)
+    zig = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            Fq = C @ (blk - 128.0) @ C.T
+            blocks.append(np.round(Fq).astype(int).reshape(64)[zig])
+
+    def category(v):
+        return abs(v).bit_length()
+
+    # ---- per-scan bit generators (collect symbols on a dry run) ----
+    def dc_first(al, code, bits):
+        pred = 0
+        syms = set()
+        for q in blocks:
+            v = int(q[0]) >> al  # arithmetic shift per spec
+            diff = v - pred
+            pred = v
+            s = category(diff)
+            syms.add(s)
+            if code:
+                bits.put(*code[s])
+                if s:
+                    bits.put(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        return syms
+
+    def dc_refine(al, code, bits):
+        for q in blocks:
+            if code is not None:
+                bits.put(1, (int(q[0]) >> al) & 1)
+        return set()
+
+    def ac_first(ss, se, al, code, bits):
+        syms = set()
+        for q in blocks:
+            run = 0
+            for k in range(ss, se + 1):
+                v = _trunc_shift(int(q[k]), al)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    syms.add(0xF0)
+                    if code:
+                        bits.put(*code[0xF0])
+                    run -= 16
+                s = category(v)
+                syms.add((run << 4) | s)
+                if code:
+                    bits.put(*code[(run << 4) | s])
+                    bits.put(s, v if v >= 0 else v + (1 << s) - 1)
+                run = 0
+            if run:
+                syms.add(0x00)
+                if code:
+                    bits.put(*code[0x00])  # EOB run of 1
+        return syms
+
+    def ac_refine(ss, se, ah, al, code, bits):
+        syms = set()
+        for q in blocks:
+            # event queue since the last emitted symbol: "z" for a
+            # zero-history position with no new significance, (bit,)
+            # for a correction bit at an already-significant position
+            events = []
+            placed_any = False
+            for k in range(ss, se + 1):
+                hist = _trunc_shift(int(q[k]), ah)
+                now = _trunc_shift(int(q[k]), al)
+                if hist != 0:
+                    events.append((abs(now) & 1,))
+                elif now == 0:
+                    events.append("z")
+                else:
+                    # newly significant: |now| == 1 by construction
+                    run = sum(1 for e in events if e == "z")
+                    while run > 15:
+                        syms.add(0xF0)
+                        zeros = 0
+                        pending = []
+                        while zeros < 16:
+                            ev = events.pop(0)
+                            if ev == "z":
+                                zeros += 1
+                            else:
+                                pending.append(ev[0])
+                        if code:
+                            bits.put(*code[0xF0])
+                            for pb in pending:
+                                bits.put(1, pb)
+                        run -= 16
+                    syms.add((run << 4) | 1)
+                    if code:
+                        bits.put(*code[(run << 4) | 1])
+                        bits.put(1, 1 if now > 0 else 0)
+                        for ev in events:
+                            if ev != "z":
+                                bits.put(1, ev[0])
+                    events = []
+                    placed_any = True
+            if events or not placed_any:
+                # EOB (run of 1) + trailing correction bits in band order
+                syms.add(0x00)
+                if code:
+                    bits.put(*code[0x00])
+                    for ev in events:
+                        if ev != "z":
+                            bits.put(1, ev[0])
+        return syms
+
+    scans = [
+        ("dc", 0, 0, 0, 1, lambda c, b: dc_first(1, c, b)),
+        ("ac", 1, 5, 0, 1, lambda c, b: ac_first(1, 5, 1, c, b)),
+        ("ac", 6, 63, 0, 1, lambda c, b: ac_first(6, 63, 1, c, b)),
+        ("dc", 0, 0, 1, 0, lambda c, b: dc_refine(0, c, b)),
+        ("ac", 1, 63, 1, 0, lambda c, b: ac_refine(1, 63, 1, 0, c, b)),
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    out += (
+        b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + bytes([1, 0x11, 0])
+    )
+    for kind, ss, se, ah, al, gen in scans:
+        syms = gen(None, None)
+        cls = 0 if kind == "dc" else 1
+        if syms:
+            counts, lst, code = _canonical_table(syms)
+            out += (
+                b"\xff\xc4" + (3 + 16 + len(lst)).to_bytes(2, "big")
+                + bytes([cls << 4]) + counts + lst
+            )
+        else:
+            code = {}
+        out += (
+            b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+            + bytes([1, 0x00]) + bytes([ss, se, (ah << 4) | al])
+        )
+        bits = _PBits()
+        gen(code if syms else {}, bits)
+        bits.pad()
+        out += bits.body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_progressive_jpeg_matches_baseline():
+    """A progressively-encoded image must decode pixel-identical to its
+    baseline encoding (same quantized coefficients, same back end) —
+    exercises DC first/refine, banded AC first, cross-band AC
+    refinement with ZRL + correction bits + EOB runs."""
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(24, 16)).astype(np.uint8)
+    base = decode_jpeg(_encode_jpeg_gray(img))
+    prog = decode_jpeg(_encode_jpeg_gray_progressive(img))
+    assert prog.shape == base.shape == (24, 16, 3)
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_decode_progressive_jpeg_smooth_image():
+    """Smooth gradient (long zero runs -> EOB-run + ZRL paths) and a
+    constant image (every AC band empty)."""
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_jpeg
+
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    np.testing.assert_array_equal(
+        decode_jpeg(_encode_jpeg_gray_progressive(grad)),
+        decode_jpeg(_encode_jpeg_gray(grad)),
+    )
+    flat = np.full((8, 8), 130, np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(_encode_jpeg_gray_progressive(flat)),
+        decode_jpeg(_encode_jpeg_gray(flat)),
+    )
