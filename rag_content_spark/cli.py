@@ -285,6 +285,27 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--limit", type=int, default=20, help="rows to print (read cmd)")
     tb.set_defaults(func=cmd_table)
 
+    cv = sub.add_parser(
+        "convert",
+        help="convert ONE html/pdf/asciidoc/markdown file to text/markdown "
+             "(driver-side, no Spark; the reference's per-format __main__ "
+             "ergonomics)",
+    )
+    cv.add_argument("-i", "--input", required=True, help="source file")
+    cv.add_argument("-o", "--output", default=None, help="output file (default stdout)")
+    cv.add_argument(
+        "--format",
+        choices=("auto", "html", "pdf", "asciidoc", "markdown", "text"),
+        default="auto",
+        help="source format (auto = by extension)",
+    )
+    cv.add_argument(
+        "--structure",
+        action="store_true",
+        help="asciidoc only: print the structure dump instead of text",
+    )
+    cv.set_defaults(func=cmd_convert)
+
     d = sub.add_parser(
         "datasheet", help="print a one-line JSON corpus datasheet"
     )
@@ -739,6 +760,78 @@ def cmd_table(args: argparse.Namespace) -> int:
         print(json.dumps({"removed": removed}))
         return 0
     raise SystemExit(f"unknown table command {args.table_cmd}")
+
+
+def cmd_convert(args: argparse.Namespace) -> int:
+    """One-file conversion ergonomics (the reference ships
+    html/__main__.py, pdf/__main__.py and asciidoc/__main__.py for
+    exactly this): html/pdf/asciidoc/markdown -> text or markdown on
+    stdout or -o, driver-side with no Spark session — the distributed
+    twin is the build pipeline's converter stage
+    (sources/converters.py). ``--structure`` prints the AsciiDoc
+    structure dump (the reference's asciidoc_structure_dumper.rb
+    contract) instead of converted text."""
+    import pathlib
+
+    src_path = pathlib.Path(args.input)
+    fmt = args.format
+    if fmt == "auto":
+        fmt = {
+            ".html": "html",
+            ".htm": "html",
+            ".pdf": "pdf",
+            ".adoc": "asciidoc",
+            ".asciidoc": "asciidoc",
+            ".md": "markdown",
+            ".txt": "text",
+        }.get(src_path.suffix.lower(), "text")
+    raw = src_path.read_bytes()
+    if fmt == "asciidoc" and args.structure:
+        from rag_content_spark.sources.asciidoc_structure import dump_structure
+
+        out = dump_structure(raw.decode("utf-8", errors="replace"))
+    elif fmt == "asciidoc":
+        from rag_content_spark.sources.asciidoc_text import asciidoc_to_text
+
+        out = asciidoc_to_text(raw.decode("utf-8", errors="replace"))
+    elif fmt == "html":
+        from rag_content_spark.sources.converters import (
+            convert_html_string_to_markdown,
+        )
+
+        out = convert_html_string_to_markdown(
+            raw.decode("utf-8", errors="replace"), document_name=src_path.name
+        )
+    elif fmt == "pdf":
+        from rag_content_spark.sources.converters import (
+            SCANNED_PDF_MIN_CHARS,
+            _fallback_decode,
+            _get_docling,
+        )
+
+        try:
+            _get_docling("pdf")
+        except Exception:
+            out = _fallback_decode(raw, "pdf")
+        else:  # pragma: no cover - docling not in this container
+            import io
+
+            from rag_content_spark.sources.converters import _CONVERTER
+
+            out = _CONVERTER.convert(io.BytesIO(raw)).document.export_to_markdown()
+        if len(out) < SCANNED_PDF_MIN_CHARS:
+            print(
+                "warning: possible scanned PDF: almost no text extracted",
+                file=sys.stderr,
+            )
+    else:  # markdown / text pass-through
+        out = raw.decode("utf-8", errors="replace")
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out)
+    else:
+        print(out)
+    return 0
 
 
 def cmd_datasheet(args: argparse.Namespace) -> int:

@@ -337,3 +337,27 @@ def test_cli_text_and_ann_compact(spark, tmp_path, capsys):
     assert cli.main(["ann-compact", "-d", adir]) == 0
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_rows"] > 0
+
+
+def test_cli_convert_single_file(tmp_path, capsys):
+    """The one-file conversion ergonomics (reference html/pdf/asciidoc
+    __main__.py): html -> markdown downgrade, asciidoc -> text contract,
+    asciidoc --structure dump, -o file output."""
+    from rag_content_spark.cli import main
+
+    html = tmp_path / "page.html"
+    html.write_text("<html><body><h1>Title</h1><p>Body text.</p></body></html>")
+    assert main(["convert", "-i", str(html)]) == 0
+    out = capsys.readouterr().out
+    assert "# Title" in out and "Body text." in out
+
+    adoc = tmp_path / "doc.adoc"
+    adoc.write_text("= Top\n\nSome paragraph.\n\n== Section\n\n* item one\n")
+    dest = tmp_path / "doc.txt"
+    assert main(["convert", "-i", str(adoc), "-o", str(dest)]) == 0
+    text = dest.read_text()
+    assert "Some paragraph." in text and "item one" in text
+
+    assert main(["convert", "-i", str(adoc), "--structure"]) == 0
+    structure = capsys.readouterr().out
+    assert "document" in structure.lower() or "section" in structure.lower()
