@@ -261,6 +261,11 @@ def collapse_exact_before_lsh(
     members transitively (an exact dup of A is near-dup of whatever A
     is), which :func:`expand_rep_pairs` materializes when needed.
     One content-hash shuffle + one leftsemi join — both linear.
+
+    The input is scanned three times (hash groups, rep semi-join,
+    member join) and the returned ``reps`` feeds at least two more
+    consumers (LSH + verify) — persist/checkpoint ``df`` and ``reps``
+    when the source is not a cheap columnar scan.
     """
     groups = exact_dedup(df, text_col, id_col)
     reps = df.join(

@@ -1427,8 +1427,13 @@ def q_dedup_precollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + F.col("_k") * 2000000).alias("doc_id"), "text"
         )
     )
-    corpus = docs.unionAll(twins).unionAll(copies)
+    # materialized once: the pre-collapse pipeline references the corpus
+    # from five places (hash groups, rep semi-join, member join, LSH,
+    # jaccard shingles) — without this each reference re-derives the
+    # union (at 100 TB: five full corpus scans; with it: one)
+    corpus = docs.unionAll(twins).unionAll(copies).localCheckpoint(eager=True)
     reps, members = dedup.collapse_exact_before_lsh(corpus)
+    reps = reps.localCheckpoint(eager=True)  # referenced by LSH + verify
     cand = dedup.minhash_lsh_candidates(reps, num_hashes=16, bands=4)
     ver = dedup.jaccard_pairs(reps, cand, threshold=0.5).select(
         "id_a", "id_b"
