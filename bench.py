@@ -194,6 +194,9 @@ HEADLINE = [
     "equi_depth_hist",        # ANALYZE-style equal-frequency histogram
     "novelty_scan",           # per-doc novel-shingle fraction (growth curve)
     "containment_dedup",      # asymmetric subset/quote duplication
+    "lsh_bucket_cap",         # enforced max_bucket_size candidate path (r8)
+    "lsh_overflow",           # the no-silent-caps overflow summary (r8)
+    "dedup_precollapse",      # exact-dup pre-collapse + member expansion (r8)
 ]
 
 
