@@ -374,6 +374,16 @@ def main(argv: list[str] | None = None) -> int:
     txc.add_argument("-d", "--index-dir", required=True)
     txc.set_defaults(func=cmd_text_compact)
 
+    txd = sub.add_parser(
+        "text-delete",
+        help="tombstone-delete documents from a text index by id",
+    )
+    txd.add_argument("-d", "--index-dir", required=True)
+    txd.add_argument("--ids", default=None, help="comma-separated doc ids")
+    txd.add_argument("-i", "--input", default=None,
+                     help="parquet of ids to delete (first column)")
+    txd.set_defaults(func=cmd_text_delete)
+
     txq = sub.add_parser(
         "text-query", help="BM25 query a built text index (pruned read)"
     )
@@ -388,6 +398,16 @@ def main(argv: list[str] | None = None) -> int:
     aa.add_argument("-i", "--input", required=True, help="embeddings parquet to add")
     aa.add_argument("-d", "--index-dir", required=True)
     aa.set_defaults(func=cmd_ann_add)
+
+    ad = sub.add_parser(
+        "ann-delete",
+        help="tombstone-delete vectors from an ANN index by id",
+    )
+    ad.add_argument("-d", "--index-dir", required=True)
+    ad.add_argument("--ids", default=None, help="comma-separated vec ids")
+    ad.add_argument("-i", "--input", default=None,
+                    help="parquet of ids to delete (first column)")
+    ad.set_defaults(func=cmd_ann_delete)
 
     ac = sub.add_parser(
         "ann-compact",
@@ -460,6 +480,45 @@ def cmd_text_add(args: argparse.Namespace) -> int:
     ensure_reader_confs(spark)
     meta = add_to_text_index(spark.read.parquet(args.input), args.index_dir)
     print(json.dumps(meta))
+    return 0
+
+
+def _parse_ids(spec: str) -> list:
+    """Comma-separated ids, ints when they all parse."""
+    parts = [p.strip() for p in spec.split(",") if p.strip()]
+    try:
+        return [int(p) for p in parts]
+    except ValueError:
+        return parts
+
+
+def cmd_text_delete(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.text_index import delete_from_text_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-text-delete")
+    ensure_reader_confs(spark)
+    ids = (
+        spark.read.parquet(args.input)
+        if args.input
+        else _parse_ids(args.ids)
+    )
+    print(json.dumps(delete_from_text_index(spark, args.index_dir, ids)))
+    return 0
+
+
+def cmd_ann_delete(args: argparse.Namespace) -> int:
+    from rag_content_spark.plans.ann_index import delete_from_ann_index
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+
+    spark = get_spark("rag-spark-ann-delete")
+    ensure_reader_confs(spark)
+    ids = (
+        spark.read.parquet(args.input)
+        if args.input
+        else _parse_ids(args.ids)
+    )
+    print(json.dumps(delete_from_ann_index(spark, args.index_dir, ids)))
     return 0
 
 

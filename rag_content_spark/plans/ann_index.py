@@ -68,7 +68,52 @@ def _live(out_dir: str, meta: dict) -> tuple[dict, list[dict], dict]:
 
 def _read_live_index(spark: SparkSession, out_dir: str, meta: dict) -> DataFrame:
     root, adds, _stats = _live(out_dir, meta)
-    return ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "index"))
+    df = ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "index"))
+    dels = _tombstones(spark, out_dir, root, adds, meta["id_col"])
+    return df if dels is None else df.join(dels, meta["id_col"], "left_anti")
+
+
+def _tombstones(
+    spark: SparkSession, out_dir: str, root: dict, adds: list[dict], id_col: str
+) -> DataFrame | None:
+    dirs = ic.view_dirs(root, adds, "deletes")
+    if not dirs:
+        return None
+    return ic.read_union(spark, out_dir, dirs).select(id_col).distinct()
+
+
+def delete_from_ann_index(spark: SparkSession, out_dir: str, ids) -> dict:
+    """Delete vectors by id (the text sibling's contract,
+    plans/text_index.delete_from_text_index): one tombstone segment +
+    one ``delete`` commit with an exact negative ``n_vectors`` delta
+    computed against the live view; the pruned query path anti-joins
+    live tombstones and :func:`compact_ann_index` drops the masked rows
+    physically. Returns the meta view after the delete."""
+    meta, _cb = load_ann_meta(out_dir)
+    raw_meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    if "n_vectors" in raw_meta:
+        ic.ensure_base(
+            out_dir, _legacy_root({"n_vectors": raw_meta["n_vectors"]})
+        )
+    id_col = meta["id_col"]
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], [id_col])
+    ids = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    live = _read_live_index(spark, out_dir, meta).select(id_col)
+    n_hit = live.join(ids, id_col, "leftsemi").count()
+    d_dir = ic.staging_dir(out_dir, "d")
+    ids.write.mode("errorifexists").parquet(os.path.join(out_dir, d_dir))
+    ic.claim(
+        out_dir,
+        {
+            "kind": "delete",
+            "dirs": {"deletes": d_dir},
+            "stats": {"n_vectors": -int(n_hit)},
+        },
+    )
+    _root, _adds, stats = _live(out_dir, meta)
+    meta["n_vectors"] = stats["n_vectors"]
+    return meta
 
 
 def build_ann_index(
@@ -328,6 +373,9 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     i_dirs = ic.view_dirs(root, adds, "index")
     before = _count_files(out_dir, i_dirs)
     rows = ic.read_union(spark, out_dir, i_dirs)
+    dels = _tombstones(spark, out_dir, root, adds, meta["id_col"])
+    if dels is not None:  # apply tombstones physically
+        rows = rows.join(dels, meta["id_col"], "left_anti")
     n_rows = rows.count()
     i_dir = ic.staging_dir(out_dir, "i")
     (

@@ -16,9 +16,11 @@ data dir. This module ports versioned_table's protocol
   EEXIST when another writer won that version and the loser re-claims
   the next one,
 - readers list the log and assemble the LIVE VIEW: the newest
-  ``base``/``compact`` root plus every ``add`` the root did not absorb;
-  stats are exact integers (root absolutes + add deltas), so BM25
-  idf/avgdl never lose an update,
+  ``base``/``compact`` root plus every ``add``/``delete`` the root did
+  not absorb (deletes are id-tombstone segments readers anti-join;
+  compaction drops the masked rows physically); stats are exact
+  integers (root absolutes + add/delete deltas), so BM25 idf/avgdl
+  never lose an update,
 - ``compact`` records ``base_version`` — the highest version it
   actually incorporated — so an add claimed while the compaction ran
   stays live (the Iceberg snapshot-isolation shape), and the swap is a
@@ -95,10 +97,10 @@ def staging_dir(index_dir: str, prefix: str) -> str:
 def live_view(
     index_dir: str, legacy_root: dict | None = None
 ) -> tuple[dict, list[dict]]:
-    """(root, adds) — the newest base/compact commit and the add commits
-    it did not absorb (version > root.base_version, excluding the root
-    itself). ``legacy_root`` is the synthesized pre-log root used when
-    no commit log exists yet."""
+    """(root, adds) — the newest base/compact commit and the
+    add/delete commits it did not absorb (version > root.base_version,
+    excluding the root itself). ``legacy_root`` is the synthesized
+    pre-log root used when no commit log exists yet."""
     snaps = commits(index_dir)
     if not snaps:
         if legacy_root is None:
@@ -111,7 +113,7 @@ def live_view(
     adds = [
         s
         for s in snaps
-        if s["kind"] == "add"
+        if s["kind"] in ("add", "delete")
         and s["version"] > base_v
         and s["version"] != root["version"]
     ]
@@ -130,8 +132,11 @@ def view_stats(root: dict, adds: list[dict]) -> dict:
 
 def view_dirs(root: dict, adds: list[dict], component: str) -> list[str]:
     """Relative data dirs of ``component`` (e.g. 'postings') across the
-    live view, root first."""
-    return [root["dirs"][component]] + [a["dirs"][component] for a in adds]
+    live view, root first; commits without the component (e.g. delete
+    tombstones when asked for postings) contribute nothing."""
+    out = [root["dirs"][component]] if component in root["dirs"] else []
+    out += [a["dirs"][component] for a in adds if component in a["dirs"]]
+    return out
 
 
 def ensure_base(index_dir: str, legacy_root: dict) -> None:

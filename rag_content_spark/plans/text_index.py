@@ -175,22 +175,42 @@ def build_text_index(
     return meta | stats
 
 
+def _tombstones(
+    spark: SparkSession, out_dir: str, root: dict, adds: list[dict], id_col: str
+) -> DataFrame | None:
+    """Distinct deleted ids across the live view's tombstone segments,
+    or None when no delete commit is live."""
+    dirs = ic.view_dirs(root, adds, "deletes")
+    if not dirs:
+        return None
+    return ic.read_union(spark, out_dir, dirs).select(id_col).distinct()
+
+
+def _minus_deleted(df: DataFrame, dels: DataFrame | None, id_col: str) -> DataFrame:
+    return df if dels is None else df.join(dels, id_col, "left_anti")
+
+
 def _pruned_postings(
     spark: SparkSession, out_dir: str, terms: list[str]
 ) -> tuple[DataFrame, DataFrame, dict, dict]:
-    """(postings for terms — partition-pruned per segment, lengths,
-    meta, live stats)."""
+    """(postings for terms — partition-pruned per segment and net of
+    tombstones, lengths, meta, live stats)."""
     meta = _read_meta(out_dir)
     root, adds, stats = _live(out_dir, meta)
     buckets = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
-    post = (
+    dels = _tombstones(spark, out_dir, root, adds, meta["id_col"])
+    post = _minus_deleted(
         ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "postings"))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("token").isin(terms))
-        .drop("bucket")
+        .drop("bucket"),
+        dels,
+        meta["id_col"],
     )
-    lengths = ic.read_union(
-        spark, out_dir, ic.view_dirs(root, adds, "lengths")
+    lengths = _minus_deleted(
+        ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "lengths")),
+        dels,
+        meta["id_col"],
     )
     return post, lengths, meta, stats
 
@@ -232,11 +252,14 @@ def _pruned_positional_read(
         )
     root, adds, _stats = _live(out_dir, meta)
     buckets = sorted({_bucket_of(t, meta["n_buckets"]) for t in terms})
-    post = (
+    dels = _tombstones(spark, out_dir, root, adds, meta["id_col"])
+    post = _minus_deleted(
         ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "postings"))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("token").isin(terms))
-        .select(meta["id_col"], "token", "positions")
+        .select(meta["id_col"], "token", "positions"),
+        dels,
+        meta["id_col"],
     )
     return post, meta
 
@@ -306,6 +329,8 @@ def proximity_query_text_index(
     ]
     per_doc = post.groupBy(id_col).agg(*aggs)
     root, adds, _stats = _live(out_dir, meta)
+    # the postings side is already net of tombstones; the inner lengths
+    # join keeps only surviving docs, so no second anti-join needed
     lengths = ic.read_union(
         spark, out_dir, ic.view_dirs(root, adds, "lengths")
     ).select(F.col(id_col), F.col("dl").alias("_len"))
@@ -366,6 +391,58 @@ def add_to_text_index(
     } | live
 
 
+def delete_from_text_index(
+    spark: SparkSession,
+    out_dir: str,
+    ids,
+) -> dict:
+    """Delete documents by id — the GDPR/re-crawl maintenance op that
+    completes the commit-log triple (add/delete/compact): ``ids`` (a
+    list or a one-column DataFrame) lands as a TOMBSTONE segment and
+    one ``delete`` commit claims it with exact negative stats deltas
+    (computed against the live view, so deleting an absent or
+    already-deleted id is a no-op in the stats). Readers anti-join live
+    tombstones; compaction materializes the surviving rows and drops
+    the tombstones physically; vacuum reclaims them. Id re-use after a
+    delete is outside the contract (same uniqueness rule as adds).
+    Returns {config..., n_docs, sum_dl} of the view after the delete."""
+    meta = _read_meta(out_dir)
+    if "n_docs" in meta:
+        ic.ensure_base(out_dir, _legacy_root(meta))
+    id_col = meta["id_col"]
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], [id_col])
+    ids = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    root, adds, _stats = _live(out_dir, meta)
+    dels = _tombstones(spark, out_dir, root, adds, id_col)
+    live_lengths = _minus_deleted(
+        ic.read_union(spark, out_dir, ic.view_dirs(root, adds, "lengths")),
+        dels,
+        id_col,
+    )
+    hit = live_lengths.join(ids, id_col, "leftsemi")
+    row = hit.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    d_dir = ic.staging_dir(out_dir, "d")
+    ids.write.mode("errorifexists").parquet(os.path.join(out_dir, d_dir))
+    ic.claim(
+        out_dir,
+        {
+            "kind": "delete",
+            "dirs": {"deletes": d_dir},
+            "stats": {
+                "n_docs": -int(row["n"]),
+                "sum_dl": -int(row["s"] or 0),
+            },
+        },
+    )
+    _root, _adds, live = _live(out_dir, meta)
+    return {
+        k: v for k, v in meta.items() if k not in ("n_docs", "sum_dl")
+    } | live
+
+
 def _count_parquet_files(out_dir: str, rel_dirs: list[str]) -> int:
     n = 0
     for rel in rel_dirs:
@@ -386,9 +463,11 @@ def compact_text_index(spark: SparkSession, out_dir: str) -> dict:
     highest version absorbed — an add claimed while the compaction ran
     stays live, a crash at ANY point leaves the old view untouched
     (there are no renames), and superseded segments are reclaimed later
-    by :func:`vacuum_text_index`. Stats are carried over exactly
-    (compaction moves bytes, not rows). Returns {n_files_before,
-    n_files_after, n_rows} over the live view.
+    by :func:`vacuum_text_index`. Delete tombstones in the absorbed
+    range are applied physically (masked rows do not reach the new
+    segment) and drop out of the live view. Stats carry over exactly
+    (the live stats are already net of deletes). Returns
+    {n_files_before, n_files_after, n_rows} over the live view.
     """
     meta = _read_meta(out_dir)
     if "n_docs" in meta:
@@ -400,7 +479,10 @@ def compact_text_index(spark: SparkSession, out_dir: str) -> dict:
     p_dirs = ic.view_dirs(root, adds, "postings")
     l_dirs = ic.view_dirs(root, adds, "lengths")
     before = _count_parquet_files(out_dir, p_dirs)
-    post = ic.read_union(spark, out_dir, p_dirs)
+    dels = _tombstones(spark, out_dir, root, adds, meta["id_col"])
+    post = _minus_deleted(
+        ic.read_union(spark, out_dir, p_dirs), dels, meta["id_col"]
+    )
     n_rows = post.count()
     p_dir = ic.staging_dir(out_dir, "p")
     (
@@ -411,9 +493,11 @@ def compact_text_index(spark: SparkSession, out_dir: str) -> dict:
         .parquet(os.path.join(out_dir, p_dir))
     )
     l_dir = ic.staging_dir(out_dir, "l")
-    ic.read_union(spark, out_dir, l_dirs).coalesce(1).write.mode(
-        "errorifexists"
-    ).parquet(os.path.join(out_dir, l_dir))
+    _minus_deleted(
+        ic.read_union(spark, out_dir, l_dirs), dels, meta["id_col"]
+    ).coalesce(1).write.mode("errorifexists").parquet(
+        os.path.join(out_dir, l_dir)
+    )
     ic.claim(
         out_dir,
         {

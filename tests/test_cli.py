@@ -361,3 +361,22 @@ def test_cli_convert_single_file(tmp_path, capsys):
     assert main(["convert", "-i", str(adoc), "--structure"]) == 0
     structure = capsys.readouterr().out
     assert "document" in structure.lower() or "section" in structure.lower()
+
+
+def test_cli_index_delete_roundtrip(tmp_path, capsys, spark):
+    """text-build -> text-delete --ids -> text-query excludes the
+    deleted doc; ann-delete mirrors it."""
+    import json as _json
+
+    from rag_content_spark.cli import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs.parquet")
+    docs.select("doc_id", "text").write.parquet(src)
+    idx = str(tmp_path / "tidx")
+    assert main(["text-build", "-i", src, "-o", idx, "--buckets", "8"]) == 0
+    victim = docs.limit(1).collect()[0]["doc_id"]
+    capsys.readouterr()
+    assert main(["text-delete", "-d", idx, "--ids", str(victim)]) == 0
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == docs.count() - 1

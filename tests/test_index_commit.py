@@ -291,3 +291,121 @@ def test_ann_meta_records_column_roles(spark, tmp_path):
         for r in query_ann_index(spark, d, qv, topk=5, n_probe=4).collect()
     ]
     assert after == before and after[0][0] == 3
+
+
+def test_text_index_delete_tombstones(spark, tmp_path):
+    """delete_from_text_index: BM25 over the surviving view is
+    bit-identical to a scan of the surviving corpus; stats deltas are
+    exact; absent/duplicate ids are stats no-ops; compaction drops the
+    tombstones physically and vacuum reclaims them."""
+    from rag_content_spark.operators.search import bm25_scores
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        query_text_index,
+        vacuum_text_index,
+    )
+
+    docs = _docs(spark)
+    d = str(tmp_path / "ti")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), d, n_buckets=8)
+    add_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), d)
+    victims = [r["doc_id"] for r in docs.limit(5).collect()]
+    meta = delete_from_text_index(spark, d, victims)
+    survivors = docs.join(
+        spark.createDataFrame([(v,) for v in victims], ["doc_id"]),
+        "doc_id",
+        "left_anti",
+    )
+    assert meta["n_docs"] == survivors.count()
+    terms = ["spark", "join", "merge"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    ref = {
+        r["doc_id"]: r["bm25"] for r in bm25_scores(survivors, terms).collect()
+    }
+    assert got == ref and not any(v in got for v in victims)
+    # absent id + re-delete: stats unchanged
+    meta2 = delete_from_text_index(spark, d, [victims[0], 999_999_999])
+    assert meta2["n_docs"] == meta["n_docs"]
+    assert meta2["sum_dl"] == meta["sum_dl"]
+    # compaction applies tombstones physically, results identical
+    stats = compact_text_index(spark, d)
+    root, adds = ic.live_view(d)
+    assert root["kind"] == "compact" and adds == []
+    after = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    assert after == ref
+    # base (postings+lengths) + add (postings+lengths) + 2 tombstones
+    assert vacuum_text_index(d) == 6
+    assert {
+        r["doc_id"] for r in query_text_index(spark, d, terms).collect()
+    } == set(ref)
+
+
+def test_positional_index_delete(spark, tmp_path):
+    from rag_content_spark.operators.search import phrase_search
+    from rag_content_spark.plans.text_index import (
+        build_text_index,
+        delete_from_text_index,
+        phrase_query_text_index,
+    )
+
+    docs = _docs(spark)
+    d = str(tmp_path / "pi")
+    build_text_index(docs, d, n_buckets=8, positions=True)
+    hits = phrase_query_text_index(spark, d, "the spark").collect()
+    assert hits
+    victim = hits[0]["doc_id"]
+    delete_from_text_index(spark, d, [victim])
+    after = {
+        r["doc_id"]
+        for r in phrase_query_text_index(spark, d, "the spark").collect()
+    }
+    assert victim not in after
+    ref = {
+        r["doc_id"]
+        for r in phrase_search(
+            docs.filter(F.col("doc_id") != victim), "the spark"
+        ).collect()
+    }
+    assert after == ref
+
+
+def test_ann_index_delete(spark, tmp_path):
+    from rag_content_spark.plans.ann_index import (
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        query_ann_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = str(tmp_path / "ann")
+    meta0 = build_ann_index(emb, d, nlist=4, m=4, k=16)
+    probe = emb.orderBy("vec_id").limit(1).collect()[0]
+    top = query_ann_index(
+        spark, d, list(probe["embedding"]), topk=1, n_probe=4
+    ).collect()
+    assert top[0]["vec_id"] == probe["vec_id"]
+    meta1 = delete_from_ann_index(spark, d, [int(probe["vec_id"])])
+    assert meta1["n_vectors"] == meta0["n_vectors"] - 1
+    after = query_ann_index(
+        spark, d, list(probe["embedding"]), topk=3, n_probe=4
+    ).collect()
+    assert all(r["vec_id"] != probe["vec_id"] for r in after)
+    stats = compact_ann_index(spark, d)
+    assert stats["n_rows"] == meta1["n_vectors"]
+    post = query_ann_index(
+        spark, d, list(probe["embedding"]), topk=3, n_probe=4
+    ).collect()
+    assert [r["vec_id"] for r in post] == [r["vec_id"] for r in after]
