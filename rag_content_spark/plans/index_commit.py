@@ -141,12 +141,27 @@ def view_dirs(root: dict, adds: list[dict], component: str) -> list[str]:
 
 def ensure_base(index_dir: str, legacy_root: dict) -> None:
     """Upgrade a legacy (pre-log) index in place: claim the synthesized
-    root as commit #1 if no log exists. Racing upgraders collapse to one
-    winner via the hard-link claim; the loser's claim lands at version 2+
-    as a duplicate base root, which is harmless (the newest root wins and
-    both describe identical data)."""
-    if not commits(index_dir):
-        claim(index_dir, legacy_root)
+    root as EXACTLY version 1. The upgrade must not go through the
+    retrying :func:`claim` — a loser retrying to the next tip could
+    land its base root ABOVE another writer's already-claimed add,
+    which live_view would then mask (a lost add). Targeting version 1
+    directly makes racing upgraders collapse to one winner and every
+    loser a no-op."""
+    if commits(index_dir):
+        return
+    cdir = os.path.join(index_dir, "commits")
+    os.makedirs(cdir, exist_ok=True)
+    manifest = dict(legacy_root)
+    manifest.update(version=1, parent=None, base_version=1)
+    tmp = os.path.join(cdir, f".commit-{uuid.uuid4().hex[:12]}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    try:
+        os.link(tmp, _snap_path(index_dir, 1))
+    except FileExistsError:
+        pass  # another writer completed the upgrade
+    finally:
+        os.remove(tmp)
 
 
 def read_union(spark, index_dir: str, rel_dirs: list[str]):

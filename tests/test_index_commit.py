@@ -409,3 +409,91 @@ def test_ann_index_delete(spark, tmp_path):
         spark, d, list(probe["embedding"]), topk=3, n_probe=4
     ).collect()
     assert [r["vec_id"] for r in post] == [r["vec_id"] for r in after]
+
+
+def _make_legacy_index(spark, docs, d):
+    """Materialize a pre-log (round-7 layout) index: bare postings/ +
+    lengths/ dirs and stats inside meta.json, no commit log."""
+    import shutil
+
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import build_text_index
+
+    meta = build_text_index(docs, d, n_buckets=8)
+    root, adds = ic.live_view(d)
+    assert adds == []
+    os.rename(
+        os.path.join(d, root["dirs"]["postings"]), os.path.join(d, "postings")
+    )
+    os.rename(
+        os.path.join(d, root["dirs"]["lengths"]), os.path.join(d, "lengths")
+    )
+    shutil.rmtree(os.path.join(d, "commits"))
+    legacy_meta = {
+        "format": "rag-spark-text/1",
+        "n_buckets": meta["n_buckets"],
+        "id_col": meta["id_col"],
+        "positions": meta["positions"],
+        "n_docs": root["stats"]["n_docs"],
+        "sum_dl": root["stats"]["sum_dl"],
+    }
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(legacy_meta, f)
+
+
+def test_legacy_index_reads_and_upgrades(spark, tmp_path):
+    """A pre-log index queries transparently, and racing first writers
+    upgrade it exactly once (the ensure_base version-1 pin: a loser
+    retrying to the tip must never claim a base ABOVE another writer's
+    add, which would mask it)."""
+    from rag_content_spark.operators.search import bm25_scores
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        query_text_index,
+    )
+
+    docs = _docs(spark)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    d = str(tmp_path / "legacy")
+    _make_legacy_index(spark, half, d)
+    terms = ["spark", "join", "merge"]
+    # reads work with no commit log at all
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    ref = {r["doc_id"]: r["bm25"] for r in bm25_scores(half, terms).collect()}
+    assert got == ref and len(got) > 0
+    # two racing first adds: one upgrade base at v1, both adds live
+    errors = []
+
+    def adder(residue):
+        try:
+            add_to_text_index(
+                docs.filter(
+                    (F.col("doc_id") % 2 == 1)
+                    & (F.col("doc_id") % 4 == residue)
+                ),
+                d,
+            )
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=adder, args=(i,)) for i in (1, 3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    snaps = ic.commits(d)
+    assert [s["kind"] for s in snaps] == ["base", "add", "add"]
+    assert snaps[0]["dirs"] == {"postings": "postings", "lengths": "lengths"}
+    root, adds = ic.live_view(d)
+    assert ic.view_stats(root, adds)["n_docs"] == docs.count()
+    got2 = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    ref2 = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
+    assert got2 == ref2
