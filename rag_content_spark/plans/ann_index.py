@@ -90,7 +90,8 @@ def delete_from_ann_index(spark: SparkSession, out_dir: str, ids) -> dict:
     live tombstones and :func:`compact_ann_index` drops the masked rows
     physically. Returns the meta view after the delete."""
     meta, _cb = load_ann_meta(out_dir)
-    raw_meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        raw_meta = json.load(fh)
     if "n_vectors" in raw_meta:
         ic.ensure_base(
             out_dir, _legacy_root({"n_vectors": raw_meta["n_vectors"]})
@@ -314,8 +315,12 @@ def add_to_ann_index(
 
     meta, codebook = load_ann_meta(out_dir)
     id_col, embedding_col = meta["id_col"], meta["embedding_col"]
-    if "n_vectors" in json.load(open(os.path.join(out_dir, "meta.json"))):
-        ic.ensure_base(out_dir, _legacy_root({"n_vectors": meta["n_vectors"]}))
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        raw_meta = json.load(fh)
+    if "n_vectors" in raw_meta:  # pre-log index: upgrade first
+        ic.ensure_base(
+            out_dir, _legacy_root({"n_vectors": raw_meta["n_vectors"]})
+        )
     spark = new_emb.sparkSession
     centroids = [
         (r["centroid_id"], list(r["centroid_vec"]))
@@ -363,7 +368,8 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     are untouched — compaction moves bytes, not rows. The per-cell sort
     key is the RECORDED id column (round-7 ADVICE: no more inference)."""
     meta, _codebook = load_ann_meta(out_dir)
-    raw_meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        raw_meta = json.load(fh)
     if "n_vectors" in raw_meta:
         ic.ensure_base(
             out_dir, _legacy_root({"n_vectors": raw_meta["n_vectors"]})

@@ -229,9 +229,11 @@ def query_text_index(
     post, lengths, meta, live = _pruned_postings(spark, out_dir, terms)
     # avgdl from exact integer sums in the commit log — identical to the
     # on-the-fly corpus_stats aggregate, and never stale under
-    # concurrent adds (each add's delta is its own claimed commit)
+    # concurrent adds (each add's delta is its own claimed commit);
+    # a fully-deleted index has no postings, so the avgdl value is moot
+    n_docs = live["n_docs"]
     stats = spark.createDataFrame(
-        [(live["n_docs"], float(live["sum_dl"]) / live["n_docs"])],
+        [(n_docs, float(live["sum_dl"]) / n_docs if n_docs else 0.0)],
         "n_docs long, avgdl double",
     )
     return bm25_from_postings(
