@@ -374,6 +374,13 @@ def main(argv: list[str] | None = None) -> int:
     txc.add_argument("-d", "--index-dir", required=True)
     txc.set_defaults(func=cmd_text_compact)
 
+    txv = sub.add_parser(
+        "index-vacuum",
+        help="reclaim text/ANN index segments superseded by compaction",
+    )
+    txv.add_argument("-d", "--index-dir", required=True)
+    txv.set_defaults(func=cmd_index_vacuum)
+
     txd = sub.add_parser(
         "text-delete",
         help="tombstone-delete documents from a text index by id",
@@ -547,6 +554,15 @@ def cmd_text_compact(args: argparse.Namespace) -> int:
     spark = get_spark("rag-spark-text-compact")
     ensure_reader_confs(spark)
     print(json.dumps(compact_text_index(spark, args.index_dir)))
+    return 0
+
+
+def cmd_index_vacuum(args: argparse.Namespace) -> int:
+    """Shared text/ANN vacuum: reclaim segments superseded by
+    compaction (driver-side directory bookkeeping, no Spark session)."""
+    from rag_content_spark.plans.index_commit import vacuum_index
+
+    print(json.dumps({"removed_dirs": vacuum_index(args.index_dir)}))
     return 0
 
 
