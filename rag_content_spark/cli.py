@@ -374,6 +374,16 @@ def main(argv: list[str] | None = None) -> int:
     txc.add_argument("-d", "--index-dir", required=True)
     txc.set_defaults(func=cmd_text_compact)
 
+    fi = sub.add_parser(
+        "faiss-import",
+        help="import a faiss flat-index file (+ .ids.json sidecar) to "
+             "parquet (id, embedding)",
+    )
+    fi.add_argument("-i", "--input", required=True, help="*.faiss file")
+    fi.add_argument("-o", "--output", required=True, help="parquet dir")
+    fi.add_argument("--id-col", default="chunk_id")
+    fi.set_defaults(func=cmd_faiss_import)
+
     txv = sub.add_parser(
         "index-vacuum",
         help="reclaim text/ANN index segments superseded by compaction",
@@ -554,6 +564,21 @@ def cmd_text_compact(args: argparse.Namespace) -> int:
     spark = get_spark("rag-spark-text-compact")
     ensure_reader_confs(spark)
     print(json.dumps(compact_text_index(spark, args.index_dir)))
+    return 0
+
+
+def cmd_faiss_import(args: argparse.Namespace) -> int:
+    """Switch-over path: a reference-produced faiss.write_index artifact
+    (+ optional ids sidecar) -> parquet (id, embedding) that every
+    operator here runs against."""
+    from rag_content_spark.session import ensure_reader_confs, get_spark
+    from rag_content_spark.sinks.faiss_io import import_flat_index
+
+    spark = get_spark("rag-spark-faiss-import")
+    ensure_reader_confs(spark)
+    df = import_flat_index(spark, args.input, id_col=args.id_col)
+    df.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": df.count(), "output": args.output}))
     return 0
 
 

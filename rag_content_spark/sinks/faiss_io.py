@@ -103,6 +103,40 @@ def read_flat_index(path: str):
         return deserialize_flat(fh.read())
 
 
+def import_flat_index(spark, path: str, id_col: str = "chunk_id"):
+    """Load a faiss flat-index file (plus the llama-index-style
+    ``<path>.ids.json`` position->id sidecar when present) into a
+    DataFrame (id, embedding) — the switch-over path for a user of the
+    reference whose existing store is a ``faiss.write_index`` artifact
+    (reference document_processor.py:266-279): import once, write
+    parquet, and every operator here runs against it. Positions become
+    string ids ("0", "1", ...) when no sidecar exists.
+
+    Driver-side by design: a FAISS file is a single binary blob, so it
+    must be read in one process — the returned DataFrame is
+    repartitioned so downstream work distributes; persist it as parquet
+    immediately for anything larger than a one-off import."""
+    import json
+    import os
+
+    metric, mat = read_flat_index(path)
+    sidecar = path + ".ids.json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            pos_to_id = json.load(fh)
+        ids = [pos_to_id[str(i)] for i in range(mat.shape[0])]
+    else:
+        ids = [str(i) for i in range(mat.shape[0])]
+    rows = [
+        (ids[i], [float(x) for x in mat[i]]) for i in range(mat.shape[0])
+    ]
+    df = spark.createDataFrame(
+        rows, f"{id_col} string, embedding array<float>"
+    )
+    n_parts = max(1, min(200, mat.shape[0] // 10_000 or 1))
+    return df.repartition(n_parts)
+
+
 class PyFlatIndex:
     """Minimal stand-in for ``faiss.IndexFlat*`` with the two members
     export paths use (``add``/``d``/``ntotal``) — the default

@@ -380,3 +380,24 @@ def test_cli_index_delete_roundtrip(tmp_path, capsys, spark):
     assert main(["text-delete", "-d", idx, "--ids", str(victim)]) == 0
     meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta["n_docs"] == docs.count() - 1
+
+
+def test_cli_faiss_import(tmp_path, capsys, spark):
+    import json as _json
+
+    from rag_content_spark.cli import main
+    from rag_content_spark.sinks.exports import export_faiss
+
+    rows = [("x", [1.0, 0.0]), ("y", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "chunk_id string, embedding array<float>")
+    fpath = str(tmp_path / "store.faiss")
+    export_faiss(df, fpath)
+    out = str(tmp_path / "imported")
+    assert main(["faiss-import", "-i", fpath, "-o", out]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 2
+    back = {
+        r["chunk_id"]: list(r["embedding"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert back == dict(rows)

@@ -89,3 +89,48 @@ def test_parity_with_real_faiss():
     index.add(mat)
     theirs = bytes(faiss.serialize_index(index))
     assert serialize_flat(mat, "ip") == theirs
+
+
+def test_import_flat_index_roundtrip(spark, tmp_path):
+    """The switch-over path: export_faiss artifact -> import_flat_index
+    -> same (id, vector) rows, top-1 retrieval agrees."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.sinks.exports import export_faiss
+    from rag_content_spark.sinks.faiss_io import import_flat_index
+    from rag_content_spark.operators.similarity import top_k
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0]),
+        ("b", [0.0, 1.0, 0.0]),
+        ("c", [0.6, 0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "chunk_id string, embedding array<float>")
+    path = str(tmp_path / "ref.faiss")
+    export_faiss(df, path)
+    back = import_flat_index(spark, path)
+    got = {
+        r["chunk_id"]: [round(x, 6) for x in r["embedding"]]
+        for r in back.collect()
+    }
+    assert got == {cid: vec for cid, vec in rows}
+    hit = top_k(back, [0.0, 0.9, 0.1], k=1, metric="ip", id_col="chunk_id")
+    assert hit.collect()[0]["chunk_id"] == "b"
+
+
+def test_import_flat_index_without_sidecar(spark, tmp_path):
+    import numpy as np
+
+    from rag_content_spark.sinks.faiss_io import (
+        import_flat_index,
+        write_flat_index,
+    )
+
+    mat = np.arange(8, dtype="float32").reshape(4, 2)
+    path = str(tmp_path / "bare.faiss")
+    write_flat_index(mat, path)
+    got = sorted(
+        (r["chunk_id"], list(r["embedding"]))
+        for r in import_flat_index(spark, path).collect()
+    )
+    assert got[0] == ("0", [0.0, 1.0]) and got[3] == ("3", [6.0, 7.0])
