@@ -1643,12 +1643,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pricing_summary",
-    # TPC-H Q1 shape over lineitem.
+    # TPC-H Q1 shape over lineitem. Money totals are rendered as
+    # FIXED-SCALE DECIMAL STRINGS, not doubles: both engines compute the
+    # identical exact decimal sum, but their decimal->double conversions
+    # can differ by 1 ulp, and at the ~sf1 sweep's 5e10 magnitudes one
+    # ulp (7.6e-6) is below the harness's 6-dp rounding — the round-8
+    # 10x sweep caught exactly that on sum_disc_price. A fixed-scale
+    # string carries the exact total with no float conversion at all.
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS VARCHAR) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -1658,10 +1664,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     d = lambda c: F.col(c).cast("decimal(18,4)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(d("l_quantity")).cast("decimal(38,4)").cast("string").alias("sum_qty"),
+        F.sum(d("l_extendedprice")).cast("decimal(38,4)").cast("string").alias("sum_base_price"),
         F.sum(d("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
-        .cast("double")
+        .cast("decimal(38,8)")
+        .cast("string")
         .alias("sum_disc_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
