@@ -6055,7 +6055,10 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 20% of their part's average — the correlated-scalar-subquery
     # pattern, decorrelated to a per-part aggregate + join (what the
     # optimizer does; written explicitly so the join is broadcastable).
-    # Threshold compare on DECIMAL, result DECIMAL/7.
+    # Threshold compare on DECIMAL; avg_yearly in exact integer
+    # MICRO-units (floor(sum * 1e6 / 7)) — the double form's conversion
+    # ulp falls below the 6-dp comparison granularity past 10x (the
+    # pricing_summary scale-boundary class).
     """
     WITH avg_qty AS (
       SELECT l_partkey,
@@ -6063,8 +6066,8 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(count(*) AS BIGINT) AS n_small,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / 7.0, 6) AS avg_yearly
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000
+                     AS BIGINT) * 100 // 7 AS BIGINT) AS avg_yearly_micro
     FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
     WHERE CAST(l.l_quantity AS DECIMAL(18,6)) < CAST(0.2 AS DECIMAL(18,6)) * a.aq
     """,
@@ -6084,12 +6087,20 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            F.round(
+            # sum has scale 4, so sum*10000 is an exact integer; *100/7
+            # floor-divides in BIGINT identically on both engines
+            (
                 F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-                .cast("double")
-                / 7.0,
-                6,
-            ).alias("avg_yearly"),
+                * F.lit(10000)
+            )
+            .cast("bigint")
+            .alias("_s4"),
+        )
+        .select(
+            "n_small",
+            F.expr("CAST((_s4 * 100) DIV 7 AS BIGINT)").alias(
+                "avg_yearly_micro"
+            ),
         )
     )
 
@@ -7070,8 +7081,8 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     # pushdown/join-planning stress. part broadcasts; money through
     # DECIMAL.
     """
-    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS VARCHAR)
              AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -7103,11 +7114,16 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
+            # exact fixed-scale decimal string, not double: at 10x-100x
+            # the sum's magnitude puts one double-conversion ulp below
+            # the 6-dp comparison granularity (the pricing_summary
+            # scale-boundary find from the round-8 ~sf1 sweep)
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,4)")
                 * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
             )
-            .cast("double")
+            .cast("decimal(38,8)")
+            .cast("string")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -7829,7 +7845,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                                THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
                       AS DOUBLE)
                  / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
-           CAST(sum(volume) AS DOUBLE) AS total_volume
+           CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS VARCHAR) AS total_volume
     FROM vol GROUP BY epoch_year ORDER BY epoch_year
     """,
 )
@@ -7882,7 +7898,12 @@ def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("volume").cast("double"),
                 6,
             ).alias("mkt_share"),
-            F.sum("volume").cast("double").alias("total_volume"),
+            # exact decimal string (see disjunctive_revenue note); the
+            # mkt_share RATIO stays a rounded double — relative ulp
+            # error cancels in the division
+            F.sum("volume").cast("decimal(38,4)").cast("string").alias(
+                "total_volume"
+            ),
         )
         .orderBy("epoch_year")
     )
@@ -9090,20 +9111,23 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "product_type_profit",
     # TPC-H Q9 shape: profit by (nation, ship-year) over a 5-table join
     # with a LIKE part filter. Supply cost is emulated as 10% of
-    # p_retailprice x quantity; to keep both engines exact the two
-    # DECIMAL sums stay separate until one double division at the end:
-    # profit = (10 x gross - retail_qty) / 10.
+    # p_retailprice x quantity; the whole computation stays DECIMAL —
+    # profit = (10 x gross - retail_qty) x 0.1 rendered as a
+    # fixed-scale decimal string (0.1 is DECIMAL(2,1), so the multiply
+    # is exact; a double cast here is 1-ulp-divergent at 100x — the
+    # pricing_summary scale-boundary class).
     f"""
     SELECT n.n_name AS nation,
            CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // {_EPOCH_YEAR}
              AS ship_year,
-           CAST(10 * CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST((10 * CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
                               * CAST(1 - l.l_discount AS DECIMAL(18,4)))
                           AS DECIMAL(38,8))
                 - CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))
                            * CAST(l.l_quantity AS DECIMAL(18,4)))
-                       AS DECIMAL(38,8))
-                AS DOUBLE) / 10 AS profit
+                       AS DECIMAL(38,8)))
+                * CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(38,9)) AS VARCHAR)
+             AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -9141,9 +9165,13 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ship_year"),
         )
         .agg(
-            ((F.lit(10) * gross - retail_qty).cast("double") / 10).alias(
-                "profit"
+            (
+                (F.lit(10) * gross - retail_qty)
+                * F.lit(0.1).cast("decimal(2,1)")
             )
+            .cast("decimal(38,9)")
+            .cast("string")
+            .alias("profit")
         )
     )
 
