@@ -252,10 +252,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("-o", "--output", required=True, help="output directory")
     c.add_argument("--near-dedup", action="store_true", help="also MinHash-LSH near-dedup (within batch)")
     c.add_argument("--jaccard", type=float, default=0.7, help="near-dup verify threshold")
-    c.add_argument("--max-bucket-size", type=int, default=None,
+    c.add_argument("--max-bucket-size", type=int, default=1000,
                    help="cap LSH band-bucket membership (bounds a degenerate "
-                        "bucket at cap^2 pairs); truncated buckets are "
-                        "counted in stats.json, never silent")
+                        "bucket at cap^2 pairs); DEFAULT-ON at 1000; pass 0 "
+                        "to disable; truncated buckets are counted in "
+                        "stats.json, never silent")
     c.add_argument("--mix", default=None, help="target language mix, e.g. en=0.5,es=0.25,fr=0.25")
     c.add_argument("--pack-budget", type=int, default=2048, help="tokens per training sequence")
     c.add_argument("--scrub-passages", action="store_true", help="remove cross-document duplicate passages first")
@@ -635,25 +636,28 @@ def cmd_ann_query(args: argparse.Namespace) -> int:
     if args.vector:
         qv = [float(x) for x in args.vector.split(",")]
     elif args.vec_id is not None:
-        from rag_content_spark.plans import index_commit as ic
-        from rag_content_spark.plans.ann_index import load_ann_meta
+        from rag_content_spark.plans.ann_index import (
+            _read_live_index,
+            load_ann_meta,
+        )
 
         meta, _cb = load_ann_meta(args.index_dir)
-        root, adds = ic.live_view(
-            args.index_dir,
-            legacy_root={
-                "kind": "base", "version": 0, "base_version": 0,
-                "dirs": {"index": "index"},
-                "stats": {"n_vectors": meta["n_vectors"]},
-            },
-        )
-        qv = list(
-            ic.read_union(
-                spark, args.index_dir, ic.view_dirs(root, adds, "index")
-            )
+        # live view WITH delete tombstones applied — a deleted vector
+        # must not be usable as a query seed (round-8 ADVICE)
+        hit = (
+            _read_live_index(spark, args.index_dir, meta)
             .filter(F.col(meta["id_col"]) == args.vec_id)
-            .collect()[0][meta["embedding_col"]]
+            .limit(1)
+            .collect()
         )
+        if not hit:
+            print(
+                f"error: --vec-id {args.vec_id} not found in the live "
+                f"index (missing or deleted)",
+                file=sys.stderr,
+            )
+            return 2
+        qv = list(hit[0][meta["embedding_col"]])
     else:
         print("error: pass -v or --vec-id", file=sys.stderr)
         return 2
@@ -720,7 +724,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
         # representative, so LSH buckets see one member per distinct
         # content — the pre-collapse that keeps boilerplate-heavy crawls
         # from densifying band buckets; the cap is the hard bound on top
-        cap = getattr(args, "max_bucket_size", None)
+        cap = getattr(args, "max_bucket_size", 1000)
+        if cap is not None and cap <= 0:
+            cap = None  # --max-bucket-size 0 = explicit opt-out
         cand = minhash_lsh_candidates(deduped, max_bucket_size=cap)
         if cap is not None:
             from rag_content_spark.operators.dedup import (

@@ -1437,9 +1437,44 @@ def _decode_progressive_scan(
     mcuy: int,
 ) -> None:
     bits = _JpegBits(b, pos)
-    if ss == 0:  # DC scan — MCU-interleaved over all scan components
+    if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("DC scan must have Se=0")
+        if len(scan) == 1:
+            # Non-interleaved (Ns=1) DC scan — T.81 A.2.2: the data-unit
+            # order is the COMPONENT'S own bw×bh raster grid (one block
+            # per MCU), not the MCU-padded interleaved grid. For a
+            # subsampled component the two grids have different block
+            # counts, so decoding such a spec-valid stream on the MCU
+            # grid misparses (round-8 ADVICE).
+            sc = scan[0]
+            c = comps[sc["ci"]]
+            arr = coefs[sc["ci"]]
+            pred = 0
+            blk_count = 0
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    if (
+                        restart_interval
+                        and blk_count
+                        and blk_count % restart_interval == 0
+                    ):
+                        bits.restart_align()
+                        pred = 0
+                    blk = arr[by, bx]
+                    if ah == 0:  # first DC scan
+                        s = bits.huff(huff_dc[sc["td"]])
+                        diff = (
+                            _jpeg_extend(bits.bits(s), s) if s else 0
+                        )
+                        pred += diff
+                        blk[0] = pred << al
+                    else:  # DC refinement: one bit per block
+                        if bits.bit():
+                            blk[0] |= 1 << al
+                    blk_count += 1
+            return
+        # DC scan — MCU-interleaved over all scan components
         pred = [0] * len(scan)
         mcu_count = 0
         for my in range(mcuy):

@@ -397,7 +397,13 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
             "kind": "compact",
             "base_version": base_version,
             "dirs": {"index": i_dir},
-            "stats": {"n_vectors": live["n_vectors"]},
+            # EXACT recount of the materialized survivors, not the
+            # accumulated live total: concurrent overlapping deletes
+            # (or a delete racing an add of the same ids) can skew the
+            # delta-summed stats (write-skew — see index_commit
+            # docstring); recomputing here makes the drift self-heal
+            # at every compaction.
+            "stats": {"n_vectors": int(n_rows)},
         },
     )
     new_root, new_adds, _s = _live(out_dir, meta)

@@ -46,15 +46,25 @@ def _snap_path(index_dir: str, version: int) -> str:
 
 
 def commits(index_dir: str) -> list[dict]:
-    """All claimed commit manifests, ascending by version."""
+    """All claimed commit manifests, ascending by version.
+
+    Filenames match ``snap-\\d+.json`` (any digit count) and are ordered
+    by the PARSED version number, not lexicographically — at version
+    100000 the zero-padding overflows to 6 digits and a ``\\d{5}``-only
+    regex (or a filename sort) would silently drop / mis-order commits.
+    """
     cdir = os.path.join(index_dir, "commits")
     if not os.path.isdir(cdir):
         return []
+    versioned = []
+    for name in os.listdir(cdir):
+        m = re.fullmatch(r"snap-(\d+)\.json", name)
+        if m:
+            versioned.append((int(m.group(1)), name))
     out = []
-    for name in sorted(os.listdir(cdir)):
-        if re.fullmatch(r"snap-(\d{5})\.json", name):
-            with open(os.path.join(cdir, name)) as f:
-                out.append(json.load(f))
+    for _v, name in sorted(versioned):
+        with open(os.path.join(cdir, name)) as f:
+            out.append(json.load(f))
     return out
 
 

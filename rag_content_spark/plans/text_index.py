@@ -407,6 +407,15 @@ def delete_from_text_index(
     tombstones; compaction materializes the surviving rows and drops
     the tombstones physically; vacuum reclaims them. Id re-use after a
     delete is outside the contract (same uniqueness rule as adds).
+
+    Concurrency note: the negative stats delta is computed against the
+    live view BEFORE the claim, so two concurrent deletes of
+    overlapping ids (or a delete racing an add of those ids) can
+    write-skew the accumulated n_docs/sum_dl — row-level results stay
+    exact (the anti-join is idempotent), only the BM25 idf/avgdl
+    normalizers drift. This skew is outside the per-commit contract and
+    SELF-HEALS at the next :func:`compact_text_index`, which recomputes
+    stats from the materialized survivors.
     Returns {config..., n_docs, sum_dl} of the view after the delete."""
     meta = _read_meta(out_dir)
     if "n_docs" in meta:
@@ -467,8 +476,9 @@ def compact_text_index(spark: SparkSession, out_dir: str) -> dict:
     (there are no renames), and superseded segments are reclaimed later
     by :func:`vacuum_text_index`. Delete tombstones in the absorbed
     range are applied physically (masked rows do not reach the new
-    segment) and drop out of the live view. Stats carry over exactly
-    (the live stats are already net of deletes). Returns
+    segment) and drop out of the live view. Stats are RECOMPUTED from
+    the materialized survivors (not carried over), so any write-skew
+    drift from concurrent overlapping deletes self-heals here. Returns
     {n_files_before, n_files_after, n_rows} over the live view.
     """
     meta = _read_meta(out_dir)
@@ -500,13 +510,26 @@ def compact_text_index(spark: SparkSession, out_dir: str) -> dict:
     ).coalesce(1).write.mode("errorifexists").parquet(
         os.path.join(out_dir, l_dir)
     )
+    # EXACT stats recomputed from the STAGED survivor lengths, not the
+    # delta-summed live totals: concurrent overlapping deletes (or a
+    # delete racing an add of the same ids) can write-skew the
+    # accumulated n_docs/sum_dl, drifting BM25 idf/avgdl even though
+    # row-level results stay correct (anti-join is idempotent).
+    # Recomputing against the materialized bytes makes every compaction
+    # a self-healing point for that drift.
+    srow = (
+        spark.read.parquet(os.path.join(out_dir, l_dir))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    exact = {"n_docs": int(srow["n"]), "sum_dl": int(srow["s"] or 0)}
     ic.claim(
         out_dir,
         {
             "kind": "compact",
             "base_version": base_version,
             "dirs": {"postings": p_dir, "lengths": l_dir},
-            "stats": live,
+            "stats": exact,
         },
     )
     new_root, new_adds, _s = _live(out_dir, meta)

@@ -1237,7 +1237,9 @@ def _band_hashes_sql(num_hashes: int = 16, bands: int = 4) -> str:
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
-    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
+    )
     return dedup.jaccard_pairs(corpus, cand, threshold=0.5)
 
 
@@ -1434,7 +1436,9 @@ def q_dedup_precollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionAll(twins).unionAll(copies).localCheckpoint(eager=True)
     reps, members = dedup.collapse_exact_before_lsh(corpus)
     reps = reps.localCheckpoint(eager=True)  # referenced by LSH + verify
-    cand = dedup.minhash_lsh_candidates(reps, num_hashes=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(
+        reps, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
+    )
     ver = dedup.jaccard_pairs(reps, cand, threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -1516,6 +1520,63 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot("_ea", "_eb", 64), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "faiss_roundtrip",
+    # W1 both directions oracle-gated (round-8 verdict task 8): export
+    # the first-2000-by-id embeddings to a FAISS IndexFlatIP file
+    # (sinks/faiss_io.write_flat_index — the reference's primary
+    # artifact, document_processor.py:266-279), import it back with
+    # import_flat_index, and fingerprint every vector. float32 survives
+    # the file round trip bit-exactly, so the oracle is the SAME
+    # fingerprint computed directly on the source table — any byte-level
+    # writer/reader defect (endianness, header offset, row order, f32
+    # truncation) breaks the value hash.
+    f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round({dot_sql('embedding', 'embedding')}, 6) AS norm_sq
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 2000)
+    """,
+)
+def q_faiss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from rag_content_spark.sinks.faiss_io import (
+        import_flat_index,
+        write_flat_index,
+    )
+
+    # deterministic bounded subset (first 2000 by vec_id) so the
+    # driver-side artifact write stays O(1) at any corpus scale — a
+    # faiss file is ONE binary blob, written from the driver by design
+    # (same shape as the reference W1 path)
+    rows = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(2000)
+        .collect()
+    )
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    tmpd = tempfile.mkdtemp(prefix="sgraft_faiss_rt_")
+    path = os.path.join(tmpd, "roundtrip.faiss")
+    write_flat_index(mat, path, metric="ip")
+    with open(path + ".ids.json", "w") as fh:
+        json.dump(
+            {str(i): str(r["vec_id"]) for i, r in enumerate(rows)}, fh
+        )
+    imported = import_flat_index(spark, path, id_col="vec_id")
+    return imported.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.size("embedding").alias("dim"),
+        F.round(dot("embedding", "embedding"), 6).alias("norm_sq"),
     )
 
 
@@ -2798,7 +2859,9 @@ def q_zscore_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
-    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
+    )
     pairs = dedup.jaccard_pairs(corpus, cand, threshold=0.5)
     return dedup.apply_dedup(corpus, pairs).select("doc_id")
 
@@ -3549,7 +3612,9 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
-    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
+    )
     pairs = dedup.jaccard_pairs(corpus, cand, threshold=0.5).select("id_a", "id_b")
     return dedup.connected_components(pairs)
 
@@ -3663,7 +3728,9 @@ def _contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _contain_corpus(spark, sf_dir)
-    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
+    )
     return dedup.containment_pairs(corpus, cand).filter(
         F.greatest("contain_a", "contain_b") >= 0.9
     )
@@ -3740,7 +3807,9 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus(spark, sf_dir)
-    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
+    )
     pairs = dedup.jaccard_pairs(corpus, cand, threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -4285,7 +4354,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.reverse(tok), " ").alias("text"),
     )
     kept = dedup.dedup_against_corpus(
-        near.unionAll(fresh), corpus, threshold=0.5
+        near.unionAll(fresh),
+        corpus,
+        threshold=0.5,
+        max_bucket_size=None,  # oracle replays UNCAPPED candidates
     )
     return kept.select("doc_id")
 
@@ -4444,7 +4516,9 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the MinHash-LSH pipeline on planted near-dup pairs —
     the measurement that tunes (num_hashes, bands) at scale."""
     corpus = _dup_corpus(spark, sf_dir)
-    cand = dedup.minhash_lsh_candidates(corpus, num_hashes=16, bands=4)
+    cand = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
+    )
     found = dedup.jaccard_pairs(corpus, cand, threshold=0.5).select(
         "id_a", "id_b"
     )

@@ -128,6 +128,10 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert stats["after_quality_gate"] == 5          # degenerate dropped
     assert stats["after_exact_dedup"] == 4           # dup of 1 dropped
     assert stats["output"] == stats[list(stats)[-2]]  # final == last stage
+    # the LSH bucket cap is DEFAULT-ON and its overflow report is always
+    # visible in stats.json (zero-filled when nothing truncates)
+    assert stats["lsh_overflow"]["max_bucket_size"] == 1000
+    assert stats["lsh_overflow"]["n_dropped_ids"] == 0
     curated = spark.read.parquet(f"{out}/curated")
     assert {"doc_id", "text", "lang", "shard", "seq_bucket"} <= set(curated.columns)
     assert 2 not in {r["doc_id"] for r in curated.select("doc_id").collect()}

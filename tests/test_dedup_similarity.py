@@ -464,6 +464,39 @@ def test_bucket_cap_bounds_pairs(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} <= allp
 
 
+def test_bucket_cap_default_on(spark):
+    """Round-8 verdict: the cap must protect the DEFAULT path — a user
+    who passes no flag gets DEFAULT_MAX_BUCKET_SIZE, and ``None`` is the
+    explicit opt-out (not the default)."""
+    import inspect
+
+    assert dedup.DEFAULT_MAX_BUCKET_SIZE == 1000
+    for fn in (
+        dedup.minhash_lsh_candidates,
+        dedup.embedding_neardup_pairs,
+        dedup.dedup_against_corpus,
+    ):
+        assert (
+            inspect.signature(fn).parameters["max_bucket_size"].default
+            == dedup.DEFAULT_MAX_BUCKET_SIZE
+        ), fn.__name__
+    # below-cap corpora are bit-identical to the explicit-cap call, and
+    # the explicit opt-out still yields the same pairs at this scale
+    corpus = _degenerate_corpus(spark, k=8)
+    default_pairs = sorted(
+        map(tuple, dedup.minhash_lsh_candidates(corpus).collect())
+    )
+    uncapped_pairs = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates(
+                corpus, max_bucket_size=None
+            ).collect(),
+        )
+    )
+    assert default_pairs == uncapped_pairs and len(default_pairs) == 28
+
+
 def test_bucket_cap_above_size_is_identity(spark):
     corpus = _corpus(spark)
     base = {

@@ -497,3 +497,252 @@ def test_legacy_index_reads_and_upgrades(spark, tmp_path):
     }
     ref2 = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()}
     assert got2 == ref2
+
+
+def test_delete_racing_add_keeps_rows_exact(spark, tmp_path):
+    """Round-8 verdict task 6 (delete-vs-add): a delete racing an add of
+    DISJOINT docs must lose nothing — every commit lands, survivors =
+    (base - deleted) + added, the deleted ids never resurface, and the
+    stats are exact (the write-skew caveat only applies to OVERLAPPING
+    id sets, covered by test_overlapping_deletes_selfheal_at_compact)."""
+    from rag_content_spark.operators.search import bm25_scores
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    extra = docs.filter(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "ti")
+    build_text_index(base, d, n_buckets=8)
+    victims = [r["doc_id"] for r in base.limit(4).collect()]
+    errors = []
+
+    def do_add():
+        try:
+            add_to_text_index(extra, d)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def do_delete():
+        try:
+            delete_from_text_index(spark, d, victims)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=do_add),
+        threading.Thread(target=do_delete),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    snaps = ic.commits(d)
+    assert [s["version"] for s in snaps] == [1, 2, 3]
+    assert sorted(s["kind"] for s in snaps[1:]) == ["add", "delete"]
+    survivors = docs.join(
+        spark.createDataFrame([(v,) for v in victims], ["doc_id"]),
+        "doc_id",
+        "left_anti",
+    )
+    terms = ["spark", "join", "merge"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, d, terms).collect()
+    }
+    ref = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(survivors, terms).collect()
+    }
+    # disjoint-sets race: rows AND stats must both be exact, so BM25
+    # (which folds n_docs/avgdl into every score) is bit-identical
+    assert got == ref and not any(v in got for v in victims)
+    root, adds = ic.live_view(d)
+    assert ic.view_stats(root, adds)["n_docs"] == survivors.count()
+
+
+def test_delete_racing_compact_no_resurrection(spark, tmp_path):
+    """Round-8 verdict task 6 (delete-vs-compact): a delete claimed
+    while a compaction runs lands ABOVE base_version, so its tombstone
+    stays live on top of the compact root — the deleted rows must NOT
+    resurrect through the racing compact, and the next compaction
+    applies the tombstone physically."""
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        add_to_text_index,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+    import rag_content_spark.plans.text_index as ti
+
+    docs = _docs(spark)
+    d = str(tmp_path / "ti")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), d, n_buckets=8)
+    add_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), d)
+    victims = [r["doc_id"] for r in docs.limit(5).collect()]
+
+    real_claim = ic.claim
+    injected = {"done": False}
+
+    def racing_claim(index_dir, record):
+        # inject the delete between compact's read and its commit claim
+        if record["kind"] == "compact" and not injected["done"]:
+            injected["done"] = True
+            delete_from_text_index(spark, d, victims)
+        return real_claim(index_dir, record)
+
+    ti.ic.claim = racing_claim
+    try:
+        ti.compact_text_index(spark, d)
+    finally:
+        ti.ic.claim = real_claim
+
+    root, adds = ic.live_view(d)
+    assert root["kind"] == "compact"
+    assert [a["kind"] for a in adds] == ["delete"]  # still live
+    terms = ["spark", "join", "merge"]
+    got = {
+        r["doc_id"] for r in query_text_index(spark, d, terms).collect()
+    }
+    assert not (got & set(victims))  # no resurrection
+    survivors = docs.join(
+        spark.createDataFrame([(v,) for v in victims], ["doc_id"]),
+        "doc_id",
+        "left_anti",
+    )
+    stats = ic.view_stats(root, adds)
+    assert stats["n_docs"] == survivors.count()
+    # second compact absorbs the tombstone physically and recounts
+    ti.compact_text_index(spark, d)
+    root2, adds2 = ic.live_view(d)
+    assert adds2 == []
+    assert root2["stats"]["n_docs"] == survivors.count()
+    got2 = {
+        r["doc_id"] for r in query_text_index(spark, d, terms).collect()
+    }
+    assert got2 == got
+
+
+def test_overlapping_deletes_selfheal_at_compact(spark, tmp_path):
+    """Two concurrent deletes of OVERLAPPING ids both compute their
+    negative stats delta against the same pre-state — the documented
+    write-skew: rows stay exact (anti-join is idempotent) but
+    n_docs/sum_dl double-decrement. Compaction recomputes stats from the
+    materialized survivors, so the drift self-heals (round-8 ADVICE on
+    delete_from_text_index)."""
+    from rag_content_spark.functions.text import tokens
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.text_index import (
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+    import rag_content_spark.plans.text_index as ti
+
+    docs = _docs(spark)
+    d = str(tmp_path / "ti")
+    build_text_index(docs, d, n_buckets=8)
+    ids = [r["doc_id"] for r in docs.limit(6).collect()]
+    set_a, set_b = ids[:4], ids[2:]  # overlap = ids[2:4]
+
+    # deterministic interleave: when delete(A) is about to claim (its
+    # delta already computed against the full view), inject delete(B)
+    # whole — B's delta is ALSO computed against the full view
+    real_claim = ic.claim
+    injected = {"done": False}
+
+    def racing_claim(index_dir, record):
+        if record["kind"] == "delete" and not injected["done"]:
+            injected["done"] = True
+            delete_from_text_index(spark, d, set_b)
+        return real_claim(index_dir, record)
+
+    ti.ic.claim = racing_claim
+    try:
+        delete_from_text_index(spark, d, set_a)
+    finally:
+        ti.ic.claim = real_claim
+
+    survivors = docs.join(
+        spark.createDataFrame([(v,) for v in set(ids)], ["doc_id"]),
+        "doc_id",
+        "left_anti",
+    )
+    n_true = survivors.count()
+    dl_true = survivors.select(
+        F.sum(F.size(tokens("text"))).alias("s")
+    ).collect()[0]["s"]
+    root, adds = ic.live_view(d)
+    skewed = ic.view_stats(root, adds)
+    # rows exact despite the race
+    terms = ["spark", "join", "merge"]
+    got = {
+        r["doc_id"] for r in query_text_index(spark, d, terms).collect()
+    }
+    assert not (got & set(ids))
+    # the overlap double-decremented: drift is real and equals the
+    # overlapping docs' contribution
+    assert skewed["n_docs"] == n_true - 2
+    assert skewed["sum_dl"] < dl_true
+    # compaction recounts the materialized survivors: drift healed
+    ti.compact_text_index(spark, d)
+    root2, adds2 = ic.live_view(d)
+    assert adds2 == []
+    assert root2["stats"]["n_docs"] == n_true
+    assert root2["stats"]["sum_dl"] == dl_true
+
+
+def test_ann_delete_racing_compact(spark, tmp_path):
+    """ANN sibling of the delete-vs-compact race: the racing tombstone
+    stays live over the compact root (no resurrected vectors) and the
+    next compaction's recount makes the stats exact."""
+    from rag_content_spark.plans import index_commit as ic
+    from rag_content_spark.plans.ann_index import (
+        build_ann_index,
+        delete_from_ann_index,
+        query_ann_index,
+    )
+    import rag_content_spark.plans.ann_index as ai
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = str(tmp_path / "ann")
+    meta0 = build_ann_index(emb, d, nlist=4, m=4, k=16)
+    probe = emb.orderBy("vec_id").limit(1).collect()[0]
+
+    real_claim = ic.claim
+    injected = {"done": False}
+
+    def racing_claim(index_dir, record):
+        if record["kind"] == "compact" and not injected["done"]:
+            injected["done"] = True
+            delete_from_ann_index(spark, d, [int(probe["vec_id"])])
+        return real_claim(index_dir, record)
+
+    ai.ic.claim = racing_claim
+    try:
+        ai.compact_ann_index(spark, d)
+    finally:
+        ai.ic.claim = real_claim
+
+    root, adds = ic.live_view(d)
+    assert root["kind"] == "compact"
+    assert [a["kind"] for a in adds] == ["delete"]
+    res = query_ann_index(
+        spark, d, list(probe["embedding"]), topk=3, n_probe=4
+    ).collect()
+    assert all(r["vec_id"] != probe["vec_id"] for r in res)
+    stats = ic.view_stats(root, adds)
+    assert stats["n_vectors"] == meta0["n_vectors"] - 1
+    ai.compact_ann_index(spark, d)
+    root2, adds2 = ic.live_view(d)
+    assert adds2 == []
+    assert root2["stats"]["n_vectors"] == meta0["n_vectors"] - 1

@@ -77,7 +77,7 @@ def part_a(spark):
         if k <= 10_000:  # C(100k,2) = 5e9 pairs — do not materialize
             t0 = time.time()
             row["uncapped_pairs"] = dedup.minhash_lsh_candidates(
-                corpus
+                corpus, max_bucket_size=None  # explicit opt-out (default is capped since r9)
             ).count()
             row["uncapped_sec"] = round(time.time() - t0, 2)
         results.append(row)
