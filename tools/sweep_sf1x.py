@@ -1,12 +1,35 @@
-"""Build a 10x replica of sf0.1 (~sf1) with TYPE-EXACT parquet via
-DuckDB — the driver ships no sf1 testdata, and Spark-side replication
-would rewrite events' TIMESTAMP_NS as BIGINT (nanosAsLong) and break
-oracle parity. Fact tables replicate with shifted keys, dims copy
-verbatim — same key-shift scheme as tools/scale_probe.py.
+"""Build an n-times replica of sf0.1 (~sf1 at n=10, ~sf10 at n=100)
+with TYPE-EXACT parquet via DuckDB — the driver ships no bigger
+testdata, and Spark-side replication would rewrite events' TIMESTAMP_NS
+as BIGINT (nanosAsLong) and break oracle parity. Fact tables replicate
+with shifted keys, dims copy verbatim — same key-shift scheme as
+tools/scale_probe.py.
+
+At n >= 20 the builder DECORRELATES cross-replica duplicate structure
+(replica 0 always stays verbatim):
+
+- documents.text: every token gets a ``~<r>`` suffix per replica, so
+  replicas are neither exact nor near duplicates of each other
+  (whitespace tokenization keeps one token per token; shingle and
+  MinHash signatures become independent across replicas);
+- embeddings: labels shift by ``r*1000`` and vectors rotate by ``r mod
+  dim`` (negated for r >= dim), so label-blocked and LSH-bucketed pair
+  queries see base-sized groups.
+
+Why: a VERBATIM 100x replica puts ~100 identical copies of every text
+in every LSH band bucket — each pair-enumeration query then emits
+C(100,2)/content ~ 25M candidate pairs, a 10,000x (quadratic) blowup
+that measures the degenerate-duplication regime, not scale. That regime
+is probed separately (tools/probe_degenerate.py drives 100k identical
+docs through the capped path); the big-replica sweep's job is finding
+SCALE boundary bugs (overflow, rounding, partition edges) in all 196
+queries, which needs 100x the rows with realistic (non-pathological)
+group sizes. The key stride also widens to 10M so synthesized twin ids
+(+1M..+5M in the dedup queries) never collide with replica ids.
 
 Usage: python tools/sweep_sf1x.py [dst_dir] [n]
 Then:  SPARK_GRAFT_SF_DIR=<dst> SPARK_GRAFT_ORACLE_SF_DIR=<dst> \
-         python tools/verify_local.py --json VERIFY_LOCAL_r08_sf1x.json
+         python tools/verify_local.py --json VERIFY_LOCAL_rN_*.json
 """
 
 from __future__ import annotations
@@ -23,6 +46,8 @@ def build(dst: str, n: int = 10) -> None:
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    decorrelate = n >= 20
+    doc_stride = 10_000_000 if decorrelate else 100_000
 
     def rep(table: str, select: str) -> None:
         con.execute(
@@ -32,14 +57,41 @@ def build(dst: str, n: int = 10) -> None:
             f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
         )
 
-    rep(
-        "documents",
-        "doc_id + r.range * 100000 AS doc_id, text, lang, source, n_chars",
-    )
-    rep(
-        "embeddings",
-        "vec_id + r.range * 100000 AS vec_id, embedding, label",
-    )
+    if decorrelate:
+        text_expr = (
+            "CASE WHEN r.range = 0 THEN text ELSE array_to_string("
+            "list_transform(list_filter(regexp_split_to_array(text, '\\s+'),"
+            " t -> t <> ''), t -> t || '~' || CAST(r.range AS VARCHAR)), ' ')"
+            " END"
+        )
+        rep(
+            "documents",
+            f"doc_id + r.range * {doc_stride} AS doc_id, "
+            f"{text_expr} AS text, lang, source, "
+            f"CAST(length({text_expr}) AS BIGINT) AS n_chars",
+        )
+        emb_expr = (
+            "CASE WHEN r.range = 0 THEN embedding ELSE list_transform("
+            "generate_series(1, len(embedding)), i -> "
+            "(CASE WHEN r.range >= len(embedding) THEN -1 ELSE 1 END) * "
+            "embedding[((i - 1 + r.range) % len(embedding)) + 1]) END"
+        )
+        rep(
+            "embeddings",
+            f"vec_id + r.range * {doc_stride} AS vec_id, "
+            f"CAST({emb_expr} AS FLOAT[]) AS embedding, "
+            f"CAST(label + r.range * 1000 AS INTEGER) AS label",
+        )
+    else:
+        rep(
+            "documents",
+            f"doc_id + r.range * {doc_stride} AS doc_id, "
+            "text, lang, source, n_chars",
+        )
+        rep(
+            "embeddings",
+            f"vec_id + r.range * {doc_stride} AS vec_id, embedding, label",
+        )
     rep(
         "orders",
         "o_orderkey + r.range * 10000000 AS o_orderkey, "

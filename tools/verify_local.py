@@ -30,23 +30,6 @@ TABLES = (
 ).split()
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    if len(df) == 0:
-        # 0-row agg below returns a DataFrame (not a Series) and crashes
-        return df.reset_index(drop=True)
-    for col in df.columns:
-        s = df[col]
-        if s.dtype == object:
-            df[col] = s.map(_norm_cell)
-        elif s.dtype.kind == "f":
-            df[col] = s.round(6)
-        elif str(s.dtype).startswith("datetime"):
-            df[col] = s.astype(str)
-    key = df.astype(str).agg("|".join, axis=1)
-    return df.loc[key.sort_values().index].reset_index(drop=True)
-
-
 def _norm_cell(v):
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_scalar(x) for x in v) + "]"
@@ -61,12 +44,49 @@ def _norm_scalar(v):
     return str(v)
 
 
-def value_hash(df: pd.DataFrame) -> str:
+def normalized_rows(df: pd.DataFrame) -> pd.Series:
+    """One canonical string per row (columns sorted by name, cells
+    normalized exactly as ``_norm_cell``: floats rounded to 6 and
+    %.6f-formatted, None/NaN -> NULL, arrays flattened), returned SORTED.
+
+    Column-vectorized replacement for the old per-row
+    ``astype(str).agg(join, axis=1)`` + itertuples-md5 pair, which ran
+    at ~3k rows/s and dominated the wall clock of large-SF sweeps
+    (15M-row results at the 100x replica). Cell semantics are
+    unchanged — only the row-ORDERING key switched from raw
+    ``astype(str)`` to the normalized strings themselves, which is
+    equivalent for comparison (any deterministic content-only key
+    sorts equal frames identically; full-key ties are identical rows).
+    """
+    df = df[sorted(df.columns)]
+    if len(df) == 0:
+        return pd.Series([], dtype=object)
+    parts = []
+    for col in df.columns:
+        s = df[col]
+        if s.dtype == object:
+            parts.append(s.map(_norm_cell))
+        elif s.dtype.kind == "f":
+            # replicate the old two-step exactly: numpy round(6) at the
+            # frame level, then the python round + %.6f of _norm_scalar
+            parts.append(s.round(6).map(_norm_scalar))
+        else:  # ints/bools/datetimes: str(v) == astype(str)
+            parts.append(s.astype(str))
+    key = parts[0].astype(str)
+    if len(parts) > 1:
+        key = key.str.cat([p.astype(str) for p in parts[1:]], sep="|")
+    return key.sort_values(ignore_index=True)
+
+
+def value_hash(rows: pd.Series) -> str:
+    """md5 over the sorted normalized row strings (chunked — a 15M-row
+    frame's joined bytes would be GBs)."""
     import hashlib
 
     h = hashlib.md5()
-    for row in df.itertuples(index=False):
-        h.update(("|".join(_norm_cell(v) for v in row)).encode())
+    for start in range(0, len(rows), 100_000):
+        h.update("\n".join(rows.iloc[start : start + 100_000]).encode())
+        h.update(b"\n")
     return h.hexdigest()
 
 
@@ -88,8 +108,16 @@ def main() -> int:
     only = set(args)
     results: dict[str, dict] = {}
 
-    spark = get_spark("verify-local", shuffle_partitions=8)
+    # 8 partitions suits the sf0.01 default; big-replica sweeps (60M-row
+    # lineitem at the 100x replica) override via env
+    n_shuffle = int(os.environ.get("SPARK_GRAFT_VERIFY_SHUFFLE", "8"))
+    spark = get_spark("verify-local", shuffle_partitions=n_shuffle)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if os.environ.get("SPARK_GRAFT_VERIFY_ARROW") == "1":
+        # Arrow-batched toPandas: collect-side speedup for multi-million
+        # row results; cell values are identical for this repo's types
+        # (validated by a full green sf0.01 run with the flag on)
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -126,32 +154,31 @@ def main() -> int:
             results[name] = {"status": "fail", "err": f"oracle error: {exc}"[:500]}
             n_fail += 1
             continue
-        ns, no = normalize(sdf), normalize(odf)
         status = []
-        if len(ns) != len(no):
-            status.append(f"rows {len(ns)} != {len(no)}")
-        if list(ns.columns) != list(no.columns):
-            status.append(f"cols {list(ns.columns)} != {list(no.columns)}")
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        if len(sdf) != len(odf):
+            status.append(f"rows {len(sdf)} != {len(odf)}")
+        if scols != ocols:
+            status.append(f"cols {scols} != {ocols}")
         if not status:
-            hs, ho = value_hash(ns), value_hash(no)
-            if hs != ho:
+            ns, no = normalized_rows(sdf), normalized_rows(odf)
+            if value_hash(ns) != value_hash(no):
                 status.append("value-hash mismatch")
-                # show first differing row for debugging
-                for i in range(len(ns)):
-                    a = "|".join(_norm_cell(v) for v in ns.iloc[i])
-                    b = "|".join(_norm_cell(v) for v in no.iloc[i])
-                    if a != b:
-                        print(f"  first diff row {i}:\n   spark: {a[:400]}\n   duck : {b[:400]}")
-                        break
+                diff = ns.values != no.values
+                i = int(np.argmax(diff))
+                print(
+                    f"  first diff row {i}:\n   spark: {ns.iloc[i][:400]}"
+                    f"\n   duck : {no.iloc[i][:400]}"
+                )
         if status:
             print(f"FAIL {name}: {'; '.join(status)}  [{time.time()-t0:.1f}s]")
             results[name] = {"status": "fail", "err": "; ".join(status)[:500]}
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(ns)} rows  [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
             results[name] = {
                 "status": "pass",
-                "rows": len(ns),
+                "rows": len(sdf),
                 "s": round(time.time() - t0, 1),
             }
             n_pass += 1
