@@ -1377,3 +1377,50 @@ def test_decode_progressive_jpeg_smooth_image():
         decode_jpeg(_encode_jpeg_gray_progressive(flat)),
         decode_jpeg(_encode_jpeg_gray(flat)),
     )
+
+
+def test_decode_progressive_noninterleaved_dc_subsampled():
+    """T.81 A.2.2: a single-component (Ns=1) DC scan walks the
+    COMPONENT'S own bw x bh raster grid, not the MCU-padded interleaved
+    grid (round-8 ADVICE). Hand-crafted 8x8 4:2:0 stream: Y is 2x2
+    subsampling -> one MCU covers the image, so the MCU walk would read
+    FOUR Y blocks where the spec-true component walk reads ONE. The
+    stream encodes exactly one DC value per component (Y: diff 8 ->
+    pixel 129; Cb/Cr: 0 -> 128) followed by empty AC bands, so the
+    correct decode is a flat 129-gray image."""
+    import numpy as np
+
+    from rag_content_spark.operators.multimodal import decode_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    b = b"\xff\xd8"
+    b += seg(0xDB, bytes([0x00]) + bytes([1] * 64))        # DQT all-ones
+    # SOF2: 8x8, Y id1 h2v2, Cb id2 h1v1, Cr id3 h1v1, all tq0
+    b += seg(
+        0xC2,
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC table 0: canonical {4: '0', 0: '10'}; AC table 0: {0x00: '0'}
+    b += seg(0xC4, bytes([0x00, 1, 1] + [0] * 14 + [4, 0]))
+    b += seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+
+    def sos(comp_id, ss, se):
+        return seg(0xDA, bytes([1, comp_id, 0x00, ss, se, 0x00]))
+
+    # DC-first scans (Ss=0, Ah=Al=0), one per component, Ns=1 each:
+    # Y: code('0' for cat 4) + '1000' (diff 8), pad 1s -> 0x47 — ONE
+    # block's worth of bits; the MCU walk would demand four
+    b += sos(1, 0, 0) + bytes([0x47])
+    b += sos(2, 0, 0) + bytes([0xBF])  # cat 0 ('10'), pad -> 0xBF
+    b += sos(3, 0, 0) + bytes([0xBF])
+    # AC-first scans 1-63: EOB ('0'), pad -> 0x7F
+    for cid in (1, 2, 3):
+        b += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00])) + bytes([0x7F])
+    b += b"\xff\xd9"
+
+    out = decode_jpeg(b)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_array_equal(out, np.full((8, 8, 3), 129, np.uint8))

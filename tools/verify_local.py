@@ -128,7 +128,48 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
-    for name, fn in queries.items():
+
+    def _dump(final: bool) -> None:
+        # incremental per-query flush: a killed / out-of-budget sweep
+        # still leaves a readable artifact of everything that finished
+        if not json_out:
+            return
+        import json as _json
+        import subprocess as _sp
+
+        try:
+            head = _sp.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            head = None
+        tmp = json_out + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "git_head": head,
+                    "complete": final,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": sum(
+                        1 for r in results.values() if r["status"] == "rows_only"
+                    ),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, json_out)
+
+    # args (when given) define the EXECUTION ORDER, not just the subset —
+    # big-replica sweeps run cheap queries first so a wall-clock budget
+    # maximizes coverage
+    ordered = [n for n in args if n in queries] if args else list(queries)
+    for name in ordered:
+        fn = queries[name]
         if only and name not in only:
             continue
         t0 = time.time()
@@ -138,6 +179,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             results[name] = {"status": "fail", "err": f"spark error: {exc}"[:500]}
             n_fail += 1
+            _dump(final=False)
             continue
         if name not in oracles:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle)  [{time.time()-t0:.1f}s]")
@@ -146,6 +188,7 @@ def main() -> int:
                 "rows": len(sdf),
                 "s": round(time.time() - t0, 1),
             }
+            _dump(final=False)
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -153,6 +196,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {exc}")
             results[name] = {"status": "fail", "err": f"oracle error: {exc}"[:500]}
             n_fail += 1
+            _dump(final=False)
             continue
         status = []
         scols, ocols = sorted(sdf.columns), sorted(odf.columns)
@@ -182,34 +226,9 @@ def main() -> int:
                 "s": round(time.time() - t0, 1),
             }
             n_pass += 1
+        _dump(final=False)
     print(f"\n{n_pass} passed, {n_fail} failed")
-    if json_out:
-        import json as _json
-        import subprocess as _sp
-
-        try:
-            head = _sp.run(
-                ["git", "rev-parse", "HEAD"],
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip()
-        except Exception:
-            head = None
-        with open(json_out, "w") as f:
-            _json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "git_head": head,
-                    "n_pass": n_pass,
-                    "n_fail": n_fail,
-                    "n_rows_only": sum(
-                        1 for r in results.values() if r["status"] == "rows_only"
-                    ),
-                    "queries": results,
-                },
-                f,
-                indent=1,
-            )
+    _dump(final=True)
     return 1 if n_fail else 0
 
 
