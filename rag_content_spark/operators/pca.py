@@ -45,6 +45,29 @@ def _x6(col):
     return F.round(col.cast("double") * SCALE6).cast("bigint")
 
 
+def _cov6_expr(n, s_ij, s_i, s_j):
+    """The centered-covariance finisher ``(n*S_ij - S_i*S_j) / n²`` on
+    the 1e-6 fixed-point grid, exact at ANY corpus size: at 200k
+    vectors ``S_i`` reaches ~2e11 so the cross product ``S_i*S_j``
+    reaches ~4e22 — far past int64 (the round-9 100x sweep caught the
+    ANSI long-overflow here). Both products widen to DECIMAL(38,0)
+    (128-bit integer math, the twin of the oracle's HUGEINT cast)
+    before multiplying; the exact integer difference converts to
+    double ONCE. ``+ 0.0`` clears IEEE negative zero (engines format
+    it differently in the gate's value hash)."""
+    dec = "decimal(38,0)"
+    num = n.cast(dec) * s_ij.cast(dec) - s_i.cast(dec) * s_j.cast(dec)
+    return (
+        F.round(
+            num.cast("double")
+            / (n * n).cast("double")
+            / F.lit(float(SCALE6) * SCALE6),
+            6,
+        )
+        + F.lit(0.0)
+    )
+
+
 def embedding_covariance(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -83,17 +106,8 @@ def embedding_covariance(
         .select(
             "i",
             "j",
-            # + 0.0 clears IEEE negative zero (engines format it
-            # differently in the gate's value hash)
-            (
-                F.round(
-                    (n * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
-                    .cast("double")
-                    / (n * n).cast("double")
-                    / F.lit(float(SCALE6) * SCALE6),
-                    6,
-                )
-                + F.lit(0.0)
+            _cov6_expr(
+                n, F.col("s_ij"), F.col("s_i"), F.col("s_j")
             ).alias("cov6"),
         )
     )
@@ -179,15 +193,8 @@ def embedding_covariance_np(
         .select(
             "i",
             "j",
-            (
-                F.round(
-                    (F.col("_n") * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
-                    .cast("double")
-                    / (F.col("_n") * F.col("_n")).cast("double")
-                    / F.lit(float(SCALE6) * SCALE6),
-                    6,
-                )
-                + F.lit(0.0)
+            _cov6_expr(
+                F.col("_n"), F.col("s_ij"), F.col("s_i"), F.col("s_j")
             ).alias("cov6"),
         )
     )

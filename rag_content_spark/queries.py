@@ -8143,7 +8143,9 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/pca.py): identical integer sums on both engines —
     # coordinates rounded to the 1e-6 grid as BIGINTs, cov from
     # (n*S_ij - S_i*S_j) integer arithmetic, one final descale. DuckDB
-    # sum(BIGINT) is HUGEINT -> cast back.
+    # sum(BIGINT) is HUGEINT -> cast back. The centered-numerator
+    # products widen to HUGEINT (Spark twin: DECIMAL(38,0)) — at 200k
+    # vectors S_i*S_j reaches ~4e22, past int64 (round-9 sf10 find).
     """
     WITH c AS (
       SELECT vec_id AS id, CAST(r.range AS INT) AS i,
@@ -8161,7 +8163,9 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (SELECT i AS k, CAST(sum(x6) AS BIGINT) AS s_k FROM c GROUP BY i)
     SELECT p.i, p.j,
-           round(CAST(p.n * p.s_ij - sa.s_k * sb.s_k AS DOUBLE)
+           round(CAST(CAST(p.n AS HUGEINT) * CAST(p.s_ij AS HUGEINT)
+                      - CAST(sa.s_k AS HUGEINT) * CAST(sb.s_k AS HUGEINT)
+                      AS DOUBLE)
                  / CAST(p.n * p.n AS DOUBLE) / 1e12, 6) + 0.0 AS cov6
     FROM p JOIN s sa ON p.i = sa.k JOIN s sb ON p.j = sb.k
     """,

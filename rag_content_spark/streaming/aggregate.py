@@ -237,6 +237,14 @@ def streaming_dedup_against_corpus(
     bounded. Collision-level filtering (no Jaccard verify) makes this
     the conservative fast gate; collided docs can be side-outputted to a
     batch verify instead of dropped when recall matters.
+
+    No ``max_bucket_size`` here BY CONSTRUCTION (round-9 audit of the
+    r8 stretch item): this path never enumerates in-bucket PAIRS — it
+    anti-joins each stream row against the band table, so a degenerate
+    band bucket of k corpus rows costs O(k) join probes (linear), not
+    the O(k²) pair blowup the batch candidate paths cap. The batch
+    siblings (minhash_lsh_candidates / embedding_neardup_pairs /
+    dedup_against_corpus) all default the cap on.
     """
     from rag_content_spark.operators.dedup import (
         hashed_shingles,
