@@ -4329,7 +4329,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
       FROM bands n JOIN bands c ON n.band = c.band AND n.band_hash = c.band_hash
-      WHERE n.doc_id >= 3000000 AND c.doc_id < 3000000
+      -- classify by SET MEMBERSHIP, not id range: the Spark side splits
+      -- new-batch vs corpus by DataFrame identity, and an id threshold
+      -- only mimics that while corpus ids stay below the twin offset
+      -- (true at sf0.01/sf0.1; false at the 100x replica where corpus
+      -- doc_ids reach 990M — the r9 ~sf10 sweep caught exactly this)
+      WHERE n.doc_id IN (SELECT doc_id FROM newb)
+        AND c.doc_id IN (SELECT doc_id FROM documents)
     ),
     dups AS (
       SELECT DISTINCT c.id_a
