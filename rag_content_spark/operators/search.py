@@ -663,11 +663,16 @@ def _probe_cells_np(
     embedding_col: str,
     out_id: str,
     out_emb: str,
+    carry: tuple = (),
 ) -> DataFrame:
     """Explode each row into its ``nprobe`` nearest IVF cells:
     (out_id, out_emb, _cell). Distances are true euclidean rounded to
     1e-6 with ties by centroid id — the same total order the exact SQL
-    probe uses (and :func:`assign_ivf_cells_np`'s assignment rule)."""
+    probe uses (and :func:`assign_ivf_cells_np`'s assignment rule).
+
+    ``carry`` is (in_col, out_col) pairs copied through unchanged (e.g.
+    a label column the per-cell kernel needs); ``nprobe=1`` makes this
+    the cell ASSIGNMENT (identical rule to assign_ivf_cells_np)."""
     import numpy as np
     import pandas as pd
 
@@ -686,6 +691,7 @@ def _probe_cells_np(
             T.StructField(out_emb, df.schema[embedding_col].dataType),
             T.StructField("_cell", T.LongType()),
         ]
+        + [T.StructField(dst, df.schema[src].dataType) for src, dst in carry]
     )
 
     def _probe(batches):
@@ -701,15 +707,17 @@ def _probe_cells_np(
             # distance resolves ties by centroid id
             near = np.argsort(d, axis=1, kind="stable")[:, :p]
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    out_id: pdf[id_col].to_numpy().repeat(p),
-                    out_emb: pdf[embedding_col].to_numpy().repeat(p),
-                    "_cell": cent_ids[near].reshape(-1),
-                }
-            )
+            out = {
+                out_id: pdf[id_col].to_numpy().repeat(p),
+                out_emb: pdf[embedding_col].to_numpy().repeat(p),
+                "_cell": cent_ids[near].reshape(-1),
+            }
+            for src, dst in carry:
+                out[dst] = pdf[src].to_numpy().repeat(p)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, embedding_col).mapInPandas(_probe, schema=schema)
+    cols = [id_col, embedding_col] + [src for src, _ in carry]
+    return df.select(*cols).mapInPandas(_probe, schema=schema)
 
 
 def mine_bitext_ivf(
@@ -825,6 +833,249 @@ def mine_bitext_ivf(
             ).alias("margin"),
         )
         .filter(F.col("margin") >= margin_threshold)
+    )
+
+
+def mine_contrastive_pairs_ivf(
+    index,
+    anchors,
+    centroids: list,
+    n_pos: int = 3,
+    n_neg: int = 3,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    label_col: str = "label",
+) -> "DataFrame":
+    """IVF-shortlist contrastive-pair mining — the scale path of
+    :func:`mine_contrastive_pairs`, whose anchors x corpus scoring is
+    quadratic by design (fine as an eval baseline, dead at 100 TB).
+
+    Same cogrouped per-cell shape as :func:`mine_bitext_ivf`: index
+    rows are assigned to their nearest IVF cell, anchors probe their
+    ``nprobe`` nearest cells, and a per-cell numpy matmul keeps each
+    anchor's per-cell best ``n_pos`` same-label / ``n_neg``
+    different-label candidates; one global rank window merges the
+    per-cell survivors (<= nprobe*(n_pos+n_neg) rows per anchor).
+    ``centroids`` is a bounded model artifact (nlist does NOT grow
+    linearly with the corpus), so cost is anchors x nprobe x cell size.
+    With ``nprobe >= len(centroids)`` the result is EXACTLY the
+    brute-force operator on the 1e-6 score grid (equality-pinned in
+    tests). Scores are fixed-point 1e-6 dot products rounded half-away
+    — engine-exact, ties by candidate id."""
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    from pyspark.sql import Window
+
+    assigned = _probe_cells_np(
+        index, centroids, 1, id_col, embedding_col, "_cid", "_ce",
+        carry=((label_col, "_cl"),),
+    )
+    probes = _probe_cells_np(
+        anchors, centroids, nprobe, "anchor_id", "anchor_vec", "_aid", "_ae",
+        carry=(("anchor_label", "_al"),),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("anchor_id", anchors.schema["anchor_id"].dataType),
+            T.StructField("vec_id", index.schema[id_col].dataType),
+            T.StructField("s6", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    _SENT = -(2 ** 62)
+
+    def _cell_mine(_key, left: "pd.DataFrame", right: "pd.DataFrame"):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"anchor_id": [], "vec_id": [], "s6": [], "kind": []}
+            )
+        # candidate axis pre-sorted by id: stable argsort breaks score
+        # ties in id order (the exact operator's total order)
+        right = right.sort_values("_cid")
+        tids = right["_cid"].to_numpy()
+        tlab = right["_cl"].to_numpy()
+        B = np.array(right["_ce"].tolist(), dtype=np.float64)
+        A = np.array(left["_ae"].tolist(), dtype=np.float64)
+        aids = left["_aid"].to_numpy()
+        alab = left["_al"].to_numpy()
+        s6 = _round_half_away(A @ B.T * 1_000_000).astype(np.int64)
+        same = tlab[None, :] == alab[:, None]
+        notself = tids[None, :] != aids[:, None]
+        r = np.arange(len(left))
+        frames = []
+        for mask, kind, nk in ((same, "pos", n_pos), (~same, "neg", n_neg)):
+            m = np.where(mask & notself, s6, _SENT)
+            kk = min(nk, m.shape[1])
+            order = np.argsort(-m, axis=1, kind="stable")[:, :kk]
+            vals = m[r[:, None], order]
+            keep = vals.reshape(-1) > _SENT
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "anchor_id": aids.repeat(kk)[keep],
+                        "vec_id": tids[order].reshape(-1)[keep],
+                        "s6": vals.reshape(-1)[keep],
+                        "kind": kind,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    merged = (
+        probes.groupBy("_cell")
+        .cogroup(assigned.groupBy("_cell"))
+        .applyInPandas(_cell_mine, schema=out_schema)
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("s6"), F.asc("vec_id")
+    )
+    ranked = merged.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        ((F.col("kind") == "pos") & (F.col("rank") <= n_pos))
+        | ((F.col("kind") == "neg") & (F.col("rank") <= n_neg))
+    ).select(
+        "anchor_id",
+        "vec_id",
+        F.round(F.col("s6").cast("double") / 1e6, 6).alias("score"),
+        "kind",
+        "rank",
+    )
+
+
+def retrieval_eval_ivf(
+    index,
+    queries,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    label_col: str = "label",
+) -> "DataFrame":
+    """IVF-shortlist IR eval — the scale path of :func:`retrieval_eval`
+    (queries x corpus exact ranking is the quadratic baseline). MRR and
+    NDCG@k are computed over the APPROXIMATE ranking (per query, the
+    merged top-k of its ``nprobe`` probed cells), while IDCG still uses
+    the TRUE same-label count capped at k — so the metric directly
+    prices the IVF recall loss against the ideal ranking, which is what
+    an index-regression gate at 100 TB wants to watch.
+
+    Same cogrouped shape and determinism contract as
+    :func:`mine_contrastive_pairs_ivf`; the true-relevant count is one
+    linear label-count aggregate (broadcast to the query set), never a
+    corpus x queries join. Full probe reproduces retrieval_eval exactly
+    (equality-pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    from pyspark.sql import Window
+
+    assigned = _probe_cells_np(
+        index, centroids, 1, id_col, embedding_col, "_cid", "_ce",
+        carry=((label_col, "_cl"),),
+    )
+    probes = _probe_cells_np(
+        queries, centroids, nprobe, "query_id", "query_vec", "_qid", "_qe",
+        carry=(("query_label", "_ql"),),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema["query_id"].dataType),
+            T.StructField("vec_id", index.schema[id_col].dataType),
+            T.StructField("s6", T.LongType()),
+            T.StructField("rel", T.IntegerType()),
+        ]
+    )
+    _SENT = -(2 ** 62)
+
+    def _cell_topk(_key, left: "pd.DataFrame", right: "pd.DataFrame"):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "s6": [], "rel": []}
+            )
+        right = right.sort_values("_cid")
+        tids = right["_cid"].to_numpy()
+        tlab = right["_cl"].to_numpy()
+        B = np.array(right["_ce"].tolist(), dtype=np.float64)
+        A = np.array(left["_qe"].tolist(), dtype=np.float64)
+        qids = left["_qid"].to_numpy()
+        qlab = left["_ql"].to_numpy()
+        s6 = _round_half_away(A @ B.T * 1_000_000).astype(np.int64)
+        m = np.where(tids[None, :] != qids[:, None], s6, _SENT)
+        kk = min(k, m.shape[1])
+        order = np.argsort(-m, axis=1, kind="stable")[:, :kk]
+        r = np.arange(len(left))
+        vals = m[r[:, None], order]
+        keep = vals.reshape(-1) > _SENT
+        rel = (tlab[order] == qlab[:, None]).astype(np.int32)
+        return pd.DataFrame(
+            {
+                "query_id": qids.repeat(kk)[keep],
+                "vec_id": tids[order].reshape(-1)[keep],
+                "s6": vals.reshape(-1)[keep],
+                "rel": rel.reshape(-1)[keep],
+            }
+        )
+
+    merged = (
+        probes.groupBy("_cell")
+        .cogroup(assigned.groupBy("_cell"))
+        .applyInPandas(_cell_topk, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s6"), F.asc("vec_id"))
+    ranked = merged.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("_first_rel"),
+        F.sum(
+            F.col("rel").cast("double")
+            / F.log2(F.col("rank").cast("double") + 1.0)
+        ).alias("_dcg"),
+    )
+    # true relevant count: one label-count aggregate, minus the query
+    # itself (always same-label), capped at k — identical to the exact
+    # operator's n_rel but without its corpus x queries label join
+    label_counts = index.groupBy(
+        F.col(label_col).alias("query_label")
+    ).agg(F.count(F.lit(1)).alias("_n_label"))
+    n_rel = queries.select("query_id", "query_label").join(
+        F.broadcast(label_counts), "query_label", "left"
+    ).select(
+        "query_id",
+        F.least(
+            F.coalesce(F.col("_n_label"), F.lit(1)) - 1, F.lit(k)
+        ).alias("_m"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("_m")),
+        F.lit(0.0),
+        lambda acc, p: acc + F.lit(1.0) / F.log2(p.cast("double") + 1.0),
+    )
+    return (
+        per_q.join(n_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_first_rel").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.when(F.coalesce(F.col("_m"), F.lit(0)) > 0,
+                       F.col("_dcg") / idcg).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+        )
     )
 
 

@@ -4974,6 +4974,172 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(emb, queries, k=10)
 
 
+# shared CTE prefix for the IVF-shortlist eval twins: a BOUNDED centroid
+# set (vec_id % 50 = 1 AND vec_id < 100000 — nlist is a model artifact
+# and must NOT grow linearly with the corpus; the cap keeps the oracle's
+# corpus x centroids assignment linear at any replica scale) + the
+# nearest-cell assignment both queries share.
+def _ivf_eval_prefix_sql() -> str:
+    return f"""
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id % 50 = 1 AND vec_id < 100000
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, label, cid FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
+                                           c.cid ASC) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    )"""
+
+
+@register(
+    "hard_negatives_ivf",
+    # IVF-shortlist contrastive mining (operators/search.py
+    # mine_contrastive_pairs_ivf) — the scale path of hard_negatives,
+    # whose anchors x corpus brute force is quadratic by design. Anchors
+    # probe their 3 nearest cells; positives/negatives rank over the
+    # probed shortlist only. The oracle replays the cell assignment,
+    # probe set, fixed-point scores, and both rank windows exactly.
+    f"""
+    WITH {_ivf_eval_prefix_sql()},
+    a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+      FROM embeddings WHERE vec_id % 50 = 2
+    ),
+    probes AS (
+      SELECT anchor_id, av, anchor_label, cid FROM (
+        SELECT a.anchor_id, a.av, a.anchor_label, c.cid,
+               row_number() OVER (PARTITION BY a.anchor_id
+                                  ORDER BY round({euclidean_sql('a.av', 'c.cv')}, 6) ASC,
+                                           c.cid ASC) AS rk
+        FROM a CROSS JOIN cent c
+      ) WHERE rk <= 3
+    ),
+    scored AS (
+      SELECT p.anchor_id, t.vec_id,
+             CAST(round({dot_sql('t.embedding', 'p.av')} * 1000000) AS BIGINT) AS s6,
+             CASE WHEN t.label = p.anchor_label THEN 'pos' ELSE 'neg' END AS kind
+      FROM probes p JOIN assigned t ON p.cid = t.cid
+      WHERE t.vec_id <> p.anchor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id, kind ORDER BY s6 DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, vec_id,
+           round(CAST(s6 AS DOUBLE) / 1000000, 6) AS score,
+           kind, CAST(rank AS BIGINT) AS rank
+    FROM ranked
+    WHERE (kind = 'pos' AND rank <= 3) OR (kind = 'neg' AND rank <= 3)
+    """,
+)
+def q_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import mine_contrastive_pairs_ivf
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 100000)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = mine_contrastive_pairs_ivf(
+        emb, anchors, centroids, n_pos=3, n_neg=3, nprobe=3
+    )
+    return out.select(
+        "anchor_id", "vec_id", "score", "kind",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@register(
+    "retrieval_metrics_ivf",
+    # IVF-approximate IR eval (operators/search.py retrieval_eval_ivf) —
+    # the scale path of retrieval_metrics: MRR/NDCG@10 of the ranking
+    # over each query's 3 probed cells, IDCG from the TRUE same-label
+    # count (one linear label-count aggregate) capped at 10, so the
+    # metric prices IVF recall loss against the ideal ranking.
+    f"""
+    WITH {_ivf_eval_prefix_sql()},
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+      FROM embeddings WHERE vec_id % 100 = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, query_label, cid FROM (
+        SELECT q.query_id, q.qv, q.query_label, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({euclidean_sql('q.qv', 'c.cv')}, 6) ASC,
+                                           c.cid ASC) AS rk
+        FROM q CROSS JOIN cent c
+      ) WHERE rk <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, p.query_label, t.vec_id, t.label,
+             CAST(round({dot_sql('t.embedding', 'p.qv')} * 1000000) AS BIGINT) AS s6
+      FROM probes p JOIN assigned t ON p.cid = t.cid
+      WHERE t.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY s6 DESC, vec_id ASC) AS rank
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= 10),
+    perq AS (
+      SELECT query_id,
+             min(CASE WHEN label = query_label THEN rank END) AS first_rel,
+             sum(CASE WHEN label = query_label
+                      THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+      FROM top GROUP BY query_id
+    ),
+    lc AS (SELECT label, count(*) AS nl FROM embeddings GROUP BY label),
+    nrel AS (
+      SELECT q.query_id, least(coalesce(lc.nl, 1) - 1, 10) AS m
+      FROM q LEFT JOIN lc ON lc.label = q.query_label
+    )
+    SELECT p.query_id,
+           round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+           round(CASE WHEN coalesce(n.m, 0) > 0
+                      THEN p.dcg / list_sum(list_transform(
+                             generate_series(1, n.m),
+                             x -> 1.0 / log2(x + 1)))
+                      ELSE 0.0 END, 6) AS ndcg
+    FROM perq p LEFT JOIN nrel n USING (query_id)
+    """,
+)
+def q_retrieval_metrics_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import retrieval_eval_ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 100000)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return retrieval_eval_ivf(emb, queries, centroids, k=10, nprobe=3)
+
+
 @register(
     "snapshot_diff",
     # Crawl-to-crawl change set (operators/rollup.py snapshot_diff):

@@ -324,6 +324,139 @@ def test_mine_bitext_ivf_recall_grows_with_nprobe(spark):
     assert narrow < wide  # deterministic on the fixed testdata
 
 
+def test_mine_contrastive_pairs_ivf_full_probe_equals_exact(spark):
+    # with nprobe >= n_cells every candidate is scored, so the IVF
+    # shortlist path must reproduce the brute-force miner exactly on
+    # the 1e-6 score grid (same (score desc, id asc) total order)
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import (
+        mine_contrastive_pairs,
+        mine_contrastive_pairs_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 50 == 1).orderBy("vec_id").collect()
+    ]
+    cols = ["anchor_id", "vec_id", "score", "kind", "rank"]
+    exact = sorted(
+        map(tuple, mine_contrastive_pairs(emb, anchors).select(*cols).collect())
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            mine_contrastive_pairs_ivf(
+                emb, anchors, centroids, nprobe=len(centroids)
+            ).select(*cols).collect(),
+        )
+    )
+    assert len(exact) > 0
+    assert ivf == exact
+
+
+def test_mine_contrastive_pairs_ivf_narrow_probe_is_subset_shaped(spark):
+    # a 1-cell probe still yields <= n_pos + n_neg rows per anchor with
+    # ranks contiguous from 1 per (anchor, kind) — the merge window
+    # re-ranks whatever the shortlist recalled
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import mine_contrastive_pairs_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 50 == 1).orderBy("vec_id").collect()
+    ]
+    rows = mine_contrastive_pairs_ivf(
+        emb, anchors, centroids, n_pos=2, n_neg=2, nprobe=1
+    ).collect()
+    assert len(rows) > 0
+    ranks = defaultdict(list)
+    for r in rows:
+        assert r["vec_id"] != r["anchor_id"]
+        ranks[(r["anchor_id"], r["kind"])].append(r["rank"])
+    for ks, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+
+
+def test_retrieval_eval_ivf_full_probe_equals_exact(spark):
+    # full probe scores every candidate, so MRR/NDCG must equal the
+    # exact evaluator's (both use the true k-capped relevant count)
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import (
+        retrieval_eval,
+        retrieval_eval_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 50 == 1).orderBy("vec_id").collect()
+    ]
+    exact = sorted(map(tuple, retrieval_eval(emb, queries, k=10).collect()))
+    ivf = sorted(
+        map(
+            tuple,
+            retrieval_eval_ivf(
+                emb, queries, centroids, k=10, nprobe=len(centroids)
+            ).collect(),
+        )
+    )
+    assert len(exact) > 0
+    assert ivf == exact
+
+
+def test_retrieval_eval_ivf_narrow_probe_structural(spark):
+    # a 1-cell probe still emits one metrics row per query that
+    # recalled any candidate, with both metrics in [0, 1] (NDCG is
+    # normalized by the TRUE k-capped IDCG, so even a lucky shortlist
+    # cannot exceed 1); note approximate NDCG is NOT bounded by the
+    # exact ranking's NDCG — missing a high-scoring irrelevant item can
+    # let a below-cutoff relevant one into the top-k
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import retrieval_eval_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 50 == 1).orderBy("vec_id").collect()
+    ]
+    ivf = retrieval_eval_ivf(emb, queries, centroids, k=10, nprobe=1).collect()
+    assert 0 < len(ivf) <= queries.count()
+    qids = {r["query_id"] for r in queries.collect()}
+    for r in ivf:
+        assert r["query_id"] in qids
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+
+
 def test_mine_bitext_string_ids_all_paths(spark):
     # the exact operator is generic in the id column; the np and IVF
     # twins must preserve string ids instead of crashing on an int64
