@@ -114,17 +114,26 @@ def hybrid_scores(
         F.col(id_col),
         F.round(dot(F.col(embedding_col), qv, len(query_vec)), 9).alias("cos_score"),
     )
+    # final grid snap via floor(x * 10^r + 0.5), NOT F.round: Spark
+    # rounds the shortest-decimal repr of a double while DuckDB rounds
+    # the binary value, so a fused score straddling the .5e-6 boundary
+    # rounds DIFFERENTLY per engine (caught by the r9 100x sweep —
+    # spark 1.048511 vs duck 1.048510). floor is exact on binary
+    # doubles: identical inputs guarantee identical 6-dp outputs.
+    grid = F.lit(float(10 ** round_to))
+    fused = (
+        F.lit(alpha)
+        * F.coalesce(F.col("kw_score"), F.lit(0.0))
+        / F.col("kw_max")
+        + F.lit(1.0 - alpha) * F.col("cos_score")
+    )
     return (
         vec.join(kw, id_col, "left")
         .join(F.broadcast(kw_max))
         .select(
             F.col(id_col),
-            F.round(
-                F.lit(alpha)
-                * F.coalesce(F.col("kw_score"), F.lit(0.0))
-                / F.col("kw_max")
-                + F.lit(1.0 - alpha) * F.col("cos_score"),
-                round_to,
+            (
+                F.floor(fused * grid + F.lit(0.5)).cast("double") / grid
             ).alias("hybrid_score"),
         )
     )

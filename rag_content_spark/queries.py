@@ -2247,8 +2247,12 @@ def _mock_embed_sql(expr: str, dim: int = 8) -> str:
              round({dot_sql(_mock_embed_sql('text'), 'qv.v')}, 9) AS cos_score
       FROM documents, qv
     )
+    -- floor-grid snap, not round(): round() on a boundary-straddling
+    -- double differs between engines (Spark rounds the shortest decimal
+    -- repr, DuckDB the binary value); floor is exact on binary doubles
     SELECT v.doc_id,
-           round(0.5 * coalesce(k.kw_score, 0.0) / kmax.m + 0.5 * v.cos_score, 6)
+           floor((0.5 * coalesce(k.kw_score, 0.0) / kmax.m + 0.5 * v.cos_score)
+                 * 1000000 + 0.5) / 1000000.0
              AS hybrid_score
     FROM vec v LEFT JOIN kw k USING (doc_id), kmax
     """,
