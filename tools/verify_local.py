@@ -120,6 +120,15 @@ def main() -> int:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # big-replica sweeps share the box with the Spark JVM (and whatever
+    # else runs): give DuckDB an explicit budget + a spill directory so
+    # a list-heavy oracle spills instead of dying on a transient
+    # "bad allocation" when another process spikes
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
+    spill = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
