@@ -46,6 +46,14 @@ def build(dst: str, n: int = 10) -> None:
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # an in-memory connection has NO spill dir by default; the ORDER BY
+    # over the replicated fact tables (600M lineitem rows at n=1000)
+    # must be able to go out-of-core instead of dying at the box limit
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "64GB")
+    spill = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     decorrelate = n >= 20
     doc_stride = 10_000_000 if decorrelate else 100_000
 

@@ -129,6 +129,12 @@ def main() -> int:
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")
+    # per-thread join/sort buffers scale peak memory with thread count:
+    # a giant-oracle retry can trade wall time for a lower high-water
+    # mark (doremi_weights' 40M x 40M string join at the 100x replica)
+    threads = os.environ.get("SPARK_GRAFT_ORACLE_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
