@@ -6786,15 +6786,18 @@ def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bitext_margin_ivf",
     # The beyond-memory bitext path: targets bucketed into IVF cells
-    # (centroids = target vectors with vec_id % 50 == 1 — deterministic
-    # and SQL-expressible, same seeding as ann_ivf), sources probe their
-    # 3 nearest cells, margin ranked over the probed shortlist only.
-    # The oracle replicates the cell assignment, the probe set, and the
+    # (centroids = base-id-range target vectors with vec_id % 50 == 1 —
+    # deterministic, SQL-expressible, and BOUNDED: nlist is a model
+    # artifact, not corpus-linear, same seeding as hard_negatives_ivf /
+    # retrieval_metrics_ivf), sources probe their 3 nearest cells,
+    # margin ranked over the probed shortlist only. The oracle
+    # replicates the cell assignment, the probe set, and the
     # actual-top-width margin exactly.
     f"""
     WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id % 2 = 0),
     b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings WHERE vec_id % 2 = 1),
-    cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 1),
+    cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             WHERE vec_id % 50 = 1 AND vec_id < 100000),
     assigned AS (
       SELECT id_b, eb, cid FROM (
         SELECT b.id_b, b.eb, c.cid,
@@ -6844,11 +6847,15 @@ def q_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
-    # centroids: one driver collect of a deterministic vocabulary-sized
-    # sample of target vectors (the documented ANN model-artifact shape)
+    # centroids: one driver collect of a deterministic BOUNDED sample of
+    # target vectors (nlist = model artifact, not corpus-linear — the
+    # base-id-range bound keeps the oracle's assignment replay linear at
+    # any replica scale, same seeding as the other IVF eval siblings)
     centroids = [
         (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % 50 == 1)
+        for r in emb.filter(
+            (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 100000)
+        )
         .orderBy("vec_id")
         .collect()
     ]

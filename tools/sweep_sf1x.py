@@ -46,22 +46,36 @@ def build(dst: str, n: int = 10) -> None:
 
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    # an in-memory connection has NO spill dir by default; the ORDER BY
-    # over the replicated fact tables (600M lineitem rows at n=1000)
-    # must be able to go out-of-core instead of dying at the box limit
+    # an in-memory connection has NO spill dir by default; big replica
+    # sorts must go out-of-core instead of dying at the box limit. The
+    # spill dir is PER-PROCESS: DuckDB names temp files
+    # duckdb_temp_storage-N.tmp per connection, so two processes sharing
+    # one temp_directory delete each other's blocks (observed: a
+    # concurrent verify run crashed with "could not remove file")
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "64GB")
-    spill = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "/tmp/duckdb_spill")
+    spill = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SPILL", f"/tmp/duckdb_spill_{os.getpid()}"
+    )
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")
     decorrelate = n >= 20
     doc_stride = 10_000_000 if decorrelate else 100_000
+    # at n>=1000 the fact-table ORDER BY needs more spill than the box
+    # has disk (600M-row lineitem sort > 74 GB); row order is irrelevant
+    # to correctness (the harness value-hash sorts rows) so stream the
+    # copy unordered instead — and don't buffer to preserve insertion
+    # order either
+    ordered = n < 1000
+    if not ordered:
+        con.execute("SET preserve_insertion_order=false")
 
     def rep(table: str, select: str) -> None:
+        order = " ORDER BY 1" if ordered else ""
         con.execute(
             f"COPY (SELECT {select} "
             f"FROM read_parquet('{SRC}/{table}.parquet') "
-            f"CROSS JOIN range({n}) r ORDER BY 1) "
+            f"CROSS JOIN range({n}) r{order}) "
             f"TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
         )
 
@@ -130,6 +144,8 @@ def build(dst: str, n: int = 10) -> None:
     for small in ("part", "supplier", "nation", "region"):
         shutil.copy(f"{SRC}/{small}.parquet", f"{dst}/{small}.parquet")
     con.close()
+    if "SPARK_GRAFT_ORACLE_SPILL" not in os.environ:
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -125,7 +125,12 @@ def main() -> int:
     # a list-heavy oracle spills instead of dying on a transient
     # "bad allocation" when another process spikes
     mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
-    spill = os.environ.get("SPARK_GRAFT_ORACLE_SPILL", "/tmp/duckdb_spill")
+    # per-process default: DuckDB temp files are named per-connection
+    # (duckdb_temp_storage-N.tmp), so two processes sharing a spill dir
+    # delete each other's blocks mid-query
+    spill = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SPILL", f"/tmp/duckdb_spill_{os.getpid()}"
+    )
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")
@@ -244,6 +249,13 @@ def main() -> int:
         _dump(final=False)
     print(f"\n{n_pass} passed, {n_fail} failed")
     _dump(final=True)
+    if "SPARK_GRAFT_ORACLE_SPILL" not in os.environ:
+        # we created the per-pid default dir; DuckDB removes its temp
+        # blocks on clean exit, so only the empty dir is left to reap
+        import shutil
+
+        con.close()
+        shutil.rmtree(spill, ignore_errors=True)
     return 1 if n_fail else 0
 
 
