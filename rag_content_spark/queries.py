@@ -4088,9 +4088,13 @@ def _ivf_pq_sql() -> str:
       SELECT vec_id AS centroid_id, embedding AS cv
       FROM embeddings WHERE vec_id % 50 = 0
     ),
-    assigned AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT e.vec_id, e.embedding, c.centroid_id,
+    acell AS (
+      -- NARROW window input: the corpus x centroid assignment sort must
+      -- carry only (vec_id, centroid_id, key), never the embedding list
+      -- itself — at a 100x replica the wide form is an 800M-row x 300B
+      -- spill the box cannot hold; same rows, same rank, same result
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
                                            c.centroid_id ASC) AS rk
@@ -4106,8 +4110,9 @@ def _ivf_pq_sql() -> str:
       ) WHERE rk <= 2
     ),
     coded AS (
-      SELECT vec_id, centroid_id, {_pq_code_cols_sql(cb)}
-      FROM assigned WHERE centroid_id IN (SELECT centroid_id FROM qcells)
+      SELECT a.vec_id, a.centroid_id, {_pq_code_cols_sql(cb)}
+      FROM acell a JOIN embeddings USING (vec_id)
+      WHERE a.centroid_id IN (SELECT centroid_id FROM qcells)
     )
     SELECT vec_id, centroid_id, round({_pq_adc_sql(table)}, 6) AS adc
     FROM coded ORDER BY adc ASC, vec_id ASC LIMIT 10
@@ -7769,14 +7774,20 @@ _SEMDEDUP_T6 = 950_000  # cosine >= 0.95, fixed-point 1e-6
     # corpus quadratic).
     f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
-    assigned AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
+    acell AS (
+      -- narrow window input (no embedding payload through the
+      -- corpus x centroid sort — see ivf_pq_topk's oracle note)
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
                                            c.cid ASC) AS rk
         FROM embeddings e CROSS JOIN cent c
       ) WHERE rk = 1
+    ),
+    assigned AS (
+      SELECT a.vec_id, e.embedding, a.cid
+      FROM acell a JOIN embeddings e USING (vec_id)
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
