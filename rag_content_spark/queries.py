@@ -2127,9 +2127,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid's cell (probe step) for the vec_id=7 query.
     f"""
     WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
-    assigned AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT e.vec_id, e.embedding, c.centroid_id,
+    acell AS (
+      -- narrow window input (no embedding payload through the
+      -- corpus x centroid sort — see ivf_pq_topk's oracle note)
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
                                            c.centroid_id ASC) AS rk
@@ -2145,8 +2147,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cent c, q
       ) WHERE rk = 1
     )
-    SELECT a.vec_id, round({dot_sql('a.embedding', 'q.qv')}, 6) AS score
-    FROM assigned a, q, qcell
+    SELECT a.vec_id, round({dot_sql('e.embedding', 'q.qv')}, 6) AS score
+    FROM acell a JOIN embeddings e USING (vec_id), q, qcell
     WHERE a.centroid_id = qcell.centroid_id
     ORDER BY score DESC, vec_id ASC LIMIT 10
     """,
@@ -4237,9 +4239,11 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One row: (k, n_hits, recall).
     f"""
     WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
-    assigned AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT e.vec_id, e.embedding, c.centroid_id,
+    acell AS (
+      -- narrow window input (no embedding payload through the
+      -- corpus x centroid sort — see ivf_pq_topk's oracle note)
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
                                            c.centroid_id ASC) AS rk
@@ -4256,9 +4260,9 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rk = 1
     ),
     approx AS (
-      SELECT a.vec_id FROM assigned a, q, qcell
+      SELECT a.vec_id FROM acell a JOIN embeddings e USING (vec_id), q, qcell
       WHERE a.centroid_id = qcell.centroid_id
-      ORDER BY round({dot_sql('a.embedding', 'q.qv')}, 6) DESC, a.vec_id ASC LIMIT 10
+      ORDER BY round({dot_sql('e.embedding', 'q.qv')}, 6) DESC, a.vec_id ASC LIMIT 10
     ),
     exact AS (
       SELECT e.vec_id FROM embeddings e, q
