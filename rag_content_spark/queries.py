@@ -2128,15 +2128,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
     acell AS (
-      -- narrow window input (no embedding payload through the
-      -- corpus x centroid sort — see ivf_pq_topk's oracle note)
-      SELECT vec_id, centroid_id FROM (
+      -- streaming struct-min argmin (no window sort carrying embedding
+      -- payload — see ivf_pq_topk's oracle note)
+      SELECT vec_id, min(struct_pack(d := d, c := centroid_id)).c
+               AS centroid_id
+      FROM (
         SELECT e.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
-                                           c.centroid_id ASC) AS rk
+               round({euclidean_sql('e.embedding', 'c.cv')}, 6) AS d
         FROM embeddings e CROSS JOIN cent c
-      ) WHERE rk = 1
+      ) GROUP BY vec_id
     ),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
     qcell AS (
@@ -4091,17 +4091,20 @@ def _ivf_pq_sql() -> str:
       FROM embeddings WHERE vec_id % 50 = 0
     ),
     acell AS (
-      -- NARROW window input: the corpus x centroid assignment sort must
-      -- carry only (vec_id, centroid_id, key), never the embedding list
-      -- itself — at a 100x replica the wide form is an 800M-row x 300B
-      -- spill the box cannot hold; same rows, same rank, same result
-      SELECT vec_id, centroid_id FROM (
+      -- STREAMING assignment: a window's ORDER BY is evaluated inside
+      -- the window operator, so a row_number form materializes the raw
+      -- embedding columns through the partition sort — an 800M-row
+      -- x ~300B spill at a 100x replica. min over a (distance, id)
+      -- struct is the identical argmin (struct comparison is
+      -- lexicographic, ties break on centroid_id ASC exactly like the
+      -- ORDER BY) and streams through a corpus-sized hash aggregate
+      SELECT vec_id, min(struct_pack(d := d, cid := centroid_id)).cid
+               AS centroid_id
+      FROM (
         SELECT e.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
-                                           c.centroid_id ASC) AS rk
+               round({euclidean_sql('e.embedding', 'c.cv')}, 6) AS d
         FROM embeddings e CROSS JOIN cent c
-      ) WHERE rk = 1
+      ) GROUP BY vec_id
     ),
     qcells AS (
       SELECT centroid_id FROM (
@@ -4240,15 +4243,15 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
     acell AS (
-      -- narrow window input (no embedding payload through the
-      -- corpus x centroid sort — see ivf_pq_topk's oracle note)
-      SELECT vec_id, centroid_id FROM (
+      -- streaming struct-min argmin (no window sort carrying embedding
+      -- payload — see ivf_pq_topk's oracle note)
+      SELECT vec_id, min(struct_pack(d := d, c := centroid_id)).c
+               AS centroid_id
+      FROM (
         SELECT e.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
-                                           c.centroid_id ASC) AS rk
+               round({euclidean_sql('e.embedding', 'c.cv')}, 6) AS d
         FROM embeddings e CROSS JOIN cent c
-      ) WHERE rk = 1
+      ) GROUP BY vec_id
     ),
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
     qcell AS (
@@ -7779,15 +7782,14 @@ _SEMDEDUP_T6 = 950_000  # cosine >= 0.95, fixed-point 1e-6
     f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
     acell AS (
-      -- narrow window input (no embedding payload through the
-      -- corpus x centroid sort — see ivf_pq_topk's oracle note)
-      SELECT vec_id, cid FROM (
+      -- streaming struct-min argmin (no window sort carrying embedding
+      -- payload — see ivf_pq_topk's oracle note)
+      SELECT vec_id, min(struct_pack(d := d, c := cid)).c AS cid
+      FROM (
         SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY round({euclidean_sql('e.embedding', 'c.cv')}, 6) ASC,
-                                           c.cid ASC) AS rk
+               round({euclidean_sql('e.embedding', 'c.cv')}, 6) AS d
         FROM embeddings e CROSS JOIN cent c
-      ) WHERE rk = 1
+      ) GROUP BY vec_id
     ),
     assigned AS (
       SELECT a.vec_id, e.embedding, a.cid
