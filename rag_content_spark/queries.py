@@ -2154,7 +2154,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rag_content_spark.operators.similarity import assign_ivf_cells
+    # vectorized assignment (one numpy distance matmul per Arrow batch)
+    # — the 100 TB build shape, equality-pinned vs the exact fold in
+    # tests; the interpreted crossJoin twin shuffles ~50 GB at a 100x
+    # replica where this streams
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     # one driver collect for centroids AND the query vector (two separate
@@ -2167,7 +2171,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [
         (r["vec_id"], list(r["embedding"])) for r in small if r["vec_id"] % 50 == 0
     ]
-    assigned = assign_ivf_cells(emb, centroids)
+    assigned = assign_ivf_cells_np(emb, centroids)
     qv = list(next(r["embedding"] for r in small if r["vec_id"] == 7))
     import math
 
@@ -4279,7 +4283,8 @@ def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of single-probe IVF vs exact scan — the metric that
     decides n_probe/nlist at scale (recall/latency tradeoff curve)."""
-    from rag_content_spark.operators.similarity import assign_ivf_cells
+    # vectorized assignment — see q_ann_ivf's note
+    from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     small = (
@@ -4299,7 +4304,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     qcell = min(centroids, key=lambda c: (_l2(qv, c[1]), c[0]))[0]
-    assigned = assign_ivf_cells(emb, centroids)
+    assigned = assign_ivf_cells_np(emb, centroids)
     approx = top_k(
         assigned.filter(F.col("centroid_id") == qcell).select("vec_id", "embedding"),
         qv,
