@@ -7616,9 +7616,14 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q6 shape: the canonical tight-filter scan-and-sum — revenue
     # delta from a hypothetical discount change (date band + discount
     # band + quantity cap). No joins: the query IS the pushdown test.
+    # Revenue renders as a fixed-scale decimal string (see
+    # pricing_summary): the ~sf100 probe caught the decimal->double
+    # 1-ulp divergence here at a ~3.2e10 sum, the same rail the six
+    # large money aggregates were moved off in round 8.
     f"""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,8)) AS VARCHAR) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE floor(epoch(l_shipdate)) >= {_DORMANT_CUTOFF}
@@ -7642,7 +7647,8 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(18,4)")
                 * F.col("l_discount").cast("decimal(18,4)")
             )
-            .cast("double")
+            .cast("decimal(38,8)")
+            .cast("string")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
