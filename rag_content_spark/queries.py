@@ -10190,13 +10190,19 @@ def _row_counts() -> dict[str, int]:
 
 def _sample_order(names: list[str]) -> list[str]:
     """Least-verified-first: (1) queries whose OWN def/oracle changed
-    since the last driver snapshot, (2) queries transitively flagged by
+    since the last driver snapshot, (2) queries OVERDUE under the
+    rotation bound (last sampled more than ceil(N/50)-1 rounds ago —
+    the round-5 verdict guarantee pinned by
+    tests/test_registry_order.py), (3) queries transitively flagged by
     a changed shared helper, then within each tier by oldest green
     verification (never-green first) and fewest green rounds. The
     direct/transitive split matters when an infra symbol (e.g.
     ``register``) changes and the transitive closure flags the whole
     registry — the handful of genuinely edited queries must still land
-    inside the driver's ~50-query sample prefix."""
+    inside the driver's ~50-query sample prefix. Overdue outranks the
+    TRANSITIVE tier because a busy editing round (18 direct + 24
+    transitive in round 9) would otherwise push rotation-due queries
+    past the prefix and break the staleness bound."""
     try:
         last = _last_sampled_rounds()
     except Exception:
@@ -10209,11 +10215,21 @@ def _sample_order(names: list[str]) -> list[str]:
         counts = _row_counts()
     except Exception:
         counts = {}
+    if last:
+        newest = max(last.values())
+        period = -(-len(names) // 50)  # ceil(N/50)
+        # never-sampled (no row at all) is the most overdue of all
+        overdue = {
+            n for n in names if last.get(n, -(10**9)) <= newest - period
+        }
+    else:
+        overdue = set()
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
         key=lambda n: (
             n not in direct,
+            n not in overdue,
             n not in changed,
             last.get(n, -1),
             counts.get(n, 0),
