@@ -675,9 +675,12 @@ def _probe_cells_np(
     carry: tuple = (),
 ) -> DataFrame:
     """Explode each row into its ``nprobe`` nearest IVF cells:
-    (out_id, out_emb, _cell). Distances are true euclidean rounded to
-    1e-6 with ties by centroid id — the same total order the exact SQL
-    probe uses (and :func:`assign_ivf_cells_np`'s assignment rule).
+    (out_id, out_emb, _cell). Cell ranking comes from
+    :func:`~rag_content_spark.operators.similarity.nearest_cells_np`
+    (matmul shortlist + difference-form refine + half-away 1e-6
+    rounding, ties by centroid id) — the same total order the exact SQL
+    probe uses (and :func:`assign_ivf_cells_np`'s assignment rule),
+    including at rounding boundaries.
 
     ``carry`` is (in_col, out_col) pairs copied through unchanged (e.g.
     a label column the per-cell kernel needs); ``nprobe=1`` makes this
@@ -704,22 +707,17 @@ def _probe_cells_np(
     )
 
     def _probe(batches):
+        from rag_content_spark.operators.similarity import nearest_cells_np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             emb = np.array(pdf[embedding_col].tolist(), dtype=np.float64)
-            xnorm = (emb * emb).sum(axis=1)
-            d2 = xnorm[:, None] + cnorm[None, :] - 2.0 * (emb @ cmat.T)
-            np.maximum(d2, 0.0, out=d2)
-            d = np.round(np.sqrt(d2), 6)
-            # centroid axis is pre-sorted by id, so a stable argsort on
-            # distance resolves ties by centroid id
-            near = np.argsort(d, axis=1, kind="stable")[:, :p]
-            n = len(pdf)
+            cells = nearest_cells_np(emb, cmat, cent_ids, cnorm, p)
             out = {
                 out_id: pdf[id_col].to_numpy().repeat(p),
                 out_emb: pdf[embedding_col].to_numpy().repeat(p),
-                "_cell": cent_ids[near].reshape(-1),
+                "_cell": cells.reshape(-1),
             }
             for src, dst in carry:
                 out[dst] = pdf[src].to_numpy().repeat(p)

@@ -425,6 +425,50 @@ def pq_rerank_topk(
     )
 
 
+def nearest_cells_np(emb, cmat, cent_ids, cnorm, p: int):
+    """Top-``p`` centroids per row under the exact total order
+    ``(round(true_euclidean, 6), centroid_id)`` — the order the
+    declarative operators and the DuckDB oracles use.
+
+    Shortlists with the fast matmul expansion ``|x|^2 + |c|^2 - 2x.c``,
+    then REFINES every candidate within 1e-5 of the p-th-smallest
+    expansion distance using the cancellation-free difference form
+    ``sqrt(sum((x-c)^2))``, rounded half-away-from-zero
+    (``floor(d*1e6 + 0.5)`` — F.round / DuckDB round semantics, NOT
+    numpy's banker's ``np.round``). The expansion's cancellation error
+    is bounded by a few ulps of ``|x|^2 + |c|^2`` (~1e-14 at unit
+    scale) and rounding moves a distance by at most 0.5e-6, so the
+    1e-5 candidate margin provably contains every centroid whose
+    ROUNDED exact distance can reach the top-p: the two
+    boundary-divergence channels the round-9 advice flagged (expansion
+    FP drift near a 1e-6 boundary; half-even vs half-away ties) are
+    both closed on the refined path, at matmul shortlist cost.
+
+    ``cent_ids``/``cmat``/``cnorm`` must be pre-sorted by centroid id.
+    Returns an ``(n, min(p, n_cells))`` int64 array of centroid ids,
+    each row ordered by (rounded distance, centroid id).
+    """
+    import numpy as np
+
+    n = len(emb)
+    p = min(p, len(cent_ids))
+    xnorm = (emb * emb).sum(axis=1)
+    d2 = xnorm[:, None] + cnorm[None, :] - 2.0 * (emb @ cmat.T)
+    np.maximum(d2, 0.0, out=d2)
+    d = np.sqrt(d2)
+    kth = np.partition(d, p - 1, axis=1)[:, p - 1]
+    rows, cols = np.nonzero(d <= kth[:, None] + 1e-5)
+    diff = emb[rows] - cmat[cols]
+    dr = np.floor(np.sqrt((diff * diff).sum(axis=1)) * 1e6 + 0.5)
+    order = np.lexsort((cent_ids[cols], dr, rows))
+    rows_o = rows[order]
+    # every row has >= p candidates (kth is the p-th smallest of d
+    # itself), so keeping the first p per row fills an exact (n, p)
+    starts = np.searchsorted(rows_o, np.arange(n))
+    keep = (np.arange(len(rows_o)) - starts[rows_o]) < p
+    return cent_ids[cols[order][keep]].reshape(n, p)
+
+
 def assign_ivf_cells_np(
     index: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -437,12 +481,12 @@ def assign_ivf_cells_np(
     The declarative :func:`assign_ivf_cells` is exact and
     oracle-checkable, but its per-pair euclidean fold runs interpreted —
     measured 96 s for 20k vectors x 400 centroids (10x corpus) vs ~2 s
-    here. Use this on the 100 TB build path; ties broken by first
-    (lowest) centroid index like the exact operator. The TRUE euclidean
-    distance (not the cancellation-prone |c|^2 - 2x.c expansion) is
-    rounded to 1e-6 before the argmin — the same granularity the exact
-    operator's (round(d, 6), centroid_id) min_by uses — so a pair near
-    a rounding boundary assigns identically on both paths.
+    here. Use this on the 100 TB build path; ties broken by lowest
+    centroid id like the exact operator. Distances come from
+    :func:`nearest_cells_np`: matmul-expansion shortlist, difference-form
+    refine, half-away-from-zero 1e-6 rounding — bit-for-bit the exact
+    operator's (round(d, 6), centroid_id) min_by order even at rounding
+    boundaries.
     """
     import numpy as np
     import pandas as pd
@@ -450,8 +494,8 @@ def assign_ivf_cells_np(
     import pyspark.sql.types as T
 
     cent_ids = np.array([c[0] for c in centroids], dtype=np.int64)
-    # sort by centroid id so np.argmin's first-minimum tiebreak matches
-    # the exact operator's (distance, centroid_id) ordering
+    # sort by centroid id so the kernel's tiebreak matches the exact
+    # operator's (distance, centroid_id) ordering
     order = np.argsort(cent_ids, kind="stable")
     cent_ids = cent_ids[order]
     cmat = np.array([centroids[i][1] for i in order], dtype=np.float64)
@@ -473,16 +517,12 @@ def assign_ivf_cells_np(
                     {id_col: [], embedding_col: [], "centroid_id": []}
                 )
                 continue
-            xnorm = (emb * emb).sum(axis=1)
-            d2 = xnorm[:, None] + cnorm[None, :] - 2.0 * (emb @ cmat.T)
-            np.maximum(d2, 0.0, out=d2)
-            d = np.round(np.sqrt(d2), 6)
-            best = d.argmin(axis=1)
+            best = nearest_cells_np(emb, cmat, cent_ids, cnorm, 1)[:, 0]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     embedding_col: pdf[embedding_col],
-                    "centroid_id": cent_ids[best],
+                    "centroid_id": best,
                 }
             )
 

@@ -189,18 +189,30 @@ def _ser_int_array_sql(expr: str) -> str:
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+# Registered queries whose PLAN is deliberately not scale-safe (e.g. an
+# all-pairs exact eval baseline kept as the oracle-checked ground truth
+# of a registered IVF sibling). Big-replica sweep tooling skips these BY
+# CONSTRUCTION (verify_local --scale-safe-only) instead of via per-run
+# exclusion lists; the driver's sf0.01 gate still verifies them.
+NOT_SCALE_SAFE: set = set()
 
 
-def register(name: str, oracle):
+def register(name: str, oracle, scale_safe: bool = True):
     """``oracle`` is the DuckDB SQL string, ``None`` (rows-only check),
     or a zero-arg callable returning the SQL — the lazy form lets an
     oracle embed data-derived model constants (eigenvectors, centroids)
-    as literals, computed only when the harness asks for the SQL."""
+    as literals, computed only when the harness asks for the SQL.
+
+    ``scale_safe=False`` marks a deliberate small-SF-only plan (exact
+    quadratic eval baseline with a registered scale-safe sibling); the
+    sweep tooling skips it above sf0.1 by construction."""
 
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if not scale_safe:
+            NOT_SCALE_SAFE.add(name)
         return fn
 
     return deco
@@ -4850,6 +4862,10 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contrastive-pair mining (operators/search.py
     # mine_contrastive_pairs): per anchor the 3 nearest same-label
     # positives and 3 nearest different-label hard negatives.
+    # scale_safe=False: DELIBERATE exact all-pairs baseline — the
+    # ground truth that equality-pins the registered scale path
+    # hard_negatives_ivf (green at 100x); sweeps above sf0.1 skip it
+    # by construction instead of by per-run exclusion list.
     f"""
     WITH a AS (
       SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
@@ -4871,6 +4887,7 @@ def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     WHERE (kind = 'pos' AND rank <= 3) OR (kind = 'neg' AND rank <= 3)
     """,
+    scale_safe=False,
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.search import mine_contrastive_pairs
@@ -4943,6 +4960,8 @@ def q_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IR eval of the index (operators/search.py retrieval_eval):
     # per-query MRR and NDCG@10 of the exact IP ranking, same-label
     # relevance, self-match excluded, IDCG capped at k.
+    # scale_safe=False: exact all-pairs ground truth for the registered
+    # scale path retrieval_metrics_ivf; skipped above sf0.1 by tier.
     f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv, label AS query_label
@@ -4982,6 +5001,7 @@ def q_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 0.0 END, 6) AS ndcg
     FROM perq p LEFT JOIN nrel n USING (query_id)
     """,
+    scale_safe=False,
 )
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.search import retrieval_eval
@@ -6760,6 +6780,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are the "source language", odd the "target"; best target per
     # source by cosine, margin = best/mean(top-4) over fixed-point
     # scores (integer top-k sum -> engine-exact), keep margin >= 1.05.
+    # scale_safe=False: exact all-pairs ground truth for the registered
+    # scale path bitext_margin_ivf; skipped above sf0.1 by tier.
     f"""
     WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings WHERE vec_id % 2 = 0),
     b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings WHERE vec_id % 2 = 1),
@@ -6787,6 +6809,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg
     WHERE round(CAST(best6 AS DOUBLE) * nk / sum6, 6) >= 1.05
     """,
+    scale_safe=False,
 )
 def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registered path = the vectorized twin (numpy cosine matrix per

@@ -227,6 +227,52 @@ def test_dedup_against_corpus(spark):
     assert kept2 == [102]
 
 
+def test_nearest_cells_np_boundary_semantics():
+    """The vectorized cell ranker must follow the oracle's total order
+    (round-half-away(true_distance, 6), centroid_id) even at the two
+    boundary channels the round-9 advice flagged: exact .5e-6 rounding
+    ties (numpy's banker's rounding diverges — verified: 2.5e-6 rounds
+    to 2e-6 under np.round but 3e-6 under DuckDB/F.round) and rounded
+    ties between unequal true distances (lower centroid id must win)."""
+    import numpy as np
+
+    from rag_content_spark.operators.similarity import nearest_cells_np
+
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(50, 8))
+    cmat = rng.normal(size=(12, 8))
+    cent_ids = np.arange(12, dtype=np.int64)
+    # exact-duplicate centroid: distance tie at 0 -> lowest id wins
+    emb[0] = cmat[3]
+    cmat[7] = cmat[3]
+    # half-boundary: d = 2.5e-6 exactly (2.5e-6 * 1e6 == 2.5 in binary);
+    # half-away rounds to 3e-6 like the engines, banker's would give 2e-6
+    emb[1] = 0.0
+    emb[1][0] = 2.5e-6
+    cmat[5] = 0.0
+    assert np.floor(2.5e-6 * 1e6 + 0.5) != np.round(2.5e-6 * 1e6)
+    # rounded tie between UNEQUAL true distances: 0.9e-6 and 1.4e-6 both
+    # round to 1e-6 -> centroid id breaks the tie (round BEFORE compare)
+    emb[2] = 0.0
+    emb[2][0] = 0.9e-6
+    cmat[9] = 0.0          # true distance 0.9e-6 (rounds to 1e-6)
+    cmat[4] = 0.0
+    cmat[4][0] = 2.3e-6    # true distance 1.4e-6 (also rounds to 1e-6)
+    cnorm = (cmat * cmat).sum(axis=1)
+    got = nearest_cells_np(emb, cmat, cent_ids, cnorm, 3)
+    assert got.shape == (50, 3)
+    # brute-force reference: difference-form distance, half-away rounding
+    for i in range(len(emb)):
+        d = np.sqrt(((emb[i][None, :] - cmat) ** 2).sum(axis=1))
+        dr = np.floor(d * 1e6 + 0.5)
+        want = cent_ids[np.lexsort((cent_ids, dr))][:3]
+        assert list(got[i]) == list(want), f"row {i}"
+    assert got[0][0] == 3          # tie at 0 between cells 3 and 7
+    # cells 4 (true 1.4e-6), 5 and 9 (true 0.9e-6) ALL round to 1e-6:
+    # id order must win over true-distance order (4 before 5/9)
+    assert list(got[2]) == [4, 5, 9]
+
+
 def test_assign_ivf_cells_np_matches_exact(spark):
     """The vectorized (numpy-matmul) IVF assignment must agree with the
     exact declarative operator on real data."""

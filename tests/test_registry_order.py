@@ -100,3 +100,21 @@ def test_no_query_goes_long_unsampled():
     stale = {n for n in names if n in last and last[n] < newest}
     needs_row = never | changed | stale
     assert set(names[: min(50, len(needs_row))]) <= needs_row
+
+
+def test_not_scale_safe_tier():
+    """The scale-safety tier: exactly the three deliberate exact
+    quadratic eval baselines, each with a registered scale-safe IVF
+    sibling (round-9 verdict: the registry must be scale-safe by
+    construction — sweeps skip this tier via --scale-safe-only instead
+    of per-run exclusion lists)."""
+    from rag_content_spark import queries as Q
+
+    assert Q.NOT_SCALE_SAFE == {
+        "bitext_margin",
+        "hard_negatives",
+        "retrieval_metrics",
+    }
+    assert Q.NOT_SCALE_SAFE <= set(Q.QUERIES)
+    for n in Q.NOT_SCALE_SAFE:
+        assert f"{n}_ivf" in Q.QUERIES

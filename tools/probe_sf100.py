@@ -79,11 +79,18 @@ def main() -> int:
             print(f"skip {q} (artifact exists)")
             continue
         print(f"=== {q} ===", flush=True)
-        r = subprocess.run(
-            [sys.executable, os.path.join(root, "tools", "verify_local.py"),
-             "--json", out, q],
-            env=env, cwd=root, timeout=5400,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(root, "tools", "verify_local.py"),
+                 "--json", out, q],
+                env=env, cwd=root, timeout=5400,
+            )
+        except subprocess.TimeoutExpired:
+            # record and keep going — an uncaught raise here aborted the
+            # whole probe loop and lost every remaining query (r9 advice)
+            print(f"TIMEOUT {q} (5400s)", flush=True)
+            failures.append(q)
+            continue
         if r.returncode != 0:
             failures.append(q)
     print("done; nonzero exits:", failures or "none")

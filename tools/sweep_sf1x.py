@@ -41,7 +41,23 @@ import sys
 SRC = "/root/testdata/sf0.1"
 
 
-def build(dst: str, n: int = 10) -> None:
+def build(
+    dst: str, n: int = 10, keep_vocab: bool = False, tables: list | None = None
+) -> None:
+    """``keep_vocab=True`` replicates documents VERBATIM (no per-replica
+    token suffixing) even at n >= 20 — for the vocabulary-heavy oracle
+    families (doremi/kn_bigram/bpe/top_bigrams) whose boundary risk is
+    in the COUNT magnitudes, not the vocab: the decorrelated corpus
+    grows their vocab/bigram oracle joins 1000x and prices them out of
+    the decade, while a verbatim replica keeps vocab constant and
+    multiplies every count by n (round-9 verdict task 2). Do NOT run
+    dedup/LSH pair queries against a keep_vocab replica — 1000 identical
+    copies of every text is the degenerate-duplication regime, probed
+    separately by tools/probe_degenerate.py.
+
+    ``tables`` restricts the build to the named tables (e.g. just
+    ``documents`` for a vocab-preserving sibling dir; symlink the rest
+    from an existing replica)."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -59,8 +75,27 @@ def build(dst: str, n: int = 10) -> None:
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")
-    decorrelate = n >= 20
-    doc_stride = 10_000_000 if decorrelate else 100_000
+    try:
+        _build_tables(con, dst, n, keep_vocab, tables)
+    finally:
+        # even a failed/killed build must reap its per-pid spill dir
+        # (r9 advice: the cleanup only ran on the normal exit path)
+        try:
+            con.close()
+        except Exception:
+            pass
+        if "SPARK_GRAFT_ORACLE_SPILL" not in os.environ:
+            shutil.rmtree(spill, ignore_errors=True)
+
+
+def _build_tables(
+    con, dst: str, n: int, keep_vocab: bool = False, tables: list | None = None
+) -> None:
+    decorrelate = n >= 20 and not keep_vocab
+    # stride stays wide whenever n >= 20 (keep_vocab included): the
+    # dedup queries' synthesized twin ids (+1M..+5M) must never collide
+    # with replica ids
+    doc_stride = 10_000_000 if n >= 20 else 100_000
     # at n>=1000 the fact-table ORDER BY needs more spill than the box
     # has disk (600M-row lineitem sort > 74 GB); row order is irrelevant
     # to correctness (the harness value-hash sorts rows) so stream the
@@ -70,7 +105,11 @@ def build(dst: str, n: int = 10) -> None:
     if not ordered:
         con.execute("SET preserve_insertion_order=false")
 
+    want = set(tables) if tables else None
+
     def rep(table: str, select: str) -> None:
+        if want is not None and table not in want:
+            return
         order = " ORDER BY 1" if ordered else ""
         con.execute(
             f"COPY (SELECT {select} "
@@ -142,14 +181,20 @@ def build(dst: str, n: int = 10) -> None:
         "user_id + r.range * 1000000 AS user_id, event_type, value, props",
     )
     for small in ("part", "supplier", "nation", "region"):
+        if want is not None and small not in want:
+            continue
         shutil.copy(f"{SRC}/{small}.parquet", f"{dst}/{small}.parquet")
-    con.close()
-    if "SPARK_GRAFT_ORACLE_SPILL" not in os.environ:
-        shutil.rmtree(spill, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sgraft_sf1x"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    build(dst, n)
-    print(f"built {dst} (x{n})")
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    dst = argv[0] if argv else "/tmp/sgraft_sf1x"
+    n = int(argv[1]) if len(argv) > 1 else 10
+    keep_vocab = "--keep-vocab" in flags
+    tables = None
+    for f in flags:
+        if f.startswith("--tables="):
+            tables = f.split("=", 1)[1].split(",")
+    build(dst, n, keep_vocab=keep_vocab, tables=tables)
+    print(f"built {dst} (x{n}{', keep-vocab' if keep_vocab else ''})")

@@ -105,6 +105,10 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    scale_safe_only = "--scale-safe-only" in args or (
+        os.environ.get("SPARK_GRAFT_SCALE_SAFE_ONLY") == "1"
+    )
+    args = [a for a in args if a != "--scale-safe-only"]
     only = set(args)
     results: dict[str, dict] = {}
 
@@ -145,8 +149,35 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    try:
+        return _run(
+            entrymod, spark, con, sf_dir, args, only, json_out, results,
+            scale_safe_only,
+        )
+    finally:
+        # cleanup must run even when a query raises or the sweep is
+        # killed mid-run — leaked /tmp/duckdb_spill_<pid> dirs were
+        # accumulating across crashed runs (r9 advice)
+        try:
+            con.close()
+        except Exception:
+            pass
+        if "SPARK_GRAFT_ORACLE_SPILL" not in os.environ:
+            import shutil
+
+            shutil.rmtree(spill, ignore_errors=True)
+
+
+def _run(
+    entrymod, spark, con, sf_dir, args, only, json_out, results,
+    scale_safe_only=False,
+) -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    try:
+        from rag_content_spark.queries import NOT_SCALE_SAFE
+    except Exception:
+        NOT_SCALE_SAFE = set()
     n_pass = n_fail = 0
 
     def _dump(final: bool) -> None:
@@ -177,6 +208,11 @@ def main() -> int:
                     "n_rows_only": sum(
                         1 for r in results.values() if r["status"] == "rows_only"
                     ),
+                    "n_skipped_not_scale_safe": sum(
+                        1
+                        for r in results.values()
+                        if r["status"] == "skipped_not_scale_safe"
+                    ),
                     "queries": results,
                 },
                 f,
@@ -191,6 +227,14 @@ def main() -> int:
     for name in ordered:
         fn = queries[name]
         if only and name not in only:
+            continue
+        if scale_safe_only and name in NOT_SCALE_SAFE:
+            # tier skip, recorded in the artifact so sweeps carry no
+            # ad-hoc exclusion lists: the registry itself says which
+            # plans are deliberate small-SF-only exact baselines
+            print(f"SKIP {name}: not scale-safe (registry tier)")
+            results[name] = {"status": "skipped_not_scale_safe"}
+            _dump(final=False)
             continue
         t0 = time.time()
         try:
@@ -249,13 +293,6 @@ def main() -> int:
         _dump(final=False)
     print(f"\n{n_pass} passed, {n_fail} failed")
     _dump(final=True)
-    if "SPARK_GRAFT_ORACLE_SPILL" not in os.environ:
-        # we created the per-pid default dir; DuckDB removes its temp
-        # blocks on clean exit, so only the empty dir is left to reap
-        import shutil
-
-        con.close()
-        shutil.rmtree(spill, ignore_errors=True)
     return 1 if n_fail else 0
 
 
