@@ -195,9 +195,18 @@ ORACLES: dict = {}
 # CONSTRUCTION (verify_local --scale-safe-only) instead of via per-run
 # exclusion lists; the driver's sf0.01 gate still verifies them.
 NOT_SCALE_SAFE: set = set()
+# Queries whose RESULT is corpus-linear (O(rows) output — 95-150M rows
+# at ~sf100): big-replica sweeps verify these with the engine-side
+# streaming value-hash (verify_local --stream-hash: each engine folds
+# its canonical row strings into commutative 60-bit hash sums, three
+# scalars cross the process boundary) instead of materializing both
+# sides into pandas.
+STREAM_HASH: set = set()
 
 
-def register(name: str, oracle, scale_safe: bool = True):
+def register(
+    name: str, oracle, scale_safe: bool = True, stream_hash: bool = False
+):
     """``oracle`` is the DuckDB SQL string, ``None`` (rows-only check),
     or a zero-arg callable returning the SQL — the lazy form lets an
     oracle embed data-derived model constants (eigenvectors, centroids)
@@ -213,6 +222,8 @@ def register(name: str, oracle, scale_safe: bool = True):
             ORACLES[name] = oracle
         if not scale_safe:
             NOT_SCALE_SAFE.add(name)
+        if stream_hash:
+            STREAM_HASH.add(name)
         return fn
 
     return deco
@@ -2101,6 +2112,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts_sec) AS session_start
     FROM sess GROUP BY user_id, session_no
     """,
+    stream_hash=True,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("user_id", "event_id", "ts_sec")
@@ -6092,6 +6104,7 @@ def q_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS v_filled
     FROM e
     """,
+    stream_hash=True,
 )
 def q_locf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
@@ -6411,6 +6424,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
     """,
+    stream_hash=True,
 )
 def q_rolling_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
@@ -6469,6 +6483,7 @@ def q_rolling_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM sess GROUP BY user_id, sid
     """,
+    stream_hash=True,
 )
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
@@ -7614,6 +7629,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS order_seq
     FROM orders
     """,
+    stream_hash=True,
 )
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.session import ensure_reader_confs

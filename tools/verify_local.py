@@ -78,6 +78,126 @@ def normalized_rows(df: pd.DataFrame) -> pd.Series:
     return key.sort_values(ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# Engine-side streaming compare (round-9 verdict task 1): for queries
+# whose RESULT is corpus-linear (95-150M rows at ~sf100), materializing
+# both sides into pandas is the verify bottleneck, not the engines.
+# Instead each engine computes (count, sum(h1), sum(h2)) over a CANONICAL
+# row string — columns in sorted-name order joined with '|', cells
+# rendered identically on both engines — where h1/h2 are the first/second
+# 60-bit halves of md5(row_str). The sums are order-insensitive
+# (commutative), so no engine sorts anything and only three scalars cross
+# the process boundary. Cell rendering is deliberately engine-neutral:
+# floats go through floor(x*1e6 + 0.5) (identical IEEE ops on both
+# engines — no printf / round() engine semantics involved), decimals are
+# normalized to DECIMAL(38,9) strings, timestamps to a fixed
+# microsecond format.
+
+
+def _duck_cell(col: str, typ: str) -> str:
+    t = typ.upper()
+    q = f'"{col}"'
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return (
+            f"CASE WHEN {q} IS NULL THEN 'NULL' WHEN isnan({q}) THEN 'NaN' "
+            f"ELSE CAST(CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS VARCHAR) END"
+        )
+    if t.startswith("DECIMAL"):
+        return f"coalesce(CAST(CAST({q} AS DECIMAL(38,9)) AS VARCHAR), 'NULL')"
+    if t.startswith("TIMESTAMP"):
+        return f"coalesce(strftime({q}, '%Y-%m-%d %H:%M:%S.%f'), 'NULL')"
+    if any(
+        t.startswith(p)
+        for p in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+                  "UBIGINT", "UINTEGER", "BOOLEAN", "VARCHAR", "DATE")
+    ):
+        return f"coalesce(CAST({q} AS VARCHAR), 'NULL')"
+    raise ValueError(f"stream-hash: unsupported DuckDB type {typ} for {col}")
+
+
+def _spark_cell(col: str, dt):
+    from pyspark.sql import functions as F
+    import pyspark.sql.types as T
+
+    c = F.col(col)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        rendered = F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint").cast(
+            "string"
+        )
+        return (
+            F.when(c.isNull(), F.lit("NULL"))
+            .when(F.isnan(c), F.lit("NaN"))
+            .otherwise(rendered)
+        )
+    if isinstance(dt, T.DecimalType):
+        return F.coalesce(
+            c.cast("decimal(38,9)").cast("string"), F.lit("NULL")
+        )
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.coalesce(
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("NULL")
+        )
+    if isinstance(
+        dt,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.BooleanType,
+         T.StringType, T.DateType),
+    ):
+        return F.coalesce(c.cast("string"), F.lit("NULL"))
+    raise ValueError(f"stream-hash: unsupported Spark type {dt} for {col}")
+
+
+def stream_compare(sdf, con, oracle: str) -> tuple[list, dict]:
+    """Order-insensitive engine-side compare. Returns (mismatch list,
+    detail dict with row counts)."""
+    from pyspark.sql import functions as F
+
+    scols = sorted(sdf.columns)
+    desc = con.execute(f"DESCRIBE {oracle}").fetchall()
+    dtypes = {r[0]: r[1] for r in desc}
+    ocols = sorted(dtypes)
+    if scols != ocols:
+        return [f"cols {scols} != {ocols}"], {}
+
+    row = F.concat_ws(
+        "|", *[_spark_cell(c, sdf.schema[c].dataType) for c in scols]
+    )
+    h = F.md5(row.cast("binary"))
+    agg = (
+        sdf.select(h.alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.conv(F.substring("_h", 1, 15), 16, 10).cast("decimal(38,0)")
+            ).alias("s1"),
+            F.sum(
+                F.conv(F.substring("_h", 17, 15), 16, 10).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+        .collect()[0]
+    )
+    cells = ", ".join(_duck_cell(c, dtypes[c]) for c in scols)
+    osql = (
+        f"WITH _q AS ({oracle}), _r AS "
+        f"(SELECT md5(concat_ws('|', {cells})) AS _h FROM _q) "
+        f"SELECT count(*) AS c, "
+        f"sum(CAST(CAST('0x' || substring(_h, 1, 15) AS UBIGINT) AS HUGEINT)) AS s1, "
+        f"sum(CAST(CAST('0x' || substring(_h, 17, 15) AS UBIGINT) AS HUGEINT)) AS s2 "
+        f"FROM _r"
+    )
+    oc, os1, os2 = con.execute(osql).fetchone()
+    status = []
+    if int(agg["c"]) != int(oc):
+        status.append(f"rows {agg['c']} != {oc}")
+    elif (
+        (agg["s1"] is None) != (os1 is None)
+        or (agg["s1"] is not None and int(agg["s1"]) != int(os1))
+        or (agg["s2"] is None) != (os2 is None)
+        or (agg["s2"] is not None and int(agg["s2"]) != int(os2))
+    ):
+        status.append("stream value-hash mismatch")
+    return status, {"rows": int(agg["c"])}
+
+
 def value_hash(rows: pd.Series) -> str:
     """md5 over the sorted normalized row strings (chunked — a 15M-row
     frame's joined bytes would be GBs)."""
@@ -108,7 +228,10 @@ def main() -> int:
     scale_safe_only = "--scale-safe-only" in args or (
         os.environ.get("SPARK_GRAFT_SCALE_SAFE_ONLY") == "1"
     )
-    args = [a for a in args if a != "--scale-safe-only"]
+    stream_hash = "--stream-hash" in args or (
+        os.environ.get("SPARK_GRAFT_STREAM_HASH") == "1"
+    )
+    args = [a for a in args if a not in ("--scale-safe-only", "--stream-hash")]
     only = set(args)
     results: dict[str, dict] = {}
 
@@ -152,7 +275,7 @@ def main() -> int:
     try:
         return _run(
             entrymod, spark, con, sf_dir, args, only, json_out, results,
-            scale_safe_only,
+            scale_safe_only, stream_hash,
         )
     finally:
         # cleanup must run even when a query raises or the sweep is
@@ -170,14 +293,14 @@ def main() -> int:
 
 def _run(
     entrymod, spark, con, sf_dir, args, only, json_out, results,
-    scale_safe_only=False,
+    scale_safe_only=False, stream_hash=False,
 ) -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     try:
-        from rag_content_spark.queries import NOT_SCALE_SAFE
+        from rag_content_spark.queries import NOT_SCALE_SAFE, STREAM_HASH
     except Exception:
-        NOT_SCALE_SAFE = set()
+        NOT_SCALE_SAFE, STREAM_HASH = set(), set()
     n_pass = n_fail = 0
 
     def _dump(final: bool) -> None:
@@ -237,6 +360,41 @@ def _run(
             _dump(final=False)
             continue
         t0 = time.time()
+        if stream_hash and name in STREAM_HASH and name in oracles:
+            # corpus-linear result: compare engine-side commutative
+            # hashes (three scalars) instead of two pandas frames
+            try:
+                status, detail = stream_compare(
+                    fn(spark, sf_dir), con, oracles[name]
+                )
+            except Exception as exc:
+                print(f"FAIL {name}: stream error: {exc}")
+                results[name] = {
+                    "status": "fail", "err": f"stream error: {exc}"[:500]
+                }
+                n_fail += 1
+                _dump(final=False)
+                continue
+            took = round(time.time() - t0, 1)
+            if status:
+                print(f"FAIL {name}: {'; '.join(status)}  [{took}s]")
+                results[name] = {
+                    "status": "fail", "err": "; ".join(status)[:500]
+                }
+                n_fail += 1
+            else:
+                print(
+                    f"PASS {name}: {detail['rows']} rows (stream)  [{took}s]"
+                )
+                results[name] = {
+                    "status": "pass",
+                    "rows": detail["rows"],
+                    "mode": "stream_hash",
+                    "s": took,
+                }
+                n_pass += 1
+            _dump(final=False)
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
