@@ -139,6 +139,75 @@ def hybrid_scores(
     )
 
 
+def hybrid_scores_rrf(
+    docs_with_vectors: DataFrame,
+    terms: list[str],
+    query_vec: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    embedding_col: str = "embedding",
+    impact_factor: float = 60.0,
+    top_n: int = 200,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion hybrid — the DEFAULT hybrid ranker of the
+    llama-stack runtime the reference's OGX query path delegates to
+    (reference scripts/query_rag.py:188-202; llama-stack's RRFReRanker,
+    impact_factor k = 60; the published formula is Cormack, Clarke &
+    Buettcher SIGIR 2009):
+
+        rrf(d) = sum over retrievers r of 1 / (k + rank_r(d))
+
+    fused over the keyword top-``top_n`` and the cosine top-``top_n``
+    (llama-stack fuses two top-k lists, so each side is bounded); a doc
+    absent from one list contributes nothing from that side. Note the
+    keyword RANKING here is our TF-IDF scorer — llama-stack's keyword
+    retriever is FTS5 BM25 (see :func:`bm25_scores` idf_variant="fts5"
+    for the pinned scorer); the FUSION rule is what this operator pins.
+    The generic N-way rank fusion lives in :func:`rrf_fuse`; this is
+    the two-retriever OGX hybrid shape, kept separate because it
+    surfaces the per-side ranks alongside the fused score.
+
+    Scale shape: each side goes through :func:`shortlist_ranks`
+    (TakeOrdered top-n, rank window over <= top_n rows), the join is a
+    full outer over <= 2*top_n rows. The fused score is computed from
+    INTEGER ranks with one correctly-rounded division per side, so
+    identical ranks give bit-identical doubles on any engine — no
+    rounding-grid snap needed.
+    """
+    from rag_content_spark.functions.vector import dot
+
+    kw = keyword_scores(
+        docs_with_vectors, terms, id_col, text_col, round_to=9, stats=stats
+    )
+    kw_ranked = shortlist_ranks(
+        kw, n=top_n, score_col="kw_score", id_col=id_col
+    ).withColumnRenamed("rank", "kw_rank")
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = docs_with_vectors.select(
+        F.col(id_col),
+        F.round(
+            dot(F.col(embedding_col), qv, len(query_vec)), 9
+        ).alias("cos_score"),
+    )
+    vec_ranked = shortlist_ranks(
+        vec, n=top_n, score_col="cos_score", id_col=id_col
+    ).withColumnRenamed("rank", "vec_rank")
+    k = F.lit(float(impact_factor))
+    side = lambda rank: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (k + F.col(rank).cast("double")), F.lit(0.0)
+    )
+    return (
+        vec_ranked.join(kw_ranked, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.col("vec_rank"),
+            F.col("kw_rank"),
+            (side("vec_rank") + side("kw_rank")).alias("rrf_score"),
+        )
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],
@@ -148,6 +217,7 @@ def bm25_scores(
     b: float = 0.75,
     round_to: int = 6,
     stats: DataFrame | None = None,
+    idf_variant: str = "lucene",
 ) -> DataFrame:
     """Okapi BM25 (Robertson & Walker's classic formula with the
     standard k1/b defaults) over the same inverted-index shape as
@@ -166,7 +236,8 @@ def bm25_scores(
     )
     post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
     return bm25_from_postings(
-        post, lengths, stats, id_col=id_col, k1=k1, b=b, round_to=round_to
+        post, lengths, stats, id_col=id_col, k1=k1, b=b, round_to=round_to,
+        idf_variant=idf_variant,
     )
 
 
@@ -178,6 +249,7 @@ def bm25_from_postings(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    idf_variant: str = "lucene",
 ) -> DataFrame:
     """BM25 scoring from a prepared (id, token, tf) postings table + a
     (id, dl) lengths table + a broadcast one-row (n_docs, avgdl) stats
@@ -185,14 +257,27 @@ def bm25_from_postings(
     PERSISTED index (plans/text_index.py) share, so scores are
     bit-identical regardless of where the postings came from. df per
     term is a window over the postings themselves (a term's postings
-    are never split by the index's bucket pruning)."""
+    are never split by the index's bucket pruning).
+
+    ``idf_variant``: ``"lucene"`` (default) uses the non-negative
+    ln(1 + (N-df+0.5)/(df+0.5)); ``"fts5"`` uses SQLite FTS5's
+    max(ln((N-df+0.5)/(df+0.5)), 1e-6) — the scorer behind the
+    llama-stack sqlite-vec provider's keyword mode that the reference's
+    OGX query path delegates to (tests pin score equality against a
+    real in-process FTS5 table)."""
     from pyspark.sql import Window
 
     df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
     n_docs = F.col("n_docs").cast("double")
-    idf = F.log(
-        F.lit(1.0) + (n_docs - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
-    )
+    ratio = (n_docs - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+    if idf_variant == "fts5":
+        # fts5.c fts5Bm25(): if (idf <= 0.0) idf = 1e-6 — a POSITIVE
+        # idf below 1e-6 is kept, only non-positive values are floored
+        idf = F.when(F.log(ratio) <= 0.0, F.lit(1e-6)).otherwise(
+            F.log(ratio)
+        )
+    else:
+        idf = F.log(F.lit(1.0) + ratio)
     tf = F.col("tf").cast("double")
     norm = tf * (k1 + 1) / (
         tf

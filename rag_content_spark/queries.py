@@ -2301,6 +2301,112 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_scores(docs, _KW_TERMS, list(qvec))
 
 
+@register(
+    "hybrid_rrf",
+    # Reciprocal-rank fusion hybrid — the DEFAULT ranker of the
+    # llama-stack runtime behind the reference's OGX hybrid mode
+    # (query_rag.py:188-202): rrf(d) = sum_r 1/(60 + rank_r(d)) over the
+    # keyword and cosine top-200 lists (Cormack et al. 2009, llama-stack
+    # impact_factor=60). Integer ranks -> one correctly-rounded division
+    # per side -> bit-identical doubles on both engines, no grid snap.
+    f"""
+    WITH post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      WHERE u.token IN {_KW_TERMS_SQL}
+      GROUP BY doc_id, u.token
+    ),
+    idf AS (
+      SELECT token, ln((SELECT count(*) FROM documents)::DOUBLE / count(*)) AS idf
+      FROM post GROUP BY token
+    ),
+    kw AS (
+      SELECT p.doc_id, round(sum(p.tf * i.idf), 9) AS kw_score
+      FROM post p JOIN idf i USING (token) GROUP BY p.doc_id
+    ),
+    kw_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+      FROM kw
+      QUALIFY kw_rank <= 200
+    ),
+    qv AS (SELECT {_mock_embed_sql("'spark join merge'")} AS v),
+    vec AS (
+      SELECT doc_id,
+             round({dot_sql(_mock_embed_sql('text'), 'qv.v')}, 9) AS cos_score
+      FROM documents, qv
+    ),
+    vec_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_score DESC, doc_id) AS vec_rank
+      FROM vec
+      QUALIFY vec_rank <= 200
+    )
+    SELECT doc_id,
+           CAST(v.vec_rank AS INTEGER) AS vec_rank,
+           CAST(k.kw_rank AS INTEGER) AS kw_rank,
+           coalesce(1.0 / (60.0 + v.vec_rank), 0.0)
+             + coalesce(1.0 / (60.0 + k.kw_rank), 0.0) AS rrf_score
+    FROM vec_ranked v FULL OUTER JOIN kw_ranked k USING (doc_id)
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import hybrid_scores_rrf
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "embedding", mock_embedding_expr("text", dim=8)
+    )
+    qvec = (
+        spark.createDataFrame([("spark join merge",)], ["text"])
+        .select(mock_embedding_expr("text", dim=8).alias("v"))
+        .collect()[0]["v"]
+    )
+    return hybrid_scores_rrf(
+        docs, _KW_TERMS, list(qvec), impact_factor=60.0, top_n=200
+    )
+
+
+@register(
+    "keyword_fts5",
+    # The scorer behind the llama-stack sqlite-vec provider's keyword
+    # mode (the runtime the reference's OGX keyword mode delegates to):
+    # SQLite FTS5 bm25() — Okapi BM25 k1=1.2 b=0.75 with FTS5's
+    # idf = max(ln((N - df + 0.5)/(df + 0.5)), 1e-6). Score equality
+    # against a real in-process FTS5 table is pinned in
+    # tests/test_search.py::test_bm25_fts5_matches_sqlite.
+    f"""
+    WITH lens AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+    post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      WHERE u.token IN {_KW_TERMS_SQL}
+      GROUP BY doc_id, u.token
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN ln((CAST(s.n AS DOUBLE) - count(*) OVER (PARTITION BY p.token) + 0.5)
+                          / (count(*) OVER (PARTITION BY p.token) + 0.5)) <= 0.0
+                  THEN 0.000001
+                  ELSE ln((CAST(s.n AS DOUBLE) - count(*) OVER (PARTITION BY p.token) + 0.5)
+                          / (count(*) OVER (PARTITION BY p.token) + 0.5)) END
+             * (CAST(p.tf AS DOUBLE) * (1.2 + 1))
+               / (CAST(p.tf AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75 * l.dl / s.avgdl))
+               AS term_score
+      FROM post p JOIN lens l USING (doc_id), stats s
+    )
+    SELECT doc_id, round(sum(term_score), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_keyword_fts5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _KW_TERMS, idf_variant="fts5")
+
+
 # ==================== end-to-end build pipeline (M0) =======================
 
 

@@ -868,3 +868,87 @@ def test_retrieval_use_index_routing(spark, tmp_path):
         phrase_retrieval(spark, phrase)
     with pytest.raises(ValueError, match="exactly one"):
         proximity_retrieval(spark, terms, docs=docs, use_index=d)
+
+
+def test_bm25_fts5_matches_sqlite(spark):
+    """llama-stack keyword-mode scorer pin (round-9 verdict task 6):
+    the reference's OGX keyword mode delegates to llama-stack's
+    sqlite-vec provider, whose scorer is SQLite FTS5 bm25() — Okapi
+    BM25 k1=1.2 b=0.75 with idf = ln((N-df+0.5)/(df+0.5)) floored at
+    1e-6 when non-positive (fts5.c fts5Bm25). Our
+    bm25_scores(idf_variant='fts5') must match a REAL in-process FTS5
+    table to 1e-6 (FTS5 reports the negated score for ascending sort).
+    Docs are plain lowercase space-separated words so the unicode61
+    and whitespace tokenizers agree."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    docs = [
+        (1, "spark join merge sort shuffle"),
+        (2, "merge sort quick sort heap"),
+        (3, "spark spark spark join broadcast plan codegen"),
+        (4, "hash join partition skew salt"),
+        (5, "window aggregate rollup cube grouping"),
+        (6, "stream watermark state checkpoint join"),
+        (7, "sort keys before the merge stage begins"),
+    ]
+    con = sqlite3.connect(":memory:")
+    try:
+        con.execute("CREATE VIRTUAL TABLE t USING fts5(content)")
+    except sqlite3.OperationalError:
+        _pytest.skip("sqlite built without FTS5")
+    con.executemany("INSERT INTO t(rowid, content) VALUES (?, ?)", docs)
+    fts = {
+        rid: -s
+        for rid, s in con.execute(
+            "SELECT rowid, bm25(t) FROM t WHERE t MATCH 'spark OR join OR sort'"
+        )
+    }
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ours = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            df, ["spark", "join", "sort"], idf_variant="fts5", round_to=9
+        ).collect()
+    }
+    assert set(ours) == set(fts)
+    for rid, want in fts.items():
+        assert abs(ours[rid] - want) < 1e-6, (rid, ours[rid], want)
+
+
+def test_hybrid_rrf_formula(spark):
+    """llama-stack hybrid-mode fusion pin: the runtime's default hybrid
+    ranker is reciprocal-rank fusion rrf(d) = sum_r 1/(k + rank_r(d))
+    with impact_factor k=60 (Cormack, Clarke & Buettcher 2009). Checked
+    against a hand-computed fusion of the two ranked lists, including a
+    doc present in only one list."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import hybrid_scores_rrf
+
+    rows = [
+        (1, "spark join fast", [1.0, 0.0]),
+        (2, "spark spark spark", [0.8, 0.6]),
+        (3, "nothing here", [0.0, 1.0]),
+        (4, "join tables", [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "embedding"]).select(
+        "doc_id", "text", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    got = {
+        r["doc_id"]: (r["vec_rank"], r["kw_rank"], r["rrf_score"])
+        for r in hybrid_scores_rrf(
+            df, ["spark", "join"], [1.0, 0.0], top_n=3
+        ).collect()
+    }
+    # cosine (dot with [1,0]): d1=1.0, d2=0.8, d4=0.6, d3=0.0 -> top-3
+    # vec ranks 1,2,3 for docs 1,2,4; kw (tf-idf, ln(4/2)): d2=3ln2,
+    # d1=2ln2, d4=ln2 -> kw ranks d2=1, d1=2, d4=3; doc 3 in NO list
+    assert set(got) == {1, 2, 4}
+    assert got[1][:2] == (1, 2)
+    assert got[2][:2] == (2, 1)
+    assert got[4][:2] == (3, 3)
+    for d in (1, 2, 4):
+        vr, kr, s = got[d]
+        assert abs(s - (1.0 / (60 + vr) + 1.0 / (60 + kr))) < 1e-12

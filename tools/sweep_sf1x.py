@@ -42,7 +42,8 @@ SRC = "/root/testdata/sf0.1"
 
 
 def build(
-    dst: str, n: int = 10, keep_vocab: bool = False, tables: list | None = None
+    dst: str, n: int = 10, keep_vocab: bool = False,
+    tables: list | None = None, money_scale: int = 1,
 ) -> None:
     """``keep_vocab=True`` replicates documents VERBATIM (no per-replica
     token suffixing) even at n >= 20 — for the vocabulary-heavy oracle
@@ -57,7 +58,16 @@ def build(
 
     ``tables`` restricts the build to the named tables (e.g. just
     ``documents`` for a vocab-preserving sibling dir; symlink the rest
-    from an existing replica)."""
+    from an existing replica).
+
+    ``money_scale`` multiplies the money columns (o_totalprice,
+    l_extendedprice) — the ~sf1000 DECADE PROBE: 6B-row tables don't
+    fit this box's disk, but the money family's per-decade boundary
+    risk is sum MAGNITUDE (DECIMAL(38) headroom, exact-decimal
+    rendering at ~3e13 micro-units), which a 1000x-row replica with
+    10x values reaches honestly. Row-count-driven boundary classes
+    (partition stitches, register saturation) are NOT probed by this
+    mode — scope stated in the artifact."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -76,7 +86,7 @@ def build(
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")
     try:
-        _build_tables(con, dst, n, keep_vocab, tables)
+        _build_tables(con, dst, n, keep_vocab, tables, money_scale)
     finally:
         # even a failed/killed build must reap its per-pid spill dir
         # (r9 advice: the cleanup only ran on the normal exit path)
@@ -89,7 +99,8 @@ def build(
 
 
 def _build_tables(
-    con, dst: str, n: int, keep_vocab: bool = False, tables: list | None = None
+    con, dst: str, n: int, keep_vocab: bool = False,
+    tables: list | None = None, money_scale: int = 1,
 ) -> None:
     decorrelate = n >= 20 and not keep_vocab
     # stride stays wide whenever n >= 20 (keep_vocab included): the
@@ -153,11 +164,19 @@ def _build_tables(
             "embeddings",
             f"vec_id + r.range * {doc_stride} AS vec_id, embedding, label",
         )
+    def money(c: str) -> str:
+        # source money columns are DOUBLE (2-dp "nice" values); an
+        # integer multiply is one correctly-rounded IEEE op, so the
+        # scaled values keep the within-1e-13-of-2dp property both
+        # engines' DECIMAL casts rely on, and the type stays exact
+        if money_scale == 1:
+            return c
+        return f"CAST({c} * {money_scale} AS DOUBLE) AS {c}"
     rep(
         "orders",
         "o_orderkey + r.range * 10000000 AS o_orderkey, "
         "o_custkey + r.range * 1000000 AS o_custkey, "
-        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+        f"o_orderstatus, {money('o_totalprice')}, o_orderdate, o_orderpriority",
     )
     rep(
         "customer",
@@ -170,7 +189,11 @@ def _build_tables(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/lineitem.parquet')"
         ).fetchall()
     ]
-    rest = ", ".join(c for c in li_cols if c != "l_orderkey")
+    rest = ", ".join(
+        money(c) if c == "l_extendedprice" else c
+        for c in li_cols
+        if c != "l_orderkey"
+    )
     rep(
         "lineitem",
         f"l_orderkey + r.range * 10000000 AS l_orderkey, {rest}",
@@ -193,8 +216,11 @@ if __name__ == "__main__":
     n = int(argv[1]) if len(argv) > 1 else 10
     keep_vocab = "--keep-vocab" in flags
     tables = None
+    money_scale = 1
     for f in flags:
         if f.startswith("--tables="):
             tables = f.split("=", 1)[1].split(",")
-    build(dst, n, keep_vocab=keep_vocab, tables=tables)
+        if f.startswith("--money-scale="):
+            money_scale = int(f.split("=", 1)[1])
+    build(dst, n, keep_vocab=keep_vocab, tables=tables, money_scale=money_scale)
     print(f"built {dst} (x{n}{', keep-vocab' if keep_vocab else ''})")
