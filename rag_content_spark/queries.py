@@ -467,6 +467,7 @@ _CHUNK_SQL = """
 @register(
     "chunk_fixed",
     _CHUNK_SQL.format(tokens=_TOKENS_SQL, size=16, overlap=0, stride=16),
+    stream_hash=True,
 )
 def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_fixed(
@@ -565,7 +566,7 @@ FROM out
 """
 
 
-@register("chunk_sentences", _CHUNK_SENT_SQL)
+@register("chunk_sentences", _CHUNK_SENT_SQL, stream_hash=True)
 def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fan(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -594,6 +595,7 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS section_title
     FROM s CROSS JOIN range(0, 10000) r WHERE r.range < len(secs)
     """,
+    stream_hash=True,
 )
 def q_markdown_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("text"))
@@ -697,7 +699,7 @@ FROM out WHERE chunk_text <> ''
 """
 
 
-@register("chunk_llama", _CHUNK_LLAMA_SQL)
+@register("chunk_llama", _CHUNK_LLAMA_SQL, stream_hash=True)
 def q_chunk_llama(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.llama_chunking import chunk_llama
 
@@ -733,7 +735,7 @@ WHERE r.range < n.nsec + 1
 """
 
 
-@register("markdown_llama", _MD_LLAMA_SQL)
+@register("markdown_llama", _MD_LLAMA_SQL, stream_hash=True)
 def q_markdown_llama(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.llama_chunking import (
         split_markdown_llama,
@@ -4805,6 +4807,7 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n CROSS JOIN range(0, 10000) r
     WHERE r.range < n.n_chunks
     """,
+    stream_hash=True,
 )
 def q_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
@@ -5657,6 +5660,7 @@ def _dsir_frames(spark: SparkSession, sf_dir: str):
     # as an EXACT integer sum of fixed-point log-ratios (order-free,
     # engine-free) descaled once at the end.
     f"WITH {_dsir_weights_sql()} SELECT doc_id, n_ngrams, logw FROM weights",
+    stream_hash=True,
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import dsir_log_weights
@@ -5713,6 +5717,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
     GROUP BY b.doc_id
     """,
+    stream_hash=True,
 )
 def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import bigram_logloss
@@ -5748,6 +5753,7 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM big b JOIN c12 USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2)
     GROUP BY b.doc_id
     """,
+    stream_hash=True,
 )
 def q_kn_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import kneser_ney_logloss
@@ -5924,6 +5930,7 @@ _BPE_APPLY_CTES = f"""merges AS (
     FROM docwc d JOIN vocab v USING (word)
     GROUP BY d.doc_id
     """,
+    stream_hash=True,
 )
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import (
@@ -7064,6 +7071,7 @@ def q_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            (len(kept) >= 3) AS keep
     FROM k
     """,
+    stream_hash=True,
 )
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.quality import c4_line_filter
