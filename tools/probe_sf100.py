@@ -4,20 +4,19 @@ linear-oracle query families against a 1000x type-exact replica
 embeddings / 100M events).
 
 This is deliberately NOT a full-registry sweep — the no-silent-caps
-rule requires saying why: at 1000x, queries whose RESULT cardinality is
-corpus-linear (sessionize / session_window_native return 95M+ rows;
-rolling_30min / locf_values / running_revenue return 100-150M) exceed
-the compare layer's pandas frame budget, and queries whose ORACLE
-replay is vocabulary-heavy on the decorrelated corpus (doremi_weights,
-kn_bigram_xent, bpe family, top_bigrams: the per-replica token
-suffixing grows the vocab 1000x, so their bigram/vocab joins are the
-40M-row-join problem an order of magnitude up) are oracle-cost-bounded,
-exactly like the quadratic eval baselines at 100x. The scale ladder's
-per-decade job — catching overflow, rounding-granularity, and
-partition-boundary bugs — lives in the aggregate families this probe
-covers: exact-decimal money sums at ~5e12 magnitudes, the 128-bit
-covariance rail at 2M vectors, range-repartition boundary stitches at
-14M gap rows, sketch register saturation at 600M inserts.
+rule requires saying why: the scale ladder's per-decade job — catching
+overflow, rounding-granularity, and partition-boundary bugs — lives in
+the aggregate families the default PROBE list covers: exact-decimal
+money sums at ~5e12 magnitudes, the 128-bit covariance rail at 2M
+vectors, range-repartition boundary stitches at 14M gap rows, sketch
+register saturation at 600M inserts. The two families the round-9
+probe could NOT reach are covered in round 10 by passing an explicit
+query list: corpus-linear results (sessionize/rolling/locf families,
+95-150M rows) verify via the engine-side stream hash
+(SPARK_GRAFT_STREAM_HASH, registry-tagged), and vocabulary-heavy
+oracles (doremi/kn_bigram/bpe/top_bigrams) run against a KEEP-VOCAB
+replica (sweep_sf1x --keep-vocab) where their oracle joins stay
+vocab-sized while counts grow 1000x.
 
 Usage:
   python tools/sweep_sf1x.py /tmp/sgraft_sf100 1000        # ~25 min
@@ -63,6 +62,11 @@ PROBE = [
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sgraft_sf100"
     prefix = sys.argv[2] if len(sys.argv) > 2 else "/tmp/part_sf100"
+    # optional explicit query list (comma-separated) — the round-10
+    # decade runs reuse this per-query-process driver for the
+    # corpus-linear stream-hash families, the keep-vocab vocabulary
+    # families, and the money-magnitude probe
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else PROBE
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
@@ -71,9 +75,13 @@ def main() -> int:
         SPARK_GRAFT_VERIFY_ARROW="1",
         SPARK_DRIVER_MEM="56g",
         SPARK_GRAFT_ORACLE_MEM="72GB",
+        # stream-hash only changes behavior for registry-tagged
+        # queries; scale-safe-only records tier skips in the artifact
+        SPARK_GRAFT_STREAM_HASH="1",
+        SPARK_GRAFT_SCALE_SAFE_ONLY="1",
     )
     failures = []
-    for q in PROBE:
+    for q in queries:
         out = f"{prefix}_{q}.json"
         if os.path.exists(out):
             print(f"skip {q} (artifact exists)")

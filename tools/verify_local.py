@@ -98,6 +98,10 @@ def _duck_cell(col: str, typ: str) -> str:
     t = typ.upper()
     q = f'"{col}"'
     if t in ("DOUBLE", "FLOAT", "REAL"):
+        # micro-grid int rendering is exact for |x| < 2^63/1e6 ~ 9.2e12;
+        # a DOUBLE column beyond that magnitude is already
+        # rendering-divergent on the pandas path too (the r9
+        # forecast_revenue lesson) and must be a DECIMAL string instead
         return (
             f"CASE WHEN {q} IS NULL THEN 'NULL' WHEN isnan({q}) THEN 'NaN' "
             f"ELSE CAST(CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS VARCHAR) END"
