@@ -5761,6 +5761,13 @@ def q_kn_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_logloss(_docs(spark, sf_dir))
 
 
+_DOREMI_BIG_SQL = (
+    f"SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2 "
+    f"FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t, "
+    f"unnest(generate_series(1, len(tk) - 1)) AS g(i)"
+)
+
+
 @register(
     "doremi_weights",
     # DoReMi-style domain reweighting (Xie et al. 2023): per-domain
@@ -5769,36 +5776,42 @@ def q_kn_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncating divisions), so the recursive CTE reproduces the Spark
     # fold bit for bit. See operators/selection.py doremi_domain_weights
     # for the documented deviations from the paper.
+    # NB oracle structure: only the 11-row iteration table may live in
+    # the WITH RECURSIVE block — DuckDB MATERIALIZES every CTE of a
+    # recursive WITH, and the corpus-sized bigram table spilled >52 GB
+    # at the keep-vocab 1000x replica; as nested subqueries the bigram
+    # passes stream exactly like the (green) plain-WITH bigram_entropy
+    # oracle, trading two recomputes for O(1) spill.
     f"""
-    WITH RECURSIVE t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
-    big AS (
-      SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
-      FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
-    ),
-    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
-    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1),
-    v AS (SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS v
-          FROM t, unnest(t.tk) AS u(token)),
-    xent AS (
-      SELECT b.doc_id,
-             round(avg(-ln((c12.c12 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v)))), 6)
-               AS xent2
-      FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-      GROUP BY b.doc_id
-    ),
-    dom AS (
-      SELECT d.lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(CAST(round(x.xent2 * 1000000) AS BIGINT)) AS BIGINT) AS s6
-      FROM documents d JOIN xent x USING (doc_id) GROUP BY d.lang
-    ),
-    l AS (SELECT domain, n_docs, s6 // n_docs AS loss6 FROM dom),
-    mm AS (SELECT min(loss6) AS lo, max(loss6) AS hi FROM l),
-    e AS (
+    WITH RECURSIVE e AS (
       SELECT domain, n_docs, loss6,
-             CASE WHEN (SELECT hi FROM mm) = (SELECT lo FROM mm) THEN CAST(0 AS BIGINT)
-                  ELSE ((loss6 - (SELECT lo FROM mm)) * 1000000)
-                       // ((SELECT hi FROM mm) - (SELECT lo FROM mm)) END AS ex6
-      FROM l
+             CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE ((loss6 - lo) * 1000000) // (hi - lo) END AS ex6
+      FROM (
+        SELECT domain, n_docs, loss6,
+               min(loss6) OVER () AS lo, max(loss6) OVER () AS hi
+        FROM (
+          SELECT domain, n_docs, s6 // n_docs AS loss6
+          FROM (
+            SELECT d.lang AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(round(x.xent2 * 1000000) AS BIGINT)) AS BIGINT) AS s6
+            FROM documents d JOIN (
+              SELECT b.doc_id,
+                     round(avg(-ln((c.c12 + 1)::DOUBLE / (c1.c1 + vv.v))), 6)
+                       AS xent2
+              FROM ({_DOREMI_BIG_SQL}) b
+              JOIN (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                    FROM ({_DOREMI_BIG_SQL}) GROUP BY w1, w2) c USING (w1, w2)
+              JOIN (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                    FROM ({_DOREMI_BIG_SQL}) GROUP BY w1) c1 USING (w1)
+              CROSS JOIN (SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS v
+                          FROM (SELECT {_TOKENS_SQL} AS tk FROM documents) t2,
+                               unnest(t2.tk) AS u(token)) vv
+              GROUP BY b.doc_id
+            ) x USING (doc_id) GROUP BY d.lang
+          ) dom
+        ) l
+      ) lm
     ),
     it AS (
       SELECT domain, n_docs, loss6,

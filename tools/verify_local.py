@@ -251,6 +251,12 @@ def main() -> int:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # row order never matters to the compare (the pandas path sorts,
+    # the stream path is commutative): dropping order preservation
+    # lets big-replica oracles stream instead of buffering, cutting
+    # the spill high-water mark (the doremi 400M-row bigram CTE filled
+    # the disk with it on)
+    con.execute("SET preserve_insertion_order=false")
     # big-replica sweeps share the box with the Spark JVM (and whatever
     # else runs): give DuckDB an explicit budget + a spill directory so
     # a list-heavy oracle spills instead of dying on a transient
