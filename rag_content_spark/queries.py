@@ -6492,8 +6492,11 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(count(*) AS BIGINT) AS n_small,
+           -- the *100 runs in HUGEINT: at ~sf1000 money magnitudes the
+           -- BIGINT intermediate (sum_micro * 100 ~ 3e18+) overflowed
+           -- int64 on BOTH engines (caught by the r10 magnitude probe)
            CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000
-                     AS BIGINT) * 100 // 7 AS BIGINT) AS avg_yearly_micro
+                     AS HUGEINT) * 100 // 7 AS BIGINT) AS avg_yearly_micro
     FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
     WHERE CAST(l.l_quantity AS DECIMAL(18,6)) < CAST(0.2 AS DECIMAL(18,6)) * a.aq
     """,
@@ -6513,20 +6516,22 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_small"),
-            # sum has scale 4, so sum*10000 is an exact integer; *100/7
-            # floor-divides in BIGINT identically on both engines
+            # sum has scale 4, so sum*10000 is an exact integer; the
+            # *100 DIV 7 must run in DECIMAL(38,0)/HUGEINT — at ~sf1000
+            # money magnitudes _s4*100 (~3e18+) overflowed BIGINT on
+            # both engines (r10 magnitude-probe find)
             (
                 F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
                 * F.lit(10000)
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("_s4"),
         )
         .select(
             "n_small",
-            F.expr("CAST((_s4 * 100) DIV 7 AS BIGINT)").alias(
-                "avg_yearly_micro"
-            ),
+            F.expr(
+                "CAST((_s4 * CAST(100 AS DECIMAL(38,0))) DIV 7 AS BIGINT)"
+            ).alias("avg_yearly_micro"),
         )
     )
 
@@ -8208,8 +8213,9 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            nc.n_name AS cust_nation,
            CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // {_EPOCH_YEAR}
              AS epoch_year,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))
+                AS VARCHAR)
              AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -8257,11 +8263,17 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("supp_nation", "cust_nation", "epoch_year")
         .agg(
+            # exact-decimal string, not DOUBLE: decimal->double casting
+            # differs by 1 ulp across engines once the sum's significand
+            # passes 2^53 (DuckDB double-rounds hugeint*10^-s) — caught
+            # by the r10 money-magnitude probe at ~6e10 revenue, same
+            # class as the r9 forecast_revenue find
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,4)")
                 * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
             )
-            .cast("double")
+            .cast("decimal(38,8)")
+            .cast("string")
             .alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "epoch_year")

@@ -505,3 +505,44 @@ def test_proximity_search_equals_naive_windows(spark, corpus, window):
         if n > 0:
             want[f"d{i}"] = n
     assert got == want
+
+
+def test_small_quantity_revenue_survives_sf1000_money_magnitudes(
+    spark, tmp_path
+):
+    """r10 magnitude-probe find, pinned at small SF: the Q17-shape
+    avg_yearly computation multiplied the micro-unit revenue sum by 100
+    in BIGINT; at ~sf1000 money magnitudes (sum_micro ~ 3e16+) that
+    intermediate crosses int64 and Spark threw ARITHMETIC_OVERFLOW (the
+    DuckDB oracle's BIGINT '*100' would have failed identically). The
+    fix runs the step in DECIMAL(38,0)/HUGEINT. This synthesizes a tiny
+    lineitem whose SELECTED revenue sum (1e13) makes _s4*100 = 1e19 >
+    2^63, and checks Spark and the DuckDB oracle still agree."""
+    import duckdb
+
+    from rag_content_spark import queries as Q
+
+    rows = []
+    for pk in (1, 2):
+        # qty-1 rows fall under 0.2 * avg(qty) = 0.2 * 50.5 = 10.1
+        rows.append((pk, 1.0, 5.0e12))
+        rows.append((pk, 100.0, 1000.0))
+    df = spark.createDataFrame(
+        rows, ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).selectExpr(
+        "CAST(l_partkey AS BIGINT) l_partkey",
+        "CAST(l_quantity AS DOUBLE) l_quantity",
+        "CAST(l_extendedprice AS DOUBLE) l_extendedprice",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    got = Q.QUERIES["small_quantity_revenue"](spark, sf).collect()[0]
+    assert got["n_small"] == 2
+    # 2 * 5e12 revenue -> micro-sum 1e19 before DIV 7: over int64
+    assert got["avg_yearly_micro"] == (2 * 5_000_000_000_000 * 1_000_000) // 7
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet/*.parquet'"
+    )
+    want = con.execute(Q.resolve_oracles()["small_quantity_revenue"]).fetchone()
+    assert (got["n_small"], got["avg_yearly_micro"]) == want
