@@ -452,14 +452,41 @@ def nearest_cells_np(emb, cmat, cent_ids, cnorm, p: int):
 
     n = len(emb)
     p = min(p, len(cent_ids))
+    # bound the (n x n_cells) distance matrix at ~256 MB: with a
+    # corpus-linear centroid rule (ann_ivf's deterministic %50 oracle
+    # set reaches 40k cells at the 1000x replica) one Arrow batch's
+    # full matrix is gigabytes PER WORKER — row-chunk and stitch.
+    max_rows = max(1, 33_554_432 // max(1, len(cent_ids)))
+    if n > max_rows:
+        import numpy as _np
+
+        return _np.vstack(
+            [
+                nearest_cells_np(
+                    emb[s : s + max_rows], cmat, cent_ids, cnorm, p
+                )
+                for s in range(0, n, max_rows)
+            ]
+        )
     xnorm = (emb * emb).sum(axis=1)
     d2 = xnorm[:, None] + cnorm[None, :] - 2.0 * (emb @ cmat.T)
     np.maximum(d2, 0.0, out=d2)
     d = np.sqrt(d2)
     kth = np.partition(d, p - 1, axis=1)[:, p - 1]
     rows, cols = np.nonzero(d <= kth[:, None] + 1e-5)
-    diff = emb[rows] - cmat[cols]
-    dr = np.floor(np.sqrt((diff * diff).sum(axis=1)) * 1e6 + 0.5)
+    # chunked exact refinement: under mass ties (e.g. rotation-replica
+    # corpora where many centroids are exactly equidistant) the
+    # candidate set approaches batch x n_cells, and a single
+    # (n_cand, dim) difference array is gigabytes — it crashed the
+    # Python worker at the 1000x replica. Chunking bounds the peak at
+    # ~chunk x dim doubles while dr stays one flat n_cand vector.
+    dr = np.empty(len(rows), dtype=np.float64)
+    chunk = 262_144
+    for s in range(0, len(rows), chunk):
+        dff = emb[rows[s : s + chunk]] - cmat[cols[s : s + chunk]]
+        dr[s : s + chunk] = np.floor(
+            np.sqrt((dff * dff).sum(axis=1)) * 1e6 + 0.5
+        )
     order = np.lexsort((cent_ids[cols], dr, rows))
     rows_o = rows[order]
     # every row has >= p candidates (kth is the p-th smallest of d

@@ -5638,13 +5638,17 @@ def _dsir_weights_sql(
           AS lr
       FROM rc LEFT JOIN tc USING (bucket)
     ),
-    feats AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
-              FROM rex GROUP BY doc_id, bucket),
     weights AS (
-      SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_ngrams,
-             round(CAST(sum(f.cnt * l.lr) AS DOUBLE) / 1000000, 6) AS logw
-      FROM feats f JOIN lr l USING (bucket)
-      GROUP BY f.doc_id
+      -- per-occurrence sum, not a (doc, bucket) rollup first: sum of
+      -- cnt*lr over rolled-up rows == sum of lr over raw occurrences
+      -- (exact integers), and skipping the corpus-sized 700M-group
+      -- feats aggregation is what lets this oracle fit the probe box
+      -- at the keep-vocab 1000x replica (it spilled the disk dry with
+      -- the rollup; lr is a 4096-row join side)
+      SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             round(CAST(sum(l.lr) AS DOUBLE) / 1000000, 6) AS logw
+      FROM rex r JOIN lr l USING (bucket)
+      GROUP BY r.doc_id
     )"""
 
 

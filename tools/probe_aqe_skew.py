@@ -41,6 +41,13 @@ def run_once(spark, sf_dir: str, skew_enabled: bool) -> dict:
     spark.conf.set(
         "spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower()
     )
+    # emulate the 100 TB regime: at real web-corpus scale the token
+    # count tables (c1/c12) are NOT broadcastable, so the hot-key join
+    # is a sort-merge join. At probe scale AQE turns them into
+    # broadcast joins (vocab-sized sides) — which is skew-IMMUNE and
+    # the correct plan, but it would make this probe measure nothing.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     # probe-scaled thresholds: keep factor 5 (a partition is "skewed"
     # when 5x the median), lower the absolute floor from 256MB to 4MB so
     # the probe corpus can cross it; advisory target 2MB keeps the
@@ -50,22 +57,19 @@ def run_once(spark, sf_dir: str, skew_enabled: bool) -> dict:
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = bigram_logloss(docs)
-    t0 = time.time()
-    row = out.agg(
+    agg = bigram_logloss(docs).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("n_bigrams")).alias("nb"),
-    ).collect()[0]
+    )
+    t0 = time.time()
+    row = agg.collect()[0]
     took = time.time() - t0
-    # the agg above finalizes its own plan; re-run the operator alone to
-    # read ITS final adaptive plan (cheap second pass, cached shuffle)
-    out2 = bigram_logloss(docs)
-    out2.count()
-    plan = final_plan(out2)
+    plan = final_plan(agg)
     return {
         "skew_join": skew_enabled,
         "seconds": round(took, 1),
-        "skewed_joins_in_plan": plan.count("skew=true"),
+        "skewed_smj_in_plan": plan.count("skew=true"),
+        "skewed_aqe_reads": plan.count("skewed"),
         "rows": int(row["n"]),
         "sum_bigrams": int(row["nb"]),
     }
@@ -77,7 +81,8 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sgraft_sf10v"
     n_shuffle = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     spark = get_spark("aqe-skew-probe", shuffle_partitions=n_shuffle)
-    for enabled in (True, False):
+    run_once(spark, sf_dir, True)  # warmup: JVM + parquet footer cache
+    for enabled in (True, False, True):
         print(json.dumps(run_once(spark, sf_dir, enabled)), flush=True)
     return 0
 
