@@ -149,6 +149,7 @@ def hybrid_scores_rrf(
     impact_factor: float = 60.0,
     top_n: int = 200,
     stats: DataFrame | None = None,
+    keyword_ranker: str = "tfidf",
 ) -> DataFrame:
     """Reciprocal-rank fusion hybrid — the DEFAULT hybrid ranker of the
     llama-stack runtime the reference's OGX query path delegates to
@@ -160,13 +161,18 @@ def hybrid_scores_rrf(
 
     fused over the keyword top-``top_n`` and the cosine top-``top_n``
     (llama-stack fuses two top-k lists, so each side is bounded); a doc
-    absent from one list contributes nothing from that side. Note the
-    keyword RANKING here is our TF-IDF scorer — llama-stack's keyword
-    retriever is FTS5 BM25 (see :func:`bm25_scores` idf_variant="fts5"
-    for the pinned scorer); the FUSION rule is what this operator pins.
-    The generic N-way rank fusion lives in :func:`rrf_fuse`; this is
-    the two-retriever OGX hybrid shape, kept separate because it
-    surfaces the per-side ranks alongside the fused score.
+    absent from one list contributes nothing from that side.
+
+    ``keyword_ranker`` selects the keyword side's scorer:
+    ``"fts5"`` ranks with :func:`bm25_scores` (idf_variant="fts5" — the
+    SQLite FTS5 BM25 behind llama-stack's sqlite-vec keyword retriever,
+    pinned to 1e-6 against a real FTS5 table), which makes the WHOLE
+    operator runtime-exact for the OGX hybrid mode; ``"tfidf"``
+    (default, kept for the r10-pinned `hybrid_rrf` oracle) ranks with
+    our TF-IDF :func:`keyword_scores`. The FUSION rule is identical in
+    both modes. The generic N-way rank fusion lives in :func:`rrf_fuse`;
+    this is the two-retriever OGX hybrid shape, kept separate because
+    it surfaces the per-side ranks alongside the fused score.
 
     Scale shape: each side goes through :func:`shortlist_ranks`
     (TakeOrdered top-n, rank window over <= top_n rows), the join is a
@@ -177,9 +183,18 @@ def hybrid_scores_rrf(
     """
     from rag_content_spark.functions.vector import dot
 
-    kw = keyword_scores(
-        docs_with_vectors, terms, id_col, text_col, round_to=9, stats=stats
-    )
+    if keyword_ranker == "fts5":
+        kw = bm25_scores(
+            docs_with_vectors, terms, id_col=id_col, text_col=text_col,
+            round_to=9, stats=stats, idf_variant="fts5",
+        ).withColumnRenamed("bm25", "kw_score")
+    elif keyword_ranker == "tfidf":
+        kw = keyword_scores(
+            docs_with_vectors, terms, id_col, text_col, round_to=9,
+            stats=stats,
+        )
+    else:
+        raise ValueError(f"unknown keyword_ranker {keyword_ranker!r}")
     kw_ranked = shortlist_ranks(
         kw, n=top_n, score_col="kw_score", id_col=id_col
     ).withColumnRenamed("rank", "kw_rank")

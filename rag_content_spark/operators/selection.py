@@ -291,10 +291,26 @@ def dsir_select(
 # Bigram-LM cross-entropy (CCNet-style perplexity quality filter)
 
 
+def _salted_model_join(big, model, keys, salt: int, id_col: str):
+    """Salted-replicate equi-join of the corpus-side bigram stream
+    against a vocabulary-sized model table: the corpus side carries
+    ``_salt = hash(doc_id) % salt`` (spreading a hot token's rows over
+    ``salt`` tasks regardless of the token key), the model side is
+    replicated to every salt. Identical rows out — the model table has
+    exactly one row per key, so each (row, salt) pair still matches it
+    exactly once. The `wedge_salt` pattern from
+    :func:`rag_content_spark.operators.graph.triangle_counts`."""
+    rep = model.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return big.join(rep, [*keys, "_salt"])
+
+
 def bigram_logloss(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt: int | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy under an in-plan add-1-smoothed bigram
     LM: (id, n_bigrams, xent2).
@@ -308,8 +324,15 @@ def bigram_logloss(
 
     Scale: two token-key aggregates (map-side combining; vocabulary-
     sized results, far smaller than the corpus), one broadcast one-row V,
-    then a shuffle join on w1 — token keys are Zipf-skewed, so AQE's
-    skew-join split handles the hot heads.
+    then shuffle joins on (w1,w2) / w1. On a REAL web corpus the token
+    keys are Zipf-skewed and the r10/r11 AQE probe showed Spark's
+    skew-join split cannot be counted on to fire on this shape
+    (BASELINE.md round-11) — ``salt=S`` is the explicit mitigation:
+    the corpus side is salted by ``hash(doc_id) % S`` and each
+    vocabulary-sized model table is replicated S times
+    (:func:`_salted_model_join`), bounding any single task at ~1/S of a
+    hot token's rows. Identical output, equality-pinned in
+    tests/test_selection.py.
     """
     tok = tokens(text_col)
     n = F.size(tok)
@@ -333,9 +356,19 @@ def bigram_logloss(
     p = (F.col("c12") + F.lit(1)).cast("double") / (
         F.col("c1") + F.col("v")
     ).cast("double")
+    if salt and salt > 1:
+        big_s = big.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt))).cast("int"),
+        )
+        joined = _salted_model_join(
+            _salted_model_join(big_s, c12, ["w1", "w2"], salt, id_col),
+            c1, ["w1"], salt, id_col,
+        ).drop("_salt")
+    else:
+        joined = big.join(c12, ["w1", "w2"]).join(c1, "w1")
     return (
-        big.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        joined
         .join(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
@@ -350,6 +383,7 @@ def kneser_ney_logloss(
     discount: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt: int | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy under an in-plan interpolated
     Kneser-Ney bigram LM (Kneser & Ney 1995; the interpolated form of
@@ -368,8 +402,12 @@ def kneser_ney_logloss(
     Scale: identical shape to :func:`bigram_logloss` plus one extra
     vocabulary-sized aggregate per side — two token-key groupBys with
     map-side combining, one broadcast scalar, equi-joins on w1 / (w1,w2)
-    / w2 with AQE skew-split on the Zipf heads. All model tables are
-    vocabulary-sized, never corpus-sized.
+    / w2. All model tables are vocabulary-sized, never corpus-sized.
+    ``salt=S`` salts the corpus side of all three model joins by
+    ``hash(doc_id) % S`` (replicating each vocab-sized table S times) —
+    the explicit Zipf-head mitigation, since the r10/r11 AQE probe
+    showed the skew-join split cannot be counted on to fire on this
+    shape (BASELINE.md round-11). Identical output, equality-pinned.
     """
     tok = tokens(text_col)
     n = F.size(tok)
@@ -398,10 +436,22 @@ def kneser_ney_logloss(
         + (d * F.col("fanout") / F.col("c1"))
         * (F.col("n_left").cast("double") / F.col("n_types"))
     )
+    if salt and salt > 1:
+        big_s = big.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt))).cast("int"),
+        )
+        joined = _salted_model_join(
+            _salted_model_join(
+                _salted_model_join(big_s, c12, ["w1", "w2"], salt, id_col),
+                ctx, ["w1"], salt, id_col,
+            ),
+            cont, ["w2"], salt, id_col,
+        ).drop("_salt")
+    else:
+        joined = big.join(c12, ["w1", "w2"]).join(ctx, "w1").join(cont, "w2")
     return (
-        big.join(c12, ["w1", "w2"])
-        .join(ctx, "w1")
-        .join(cont, "w2")
+        joined
         .join(F.broadcast(types))
         .groupBy(id_col)
         .agg(

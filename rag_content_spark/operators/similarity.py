@@ -431,18 +431,25 @@ def nearest_cells_np(emb, cmat, cent_ids, cnorm, p: int):
     declarative operators and the DuckDB oracles use.
 
     Shortlists with the fast matmul expansion ``|x|^2 + |c|^2 - 2x.c``,
-    then REFINES every candidate within 1e-5 of the p-th-smallest
-    expansion distance using the cancellation-free difference form
-    ``sqrt(sum((x-c)^2))``, rounded half-away-from-zero
+    then REFINES every candidate within a data-scaled margin of the
+    p-th-smallest expansion distance using the cancellation-free
+    difference form ``sqrt(sum((x-c)^2))``, rounded half-away-from-zero
     (``floor(d*1e6 + 0.5)`` — F.round / DuckDB round semantics, NOT
-    numpy's banker's ``np.round``). The expansion's cancellation error
-    is bounded by a few ulps of ``|x|^2 + |c|^2`` (~1e-14 at unit
-    scale) and rounding moves a distance by at most 0.5e-6, so the
-    1e-5 candidate margin provably contains every centroid whose
-    ROUNDED exact distance can reach the top-p: the two
-    boundary-divergence channels the round-9 advice flagged (expansion
-    FP drift near a 1e-6 boundary; half-even vs half-away ties) are
-    both closed on the refined path, at matmul shortlist cost.
+    numpy's banker's ``np.round``). The margin is
+    ``1e-5 + 2*sqrt(4*(dim+4)*eps*(max|x|^2 + max|c|^2))``: the second
+    term bounds the expansion's cancellation error in DISTANCE units
+    (error in d^2 is <= ~(dim+4)*eps*(|x|^2+|c|^2+2|x.c|) ulp
+    accumulation, and |sqrt(a)-sqrt(b)| <= sqrt(|a-b|) converts it
+    without dividing by a possibly-tiny distance), doubled because both
+    the candidate's shortlist distance and the p-th pivot carry it; the
+    1e-5 term covers the 0.5e-6 rounding shift plus 1e-6-grid ties as
+    before. At unit scale the scaled term is ~1e-6 (the old fixed 1e-5
+    behavior is unchanged); at |x| ~ 1e5 norms — where the r10 advice
+    showed the fixed margin could silently drop a true top-p centroid —
+    it grows to cover the actual FP drift. The two boundary-divergence
+    channels the round-9 advice flagged (expansion FP drift near a
+    1e-6 boundary; half-even vs half-away ties) stay closed on the
+    refined path, at matmul shortlist cost.
 
     ``cent_ids``/``cmat``/``cnorm`` must be pre-sorted by centroid id.
     Returns an ``(n, min(p, n_cells))`` int64 array of centroid ids,
@@ -473,7 +480,13 @@ def nearest_cells_np(emb, cmat, cent_ids, cnorm, p: int):
     np.maximum(d2, 0.0, out=d2)
     d = np.sqrt(d2)
     kth = np.partition(d, p - 1, axis=1)[:, p - 1]
-    rows, cols = np.nonzero(d <= kth[:, None] + 1e-5)
+    dim = emb.shape[1] if emb.ndim == 2 else 1
+    e2 = (
+        4.0 * (dim + 4) * np.finfo(np.float64).eps
+        * (float(xnorm.max(initial=0.0)) + float(cnorm.max(initial=0.0)))
+    )
+    margin = 1e-5 + 2.0 * float(np.sqrt(e2))
+    rows, cols = np.nonzero(d <= kth[:, None] + margin)
     # chunked exact refinement: under mass ties (e.g. rotation-replica
     # corpora where many centroids are exactly equidistant) the
     # candidate set approaches batch x n_cells, and a single

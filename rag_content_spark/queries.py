@@ -2409,6 +2409,83 @@ def q_keyword_fts5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_docs(spark, sf_dir), _KW_TERMS, idf_variant="fts5")
 
 
+@register(
+    "hybrid_rrf_fts5",
+    # The COMPLETE OGX hybrid pin (r10 verdict task 5): RRF k=60 fusion
+    # (llama-stack RRFReRanker) over a keyword side ranked by SQLite
+    # FTS5 BM25 (idf floored at 1e-6 — the actual scorer behind the
+    # sqlite-vec provider's keyword retriever) and a cosine side — both
+    # top-200 shortlists. `hybrid_rrf` keeps the TF-IDF keyword ranker
+    # for comparison; THIS row is the runtime-exact mode.
+    f"""
+    WITH lens AS (SELECT doc_id, len({_TOKENS_SQL}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+    post AS (
+      SELECT doc_id, u.token, count(*) AS tf
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+      WHERE u.token IN {_KW_TERMS_SQL}
+      GROUP BY doc_id, u.token
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN ln((CAST(s.n AS DOUBLE) - count(*) OVER (PARTITION BY p.token) + 0.5)
+                          / (count(*) OVER (PARTITION BY p.token) + 0.5)) <= 0.0
+                  THEN 0.000001
+                  ELSE ln((CAST(s.n AS DOUBLE) - count(*) OVER (PARTITION BY p.token) + 0.5)
+                          / (count(*) OVER (PARTITION BY p.token) + 0.5)) END
+             * (CAST(p.tf AS DOUBLE) * (1.2 + 1))
+               / (CAST(p.tf AS DOUBLE) + 1.2 * ((1 - 0.75) + 0.75 * l.dl / s.avgdl))
+               AS term_score
+      FROM post p JOIN lens l USING (doc_id), stats s
+    ),
+    kw AS (
+      SELECT doc_id, round(sum(term_score), 9) AS kw_score
+      FROM scored GROUP BY doc_id
+    ),
+    kw_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+      FROM kw
+      QUALIFY kw_rank <= 200
+    ),
+    qv AS (SELECT {_mock_embed_sql("'spark join merge'")} AS v),
+    vec AS (
+      SELECT doc_id,
+             round({dot_sql(_mock_embed_sql('text'), 'qv.v')}, 9) AS cos_score
+      FROM documents, qv
+    ),
+    vec_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_score DESC, doc_id) AS vec_rank
+      FROM vec
+      QUALIFY vec_rank <= 200
+    )
+    SELECT doc_id,
+           CAST(v.vec_rank AS INTEGER) AS vec_rank,
+           CAST(k.kw_rank AS INTEGER) AS kw_rank,
+           coalesce(1.0 / (60.0 + v.vec_rank), 0.0)
+             + coalesce(1.0 / (60.0 + k.kw_rank), 0.0) AS rrf_score
+    FROM vec_ranked v FULL OUTER JOIN kw_ranked k USING (doc_id)
+    """,
+)
+def q_hybrid_rrf_fts5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.search import hybrid_scores_rrf
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "embedding", mock_embedding_expr("text", dim=8)
+    )
+    qvec = (
+        spark.createDataFrame([("spark join merge",)], ["text"])
+        .select(mock_embedding_expr("text", dim=8).alias("v"))
+        .collect()[0]["v"]
+    )
+    return hybrid_scores_rrf(
+        docs, _KW_TERMS, list(qvec), impact_factor=60.0, top_n=200,
+        keyword_ranker="fts5",
+    )
+
+
 # ==================== end-to-end build pipeline (M0) =======================
 
 
@@ -6498,9 +6575,13 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_small,
            -- the *100 runs in HUGEINT: at ~sf1000 money magnitudes the
            -- BIGINT intermediate (sum_micro * 100 ~ 3e18+) overflowed
-           -- int64 on BOTH engines (caught by the r10 magnitude probe)
+           -- int64 on BOTH engines (caught by the r10 magnitude probe);
+           -- the RESULT is rendered as a decimal string (volume_shipping
+           -- pattern, r10 advice) — a final BIGINT cast kept an int64
+           -- ceiling ~20x above the probed magnitude where the engines
+           -- diverge in failure mode (DuckDB raises, Spark nulls)
            CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) * 10000
-                     AS HUGEINT) * 100 // 7 AS BIGINT) AS avg_yearly_micro
+                     AS HUGEINT) * 100 // 7 AS VARCHAR) AS avg_yearly_micro
     FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
     WHERE CAST(l.l_quantity AS DECIMAL(18,6)) < CAST(0.2 AS DECIMAL(18,6)) * a.aq
     """,
@@ -6533,8 +6614,15 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "n_small",
+            # floor division kept entirely in DECIMAL(38,0): Spark's DIV
+            # returns LONG, which re-imposed the int64 ceiling on the
+            # QUOTIENT (r10 advice) — (n - n%7)/7 is exact and the /7 of
+            # an exactly-divisible decimal has no rounding; rendered as
+            # a string like the oracle's HUGEINT
             F.expr(
-                "CAST((_s4 * CAST(100 AS DECIMAL(38,0))) DIV 7 AS BIGINT)"
+                "CAST(CAST((_s4 * CAST(100 AS DECIMAL(38,0))"
+                " - pmod(_s4 * CAST(100 AS DECIMAL(38,0)), 7)) / 7"
+                " AS DECIMAL(38,0)) AS STRING)"
             ).alias("avg_yearly_micro"),
         )
     )

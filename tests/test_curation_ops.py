@@ -273,6 +273,37 @@ def test_nearest_cells_np_boundary_semantics():
     assert list(got[2]) == [4, 5, 9]
 
 
+def test_nearest_cells_np_large_norm_margin():
+    """r10 advice: the refine margin must SCALE with the data — at
+    |x| ~ 1e5 norms the matmul expansion's cancellation error in d is
+    ~eps*(|x|^2+|c|^2)/(2d) >> the old fixed 1e-5, so a true top-p
+    centroid could fall outside the candidate shortlist and be silently
+    dropped from the 'exact-order' result. Adversarial shape: clusters
+    of centroids separated by far less than the expansion's error bar
+    at this magnitude, so only a correct (scaled) margin keeps every
+    true winner in the refine set."""
+    import numpy as np
+
+    from rag_content_spark.operators.similarity import nearest_cells_np
+
+    rng = np.random.default_rng(11)
+    scale = 1e5
+    base = rng.normal(size=(6, 16)) * scale
+    # 30 centroids: 6 tight clusters of 5, intra-cluster spread ~1e-4
+    # (distance differences far below eps * norm^2 / d ~ 1e-2 here)
+    cmat = np.repeat(base, 5, axis=0) + rng.normal(size=(30, 16)) * 1e-4
+    cent_ids = np.arange(30, dtype=np.int64)
+    # queries sit ON a cluster center, slightly perturbed
+    emb = base + rng.normal(size=(6, 16)) * 1e-4
+    cnorm = (cmat * cmat).sum(axis=1)
+    got = nearest_cells_np(emb, cmat, cent_ids, cnorm, 4)
+    for i in range(len(emb)):
+        d = np.sqrt(((emb[i][None, :] - cmat) ** 2).sum(axis=1))
+        dr = np.floor(d * 1e6 + 0.5)
+        want = cent_ids[np.lexsort((cent_ids, dr))][:4]
+        assert list(got[i]) == list(want), f"row {i}"
+
+
 def test_assign_ivf_cells_np_matches_exact(spark):
     """The vectorized (numpy-matmul) IVF assignment must agree with the
     exact declarative operator on real data."""

@@ -515,9 +515,12 @@ def test_small_quantity_revenue_survives_sf1000_money_magnitudes(
     in BIGINT; at ~sf1000 money magnitudes (sum_micro ~ 3e16+) that
     intermediate crosses int64 and Spark threw ARITHMETIC_OVERFLOW (the
     DuckDB oracle's BIGINT '*100' would have failed identically). The
-    fix runs the step in DECIMAL(38,0)/HUGEINT. This synthesizes a tiny
-    lineitem whose SELECTED revenue sum (1e13) makes _s4*100 = 1e19 >
-    2^63, and checks Spark and the DuckDB oracle still agree."""
+    fix runs the step in DECIMAL(38,0)/HUGEINT, and (r10 advice) renders
+    the QUOTIENT as a decimal string too — Spark's DIV returns LONG, so
+    a result past int64 would diverge in failure mode (DuckDB raises,
+    Spark nulls). This synthesizes a tiny lineitem whose SELECTED
+    revenue sum (1e13) makes _s4*100 = 1e19 > 2^63, and checks Spark
+    and the DuckDB oracle still agree."""
     import duckdb
 
     from rag_content_spark import queries as Q
@@ -539,7 +542,9 @@ def test_small_quantity_revenue_survives_sf1000_money_magnitudes(
     got = Q.QUERIES["small_quantity_revenue"](spark, sf).collect()[0]
     assert got["n_small"] == 2
     # 2 * 5e12 revenue -> micro-sum 1e19 before DIV 7: over int64
-    assert got["avg_yearly_micro"] == (2 * 5_000_000_000_000 * 1_000_000) // 7
+    assert got["avg_yearly_micro"] == str(
+        (2 * 5_000_000_000_000 * 1_000_000) // 7
+    )
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet/*.parquet'"

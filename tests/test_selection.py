@@ -74,6 +74,26 @@ def test_bigram_logloss_matches_hand_computation(spark):
     assert abs(got[2]["xent2"] - exp2) < 1e-6
 
 
+def test_bigram_lm_salt_equality(spark):
+    """The salt= knob (r10 verdict task 2: promote the wedge_salt
+    pattern into the bigram-LM token joins, since the AQE skew probe
+    showed the skew split cannot be counted on to fire) must be a pure
+    plan transformation: salted and unsalted runs produce IDENTICAL
+    rows on a real corpus slice, for both LM operators."""
+    from rag_content_spark.operators.selection import (
+        bigram_logloss,
+        kneser_ney_logloss,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(map(tuple, bigram_logloss(docs).collect()))
+    salted = sorted(map(tuple, bigram_logloss(docs, salt=8).collect()))
+    assert salted == base and len(base) > 0
+    base_kn = sorted(map(tuple, kneser_ney_logloss(docs).collect()))
+    salted_kn = sorted(map(tuple, kneser_ney_logloss(docs, salt=8).collect()))
+    assert salted_kn == base_kn and len(base_kn) > 0
+
+
 def test_bigram_logloss_drops_single_token_docs(spark):
     from rag_content_spark.operators.selection import bigram_logloss
 

@@ -107,6 +107,82 @@ def test_stream_compare_detects_column_mismatch(spark, vl, con):
     assert status and status[0].startswith("cols ")
 
 
+def test_stream_compare_null_not_aliased_by_literal_tokens(spark, vl, con):
+    """r10 advice: a NULL string cell must not hash equal to any literal
+    string — the old rendering used the token 'NULL', so a Spark NULL vs
+    a DuckDB 'NULL' string (or vice versa) false-passed. The sentinel is
+    now '\\N', and escaping doubles real backslashes, so neither the
+    literal 'NULL' nor the literal '\\N' can collide with a true NULL."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit(None).cast("string").alias("s"), F.col("id").alias("k")
+    )
+    status, _ = vl.stream_compare(
+        df, con, "SELECT 'NULL' AS s, 0 AS k"
+    )
+    assert status == ["stream value-hash mismatch"]
+    status, _ = vl.stream_compare(
+        df, con, r"SELECT '\N' AS s, 0 AS k"
+    )
+    assert status == ["stream value-hash mismatch"]
+    # and a true NULL on both sides still agrees
+    status, _ = vl.stream_compare(
+        df, con, "SELECT CAST(NULL AS VARCHAR) AS s, 0 AS k"
+    )
+    assert status == []
+
+
+def test_stream_compare_pipe_boundary_not_aliased(spark, vl, con):
+    """r10 advice: cells are joined with '|', so without escaping the
+    rows ('a|b','c') and ('a','b|c') rendered to the same bytes and a
+    compensating cross-engine divergence would cancel in the
+    commutative sum."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit("a|b").alias("s1"), F.lit("c").alias("s2")
+    )
+    status, _ = vl.stream_compare(
+        df, con, "SELECT 'a' AS s1, 'b|c' AS s2"
+    )
+    assert status == ["stream value-hash mismatch"]
+    status, _ = vl.stream_compare(
+        df, con, "SELECT 'a|b' AS s1, 'c' AS s2"
+    )
+    assert status == []
+
+
+def test_stream_compare_inf_and_macro_grid(spark, vl, con):
+    """r10 advice: ±Infinity and |x| >= 9.2e12 used to crash the DuckDB
+    side (BIGINT cast of an out-of-range floor) while Spark saturated.
+    Now Inf renders as a token and the 9.2e12..9.2e24 band uses an
+    'M'-prefixed floor(x/1e6) macro grid — cross-engine agreement holds
+    and a 1e7 shift at 1.5e13 is still DETECTED (no 'OVR' blind spot)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "CASE WHEN id = 0 THEN CAST('Infinity' AS DOUBLE) "
+            "WHEN id = 1 THEN CAST('-Infinity' AS DOUBLE) "
+            "WHEN id = 2 THEN CAST(1.5e13 AS DOUBLE) "
+            "ELSE CAST(5.0e12 AS DOUBLE) END"
+        ).alias("x"),
+    )
+    good = (
+        "SELECT k, CASE WHEN k = 0 THEN CAST('Infinity' AS DOUBLE) "
+        "WHEN k = 1 THEN CAST('-Infinity' AS DOUBLE) "
+        "WHEN k = 2 THEN 1.5e13 ELSE 5.0e12 END AS x FROM range(4) t(k)"
+    )
+    status, detail = vl.stream_compare(df, con, good)
+    assert status == []
+    assert detail == {"rows": 4}
+    bad = good.replace("1.5e13", "1.5001e13")  # +1e9 -> +1000 macro cells
+    status, _ = vl.stream_compare(df, con, bad)
+    assert status == ["stream value-hash mismatch"]
+
+
 def test_stream_compare_empty_results_pass(spark, vl, con):
     from pyspark.sql import functions as F
 

@@ -75,12 +75,84 @@ def run_once(spark, sf_dir: str, skew_enabled: bool) -> dict:
     }
 
 
+def run_structural(spark, tmp_dir: str) -> None:
+    """Isolate WHY the split never fires on the bigram-LM shape: AQE's
+    OptimizeSkewedJoin only pattern-matches
+    ``SMJ(Sort(ShuffleQueryStage), Sort(ShuffleQueryStage))`` — a
+    post-shuffle HashAggregate child (exactly what an in-plan model
+    table ``groupBy(token).count()`` is) falls outside the pattern, so
+    NO join against an in-plan aggregate can ever be skew-split,
+    however skewed the fact side. Control pair on identical data:
+
+      A. fact(90% one key) JOIN dim read FROM PARQUET  -> raw shuffle
+         both sides -> the split is ELIGIBLE and should fire;
+      B. fact(90% one key) JOIN the same dim built via an IN-PLAN
+         groupBy -> aggregate child -> structurally ineligible, 0.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    # 4M rows, 90% key 'the' (a true Zipf head), 100k distinct tail keys
+    fact = spark.range(4_000_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("the"))
+        .otherwise(F.concat(F.lit("w"), (F.col("id") % 100_000).cast("string")))
+        .alias("w1"),
+        F.col("id").alias("doc_id"),
+    )
+    fact_path = _os.path.join(tmp_dir, "skew_fact.parquet")
+    dim_path = _os.path.join(tmp_dir, "skew_dim.parquet")
+    fact.write.mode("overwrite").parquet(fact_path)
+    factp = spark.read.parquet(fact_path)
+    factp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    # the aggregate must keep doc_id flowing through the join: if only
+    # w1 survives column pruning, the hot partition is 3.6M copies of
+    # the SAME short string, lz4 in the shuffle compresses it ~100:1,
+    # and MapStatus' COMPRESSED sizes fall under any byte threshold —
+    # the skew rule keys on compressed bytes, a probe trap (and a real
+    # 100 TB lesson: low-entropy hot keys partially self-mitigate)
+    out = F.sum(F.col("c1") + F.col("doc_id")).alias("s")
+    # A: dim from parquet — both SMJ children are raw shuffles
+    dim_raw = spark.read.parquet(dim_path)
+    join_a = factp.join(dim_raw, "w1").agg(out)
+    join_a.collect()
+    plan_a = final_plan(join_a)
+    # B: dim as an in-plan aggregate over the SAME fact
+    dim_agg = factp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    join_b = factp.join(dim_agg, "w1").agg(out)
+    join_b.collect()
+    plan_b = final_plan(join_b)
+    for name, plan in (("A_dim_from_parquet", plan_a),
+                       ("B_dim_inplan_aggregate", plan_b)):
+        print(json.dumps({
+            "case": name,
+            "skewed_smj_in_plan": plan.count("skew=true"),
+            "skewed_aqe_reads": plan.count("skewed"),
+        }), flush=True)
+
+
 def main() -> int:
     from rag_content_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sgraft_sf10v"
     n_shuffle = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     spark = get_spark("aqe-skew-probe", shuffle_partitions=n_shuffle)
+    if sf_dir == "--structural":
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="sgraft_skewprobe_") as td:
+            run_structural(spark, td)
+        return 0
     run_once(spark, sf_dir, True)  # warmup: JVM + parquet footer cache
     for enabled in (True, False, True):
         print(json.dumps(run_once(spark, sf_dir, enabled)), flush=True)

@@ -92,6 +92,27 @@ def normalized_rows(df: pd.DataFrame) -> pd.Series:
 # engines — no printf / round() engine semantics involved), decimals are
 # normalized to DECIMAL(38,9) strings, timestamps to a fixed
 # microsecond format.
+#
+# Aliasing safety (r10 advice): the md5-halves sums are COMMUTATIVE, so
+# two compensating per-row divergences could cancel if distinct
+# (row, null-state) contents could render to identical bytes. Three
+# guards close every such channel:
+#   * string cells escape '\' -> '\\' then '|' -> '\|', so the '|'
+#     column delimiter never appears raw inside a cell;
+#   * NULL renders as the single token '\N' in EVERY cell type — after
+#     escaping, a real string cell can never equal '\N' (its backslash
+#     would be doubled), and no numeric/date rendering emits '\';
+#   * DOUBLE renders ±Infinity as 'Inf'/'-Inf'; at |x| >= 9.2e12 (the
+#     micro-grid's 2^63/1e6 exactness ceiling, where Spark's non-ANSI
+#     floor-cast saturates to Long.MAX but DuckDB's CAST raises) it
+#     switches to an 'M'-prefixed MACRO grid floor(x/1e6) — one
+#     correctly-rounded IEEE division on both engines, exact to
+#     |x| < 9.2e24 — and 'OVR' beyond that; magnitude overflow becomes
+#     a reportable value mismatch, not a query crash, without the
+#     detection blind spot a bare overflow token would open (two
+#     DIFFERENT huge values both rendering 'OVR' would compare equal).
+
+_NULL_TOK = r"\N"
 
 
 def _duck_cell(col: str, typ: str) -> str:
@@ -103,19 +124,34 @@ def _duck_cell(col: str, typ: str) -> str:
         # rendering-divergent on the pandas path too (the r9
         # forecast_revenue lesson) and must be a DECIMAL string instead
         return (
-            f"CASE WHEN {q} IS NULL THEN 'NULL' WHEN isnan({q}) THEN 'NaN' "
+            f"CASE WHEN {q} IS NULL THEN '{_NULL_TOK}' "
+            f"WHEN isnan({q}) THEN 'NaN' "
+            f"WHEN isinf({q}) THEN (CASE WHEN {q} > 0 THEN 'Inf' ELSE '-Inf' END) "
+            f"WHEN abs({q}) >= 9.2e24 THEN 'OVR' "
+            f"WHEN abs({q}) >= 9.2e12 THEN "
+            f"'M' || CAST(CAST(floor({q} / 1e6) AS BIGINT) AS VARCHAR) "
             f"ELSE CAST(CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS VARCHAR) END"
         )
     if t.startswith("DECIMAL"):
-        return f"coalesce(CAST(CAST({q} AS DECIMAL(38,9)) AS VARCHAR), 'NULL')"
+        return (
+            f"coalesce(CAST(CAST({q} AS DECIMAL(38,9)) AS VARCHAR), "
+            f"'{_NULL_TOK}')"
+        )
     if t.startswith("TIMESTAMP"):
-        return f"coalesce(strftime({q}, '%Y-%m-%d %H:%M:%S.%f'), 'NULL')"
+        return (
+            f"coalesce(strftime({q}, '%Y-%m-%d %H:%M:%S.%f'), '{_NULL_TOK}')"
+        )
+    if t == "VARCHAR":
+        return (
+            f"coalesce(replace(replace({q}, '\\', '\\\\'), '|', '\\|'), "
+            f"'{_NULL_TOK}')"
+        )
     if any(
         t.startswith(p)
         for p in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
-                  "UBIGINT", "UINTEGER", "BOOLEAN", "VARCHAR", "DATE")
+                  "UBIGINT", "UINTEGER", "BOOLEAN", "DATE")
     ):
-        return f"coalesce(CAST({q} AS VARCHAR), 'NULL')"
+        return f"coalesce(CAST({q} AS VARCHAR), '{_NULL_TOK}')"
     raise ValueError(f"stream-hash: unsupported DuckDB type {typ} for {col}")
 
 
@@ -129,24 +165,39 @@ def _spark_cell(col: str, dt):
             "string"
         )
         return (
-            F.when(c.isNull(), F.lit("NULL"))
+            F.when(c.isNull(), F.lit(_NULL_TOK))
             .when(F.isnan(c), F.lit("NaN"))
+            .when(c == F.lit(float("inf")), F.lit("Inf"))
+            .when(c == F.lit(float("-inf")), F.lit("-Inf"))
+            .when(F.abs(c) >= F.lit(9.2e24), F.lit("OVR"))
+            .when(
+                F.abs(c) >= F.lit(9.2e12),
+                F.concat(
+                    F.lit("M"),
+                    F.floor(c / F.lit(1e6)).cast("bigint").cast("string"),
+                ),
+            )
             .otherwise(rendered)
         )
     if isinstance(dt, T.DecimalType):
         return F.coalesce(
-            c.cast("decimal(38,9)").cast("string"), F.lit("NULL")
+            c.cast("decimal(38,9)").cast("string"), F.lit(_NULL_TOK)
         )
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.coalesce(
-            F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("NULL")
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit(_NULL_TOK)
         )
+    if isinstance(dt, T.StringType):
+        escaped = F.replace(
+            F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|")
+        )
+        return F.coalesce(escaped, F.lit(_NULL_TOK))
     if isinstance(
         dt,
         (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.BooleanType,
-         T.StringType, T.DateType),
+         T.DateType),
     ):
-        return F.coalesce(c.cast("string"), F.lit("NULL"))
+        return F.coalesce(c.cast("string"), F.lit(_NULL_TOK))
     raise ValueError(f"stream-hash: unsupported Spark type {dt} for {col}")
 
 
