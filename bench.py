@@ -197,6 +197,9 @@ HEADLINE = [
     "lsh_bucket_cap",         # enforced max_bucket_size candidate path (r8)
     "lsh_overflow",           # the no-silent-caps overflow summary (r8)
     "dedup_precollapse",      # exact-dup pre-collapse + member expansion (r8)
+    "keyword_fts5",           # FTS5-BM25 scorer (OGX keyword parity pin, r10)
+    "hybrid_rrf",             # RRF k=60 fusion, TF-IDF keyword side (r10)
+    "hybrid_rrf_fts5",        # RRF over FTS5-BM25 ranks (runtime-exact, r11)
 ]
 
 

@@ -37,12 +37,33 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import re
+import time
 import uuid
 
 
 def _snap_path(index_dir: str, version: int) -> str:
     return os.path.join(index_dir, "commits", f"snap-{version:05d}.json")
+
+
+def _max_version(cdir: str) -> int:
+    """Highest claimed version by FILENAME scan only — the claim retry
+    path must not re-parse every manifest JSON (O(log-length) reads per
+    retry was the starvation amplifier the contention probe caught: the
+    loser got slower each round while winners kept claiming)."""
+    mx = 0
+    try:
+        names = os.listdir(cdir)
+    except FileNotFoundError:
+        return 0
+    for name in names:
+        m = re.fullmatch(r"snap-(\d+)\.json", name)
+        if m:
+            v = int(m.group(1))
+            if v > mx:
+                mx = v
+    return mx
 
 
 def commits(index_dir: str) -> list[dict]:
@@ -68,20 +89,36 @@ def commits(index_dir: str) -> list[dict]:
     return out
 
 
-def claim(index_dir: str, record: dict) -> int:
+def claim(index_dir: str, record: dict, attempts_out: list | None = None) -> int:
     """Claim the next version for ``record`` (hard-link commit); returns
     the claimed version. ``record`` must carry kind/dirs/stats; version,
     parent and (for non-compact kinds) base_version are filled in here.
     ``compact`` records must already carry ``base_version`` — the
-    highest version whose data the compaction absorbed."""
+    highest version whose data the compaction absorbed.
+
+    ``attempts_out``: when a list is passed, the number of link attempts
+    this claim needed (1 = won first try) is appended — observability
+    for the multi-writer contention probe
+    (tools/probe_commit_contention.py).
+
+    Liveness under contention: the r11 probe caught the original loop
+    (50 bare retries, full ``commits()`` manifest re-parse per retry)
+    STARVING a writer to hard failure at just 4 concurrent
+    claim-at-max-rate writers — each lost round made the loser slower
+    (one more manifest to parse) while winners kept claiming. The retry
+    path now (a) re-reads only the max version from filenames
+    (:func:`_max_version`), (b) sleeps a jittered exponential backoff
+    (full jitter, capped at 100 ms) after the second straight loss, and
+    (c) allows 500 attempts — at realistic writer counts the probe
+    measures single-digit attempt tails."""
     cdir = os.path.join(index_dir, "commits")
     os.makedirs(cdir, exist_ok=True)
-    snaps = commits(index_dir)
-    for _attempt in range(50):
-        version = (snaps[-1]["version"] + 1) if snaps else 1
+    last = _max_version(cdir)
+    for _attempt in range(500):
+        version = last + 1
         manifest = dict(record)
         manifest["version"] = version
-        manifest["parent"] = snaps[-1]["version"] if snaps else None
+        manifest["parent"] = last if last else None
         if manifest["kind"] != "compact":
             manifest["base_version"] = version
         elif "base_version" not in manifest:
@@ -92,11 +129,15 @@ def claim(index_dir: str, record: dict) -> int:
         try:
             os.link(tmp, _snap_path(index_dir, version))
             os.remove(tmp)
+            if attempts_out is not None:
+                attempts_out.append(_attempt + 1)
             return version
         except FileExistsError:
             os.remove(tmp)
-            snaps = commits(index_dir)
-    raise RuntimeError(f"lost the commit race 50 times in {index_dir}")
+            if _attempt >= 1:
+                time.sleep(random.uniform(0.0, min(0.1, 0.002 * (2 ** _attempt))))
+            last = _max_version(cdir)
+    raise RuntimeError(f"lost the commit race 500 times in {index_dir}")
 
 
 def staging_dir(index_dir: str, prefix: str) -> str:

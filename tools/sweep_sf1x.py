@@ -44,6 +44,7 @@ SRC = "/root/testdata/sf0.1"
 def build(
     dst: str, n: int = 10, keep_vocab: bool = False,
     tables: list | None = None, money_scale: int = 1,
+    value_scale: int = 1,
 ) -> None:
     """``keep_vocab=True`` replicates documents VERBATIM (no per-replica
     token suffixing) even at n >= 20 — for the vocabulary-heavy oracle
@@ -67,7 +68,14 @@ def build(
     rendering at ~3e13 micro-units), which a 1000x-row replica with
     10x values reaches honestly. Row-count-driven boundary classes
     (partition stitches, register saturation) are NOT probed by this
-    mode — scope stated in the artifact."""
+    mode — scope stated in the artifact.
+
+    ``value_scale`` is the same magnitude axis for the NON-money value
+    columns the r10 money probe could not reach (r10 verdict task 6):
+    events.value (the rolling/locf/windowed micro-sum rail) and the
+    embedding components (the 128-bit covariance rail). One
+    correctly-rounded multiply per cell, so both engines read identical
+    stored values."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -86,7 +94,8 @@ def build(
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")
     try:
-        _build_tables(con, dst, n, keep_vocab, tables, money_scale)
+        _build_tables(con, dst, n, keep_vocab, tables, money_scale,
+                      value_scale)
     finally:
         # even a failed/killed build must reap its per-pid spill dir
         # (r9 advice: the cleanup only ran on the normal exit path)
@@ -101,6 +110,7 @@ def build(
 def _build_tables(
     con, dst: str, n: int, keep_vocab: bool = False,
     tables: list | None = None, money_scale: int = 1,
+    value_scale: int = 1,
 ) -> None:
     decorrelate = n >= 20 and not keep_vocab
     # stride stays wide whenever n >= 20 (keep_vocab included): the
@@ -148,6 +158,11 @@ def _build_tables(
             "(CASE WHEN r.range >= len(embedding) THEN -1 ELSE 1 END) * "
             "embedding[((i - 1 + r.range) % len(embedding)) + 1]) END"
         )
+        if value_scale != 1:
+            emb_expr = (
+                f"list_transform({emb_expr}, "
+                f"x -> x * CAST({value_scale} AS FLOAT))"
+            )
         rep(
             "embeddings",
             f"vec_id + r.range * {doc_stride} AS vec_id, "
@@ -160,9 +175,14 @@ def _build_tables(
             f"doc_id + r.range * {doc_stride} AS doc_id, "
             "text, lang, source, n_chars",
         )
+        emb_plain = (
+            "embedding" if value_scale == 1 else
+            f"CAST(list_transform(embedding, "
+            f"x -> x * CAST({value_scale} AS FLOAT)) AS FLOAT[]) AS embedding"
+        )
         rep(
             "embeddings",
-            f"vec_id + r.range * {doc_stride} AS vec_id, embedding, label",
+            f"vec_id + r.range * {doc_stride} AS vec_id, {emb_plain}, label",
         )
     def money(c: str) -> str:
         # source money columns are DOUBLE (2-dp "nice" values); an
@@ -198,10 +218,14 @@ def _build_tables(
         "lineitem",
         f"l_orderkey + r.range * 10000000 AS l_orderkey, {rest}",
     )
+    val = (
+        "value" if value_scale == 1
+        else f"CAST(value * {value_scale} AS DOUBLE) AS value"
+    )
     rep(
         "events",
         "event_id + r.range * 10000000 AS event_id, ts, "
-        "user_id + r.range * 1000000 AS user_id, event_type, value, props",
+        f"user_id + r.range * 1000000 AS user_id, event_type, {val}, props",
     )
     for small in ("part", "supplier", "nation", "region"):
         if want is not None and small not in want:
@@ -217,10 +241,14 @@ if __name__ == "__main__":
     keep_vocab = "--keep-vocab" in flags
     tables = None
     money_scale = 1
+    value_scale = 1
     for f in flags:
         if f.startswith("--tables="):
             tables = f.split("=", 1)[1].split(",")
         if f.startswith("--money-scale="):
             money_scale = int(f.split("=", 1)[1])
-    build(dst, n, keep_vocab=keep_vocab, tables=tables, money_scale=money_scale)
+        if f.startswith("--value-scale="):
+            value_scale = int(f.split("=", 1)[1])
+    build(dst, n, keep_vocab=keep_vocab, tables=tables,
+          money_scale=money_scale, value_scale=value_scale)
     print(f"built {dst} (x{n}{', keep-vocab' if keep_vocab else ''})")
