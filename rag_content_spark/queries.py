@@ -5807,6 +5807,24 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_entropy_salted",
+    # Identical semantics to bigram_entropy — same oracle — through the
+    # SALTED plan (salt=8: corpus side keyed by hash(doc_id)%8, model
+    # tables replicated 8x). The explicit Zipf-head mitigation for the
+    # 100 TB regime, registered so the driver's oracle gate pins the
+    # salted join plan cross-engine, not just the pytest equality test:
+    # the r11 structural probe showed AQE's skew split can NEVER fire
+    # on a join against an in-plan aggregate (BASELINE.md round-11).
+    lambda: ORACLES["bigram_entropy"],
+    stream_hash=True,
+)
+def q_bigram_entropy_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.selection import bigram_logloss
+
+    return bigram_logloss(_docs(spark, sf_dir), salt=8)
+
+
+@register(
     "kn_bigram_xent",
     # Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
     # Chen & Goodman 1999 eq. 4.25), D = 0.75: the strongest count-based
