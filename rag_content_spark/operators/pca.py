@@ -12,9 +12,11 @@ rounded to the 1e-6 grid and scaled to a BIGINT (x6); then
 
     cov_ij = (n * sum(x6_i * x6_j) - sum(x6_i) * sum(x6_j)) / (n^2 * 1e12)
 
-where every sum is an exact 64-bit integer (magnitude check: |x6| <=
-~2e6, so a product is <= 4e12 and n <= ~1e6 rows stays inside int64;
-larger corpora shift to the 1e-4 grid or the numpy twin's float path).
+where every sum runs on the 128-bit rail (DECIMAL(38,0) on Spark,
+HUGEINT on DuckDB) end to end: the r9 100x sweep caught S_i*S_j past
+int64, and the r11 value-magnitude probe caught S_ij itself at ~7e23
+with 1000x-scaled coordinates — only the per-element PRODUCT (exact
+for |x6| up to ~3e9) stays 64-bit.
 The one descale to double at the end is an identical int64 -> IEEE
 conversion on both engines. This is the same engine-exact fixed-point
 discipline as pagerank/MMR/DoReMi.
@@ -90,12 +92,18 @@ def embedding_covariance(
         .filter(F.col("i") <= F.col("j"))
         .groupBy("i", "j")
         .agg(
-            F.sum(F.col("xa") * F.col("xb")).alias("s_ij"),
+            # the SUM (not just the centered numerator) must run in
+            # DECIMAL(38,0): at 1000x coordinate magnitudes (r11 value
+            # probe) sum(xa*xb) reaches ~7e23, past int64 — the
+            # per-product stays < 9.2e18 on the 1e-6 grid, the
+            # accumulation does not
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,0)"))
+            .alias("s_ij"),
             F.count(F.lit(1)).alias("_n"),
         )
     )
     sums = coords.groupBy(F.col("i").alias("k")).agg(
-        F.sum("x6").alias("s_k")
+        F.sum(F.col("x6").cast("decimal(38,0)")).alias("s_k")
     )
     sa = sums.select(F.col("k").alias("i"), F.col("s_k").alias("s_i"))
     sb = sums.select(F.col("k").alias("j"), F.col("s_k").alias("s_j"))
@@ -124,6 +132,8 @@ def embedding_covariance_np(
     d^2 tiny rows — one narrow corpus pass, no explode/self-join.
     Bit-identical output (all arithmetic is the same exact integer
     math); equality-pinned in tests."""
+    import decimal
+
     import numpy as np
     import pandas as pd
 
@@ -133,8 +143,8 @@ def embedding_covariance_np(
         [
             T.StructField("i", T.IntegerType()),
             T.StructField("j", T.IntegerType()),
-            T.StructField("s_ij", T.LongType()),
-            T.StructField("s_i_part", T.LongType()),
+            T.StructField("s_ij", T.DecimalType(38, 0)),
+            T.StructField("s_i_part", T.DecimalType(38, 0)),
             T.StructField("n_part", T.LongType()),
         ]
     )
@@ -149,15 +159,35 @@ def embedding_covariance_np(
                 np.sign(X) * np.floor(np.abs(X * SCALE6) + 0.5)
             ).astype(np.int64)
             d = x6.shape[1]
-            g = x6.T @ x6  # int64-exact Gram partial
-            s = x6.sum(axis=0)
+            # int64 matmul is only exact while rows_per_chunk *
+            # max(x6)^2 < 2^63 — at 1000x coordinate magnitudes (the
+            # r11 value probe) a whole-batch Gram overflows SILENTLY
+            # (numpy wraps). Chunk adaptively so each int64 partial is
+            # provably exact, accumulate chunks in Python ints
+            # (arbitrary precision, d x d is tiny), and ship the batch
+            # partial as DECIMAL(38,0) — the same 128-bit rail as the
+            # SQL twin's HUGEINT sums.
+            mx = int(np.abs(x6).max(initial=0))
+            chunk = len(x6) if mx == 0 else max(
+                1, int(9_000_000_000_000_000_000 // (mx * mx))
+            )
+            G = np.zeros((d, d), dtype=object)
+            S = np.zeros(d, dtype=object)
+            for st in range(0, len(x6), chunk):
+                part = x6[st : st + chunk]
+                G += part.T @ part
+                S += part.sum(axis=0)
             iu, ju = np.triu_indices(d)
+            dec = decimal.Decimal
             yield pd.DataFrame(
                 {
                     "i": iu.astype(np.int32),
                     "j": ju.astype(np.int32),
-                    "s_ij": g[iu, ju],
-                    "s_i_part": np.where(iu == ju, s[iu], 0),
+                    "s_ij": [dec(int(v)) for v in G[iu, ju]],
+                    "s_i_part": [
+                        dec(int(S[a])) if a == b else dec(0)
+                        for a, b in zip(iu, ju)
+                    ],
                     "n_part": np.where(
                         iu == ju, np.int64(len(pdf)), np.int64(0)
                     ),

@@ -3760,28 +3760,63 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "label_centroids",
     # Per-label element-wise embedding mean (the k-means re-center shape,
-    # SURVEY-extension): posexplode/unnest to (label, dim, val), DECIMAL
-    # sums so partial-aggregation order cannot perturb the result.
+    # SURVEY-extension), ENTIRELY on the 1e-6 fixed-point integer grid:
+    # coordinates snap to BIGINT micros (the covariance _x6 grid), the
+    # group mean is exact integer round-half-up floor((2*S6+n)/(2n)) in
+    # 128-bit, and ONE int->double conversion ends the pipeline. The r11
+    # value-magnitude probe killed two successive DOUBLE formulations
+    # here: round(sum/n, 6) diverged at a .5e-6 boundary (Spark rounds
+    # the shortest repr, DuckDB the binary), and even a floor-snap on
+    # CAST(DECIMAL AS DOUBLE)/n diverged 1 ulp BEFORE the snap — DuckDB
+    # converts decimals as I * (double)1e-10 (two roundings, and 1e-10
+    # is itself inexact) while Spark's BigDecimal cast rounds once.
+    # Integer rails have no such channel.
     """
-    SELECT label, CAST(r.range AS INT) AS dim,
-           round(CAST(sum(CAST(embedding[CAST(r.range AS INT) + 1] AS DECIMAL(20,10))) AS DOUBLE)
-                 / count(*), 6) AS mean_val
-    FROM embeddings CROSS JOIN range(0, 64) r
-    GROUP BY label, dim
+    WITH c AS (
+      SELECT label, CAST(r.range AS INT) AS dim,
+             CAST(round(CAST(embedding[CAST(r.range AS INT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x6
+      FROM embeddings CROSS JOIN range(0, 64) r
+    ),
+    g AS (
+      SELECT label, dim, CAST(sum(x6) AS HUGEINT) AS s6,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM c GROUP BY label, dim
+    ),
+    q AS (
+      -- FLOOR division, spelled out: DuckDB's // TRUNCATES toward zero
+      -- on negatives (caught live: spark -9123 vs duck -9122 on a
+      -- negative mean), so subtract the non-negative pmod first — the
+      -- remaining quotient is exact and truncation == floor
+      SELECT label, dim, 2 * s6 + n AS a, 2 * n AS b FROM g
+    )
+    SELECT label, dim,
+           CAST((a - ((a % b) + b) % b) // b AS DOUBLE) / 1000000 AS mean_val
+    FROM q
     """,
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return (
+    x6 = F.round(F.col("v").cast("double") * F.lit(1_000_000)).cast("bigint")
+    dec = "decimal(38,0)"
+    g = (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
-            (
-                F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("_m")
+            F.sum(x6.cast(dec)).alias("s6"),
+            F.count(F.lit(1)).cast(dec).alias("n"),
         )
-        .select("label", "dim", F.round("_m", 6).alias("mean_val"))
+    )
+    a = F.lit(2).cast(dec) * F.col("s6") + F.col("n")
+    b = F.lit(2).cast(dec) * F.col("n")
+    # exact floor division in decimal: (a - pmod(a,b)) is divisible, so
+    # the decimal divide has no rounding; pmod >= 0 makes it FLOOR (not
+    # truncation), matching DuckDB's // on negatives
+    mean6 = ((a - F.pmod(a, b)) / b).cast(dec)
+    return g.select(
+        "label",
+        "dim",
+        (mean6.cast("double") / F.lit(1e6)).alias("mean_val"),
     )
 
 
@@ -8641,10 +8676,11 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact fixed-point covariance of the embedding coordinates
     # (operators/pca.py): identical integer sums on both engines —
     # coordinates rounded to the 1e-6 grid as BIGINTs, cov from
-    # (n*S_ij - S_i*S_j) integer arithmetic, one final descale. DuckDB
-    # sum(BIGINT) is HUGEINT -> cast back. The centered-numerator
-    # products widen to HUGEINT (Spark twin: DECIMAL(38,0)) — at 200k
-    # vectors S_i*S_j reaches ~4e22, past int64 (round-9 sf10 find).
+    # (n*S_ij - S_i*S_j) integer arithmetic, one final descale. The
+    # WHOLE rail is 128-bit: S_ij and S_k stay HUGEINT (Spark twin:
+    # DECIMAL(38,0)) — at 200k vectors S_i*S_j reaches ~4e22 (round-9
+    # sf10 find), and at 1000x VALUES (r11 magnitude probe) S_ij itself
+    # reaches ~7e23, past the old intermediate BIGINT cast.
     """
     WITH c AS (
       SELECT vec_id AS id, CAST(r.range AS INT) AS i,
@@ -8655,15 +8691,15 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (
       SELECT a.i, b.i AS j,
-             CAST(sum(a.x6 * b.x6) AS BIGINT) AS s_ij,
+             sum(CAST(a.x6 AS HUGEINT) * b.x6) AS s_ij,
              CAST(count(*) AS BIGINT) AS n
       FROM c a JOIN c b ON a.id = b.id AND a.i <= b.i
       GROUP BY a.i, b.i
     ),
-    s AS (SELECT i AS k, CAST(sum(x6) AS BIGINT) AS s_k FROM c GROUP BY i)
+    s AS (SELECT i AS k, CAST(sum(x6) AS HUGEINT) AS s_k FROM c GROUP BY i)
     SELECT p.i, p.j,
-           round(CAST(CAST(p.n AS HUGEINT) * CAST(p.s_ij AS HUGEINT)
-                      - CAST(sa.s_k AS HUGEINT) * CAST(sb.s_k AS HUGEINT)
+           round(CAST(CAST(p.n AS HUGEINT) * p.s_ij
+                      - sa.s_k * sb.s_k
                       AS DOUBLE)
                  / CAST(p.n * p.n AS DOUBLE) / 1e12, 6) + 0.0 AS cov6
     FROM p JOIN s sa ON p.i = sa.k JOIN s sb ON p.j = sb.k

@@ -551,3 +551,98 @@ def test_small_quantity_revenue_survives_sf1000_money_magnitudes(
     )
     want = con.execute(Q.resolve_oracles()["small_quantity_revenue"]).fetchone()
     assert (got["n_small"], got["avg_yearly_micro"]) == want
+
+
+def test_embedding_covariance_survives_value_magnitudes(spark, tmp_path):
+    """r11 value-magnitude-probe find, pinned at small SF: with
+    coordinates ~2000 (x6 ~ 2e9) a 4-row batch's int64 Gram partial is
+    ~1.6e19 > 2^63 — the numpy twin's whole-batch matmul WRAPPED
+    silently and the declarative twin's long sum raised
+    ARITHMETIC_OVERFLOW. The rail is now 128-bit end to end (chunked
+    exact Gram + DECIMAL(38,0) sums; oracle HUGEINT). Both twins must
+    agree with the DuckDB oracle bit-for-bit at this magnitude."""
+    import duckdb
+
+    from rag_content_spark import queries as Q
+    from rag_content_spark.operators.pca import (
+        embedding_covariance,
+        embedding_covariance_np,
+    )
+
+    rows = [
+        (1, [2000.25, -1999.75]),
+        (2, [-2000.5, 2000.0]),
+        (3, [1999.0, 1998.5]),
+        (4, [-1998.25, -2000.75]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).selectExpr(
+        "CAST(vec_id AS BIGINT) vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) embedding",
+        "CAST(0 AS INT) label",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    got_np = sorted(
+        map(tuple, embedding_covariance_np(df.select("vec_id", "embedding")).collect())
+    )
+    got_sql = sorted(
+        map(tuple, embedding_covariance(df.select("vec_id", "embedding")).collect())
+    )
+    assert got_np == got_sql
+    # magnitude sanity: S_ij ~ 1.6e19 really did cross int64
+    x6 = [[round(v * 1e6) for v in e] for _, e in rows]
+    s00 = sum(x[0] * x[0] for x in x6)
+    assert s00 > 2**63
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(
+        Q.resolve_oracles()["embedding_covariance"]
+    ).fetchall()))
+    assert got_np == want
+
+
+def test_label_centroids_negative_mean_floor_semantics(spark, tmp_path):
+    """r11 value-magnitude-probe find, pinned at small SF: the centroid
+    mean is now exact integer round-half-up on the 1e-6 grid. Two
+    divergence channels died here: DuckDB converts DECIMAL->DOUBLE as
+    I * (double)1e-10 (1 ulp off Spark's single-rounding BigDecimal
+    cast, enough to flip a .5e-6-boundary round), and DuckDB's `//`
+    TRUNCATES toward zero while the Spark twin floors — a negative
+    non-half mean (-9122.72 micro here) split them by one micro-unit.
+    Both engines must produce floor(-9122.72 + 0.5)/1e6 = -0.009123."""
+    import duckdb
+
+    from rag_content_spark import queries as Q
+
+    base = [0.0] * 64
+    vecs = []
+    for v in (-0.009122, -0.009123, -0.009123):
+        e = list(base)
+        e[0] = v
+        vecs.append(e)
+    rows = [(i + 1, vecs[i], 0) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).selectExpr(
+        "CAST(vec_id AS BIGINT) vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) embedding",
+        "CAST(label AS INT) label",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        (r["label"], r["dim"]): r["mean_val"]
+        for r in Q.QUERIES["label_centroids"](spark, sf).collect()
+    }
+    # float32 storage shifts the micro values by <1e-9; the mean of
+    # (-9122, -9123, -9123) micros is -9122.67 -> half-up -> -9123
+    assert got[(0, 0)] == -0.009123
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(Q.resolve_oracles()["label_centroids"]).fetchall()
+    }
+    assert got == want
