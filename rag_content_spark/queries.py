@@ -10166,6 +10166,264 @@ def q_streaming_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_saturation",
+    # Insert-decade saturation probe for ALL THREE mergeable sketches in
+    # one pass: a deterministic synthetic stream of 60 x count(events)
+    # distinct keys (event_id*60+j, j<60 — exactly {0..60N-1}, so the
+    # stream scales with the replica: 600k inserts at sf0.01, 6B at the
+    # 100M-event ~sf100 replica) feeds, from ONE md5 pass,
+    #   - the HLL register table (reg = low 8 bits, rank from the high
+    #     52 — operators/sketches.py hll_registers math inlined so the
+    #     CMS cells reuse the same hash),
+    #   - 4 CMS rows via disjoint 8-bit slices of the same 60-bit hash
+    #     (Kirsch-Mitzenmacher-style derived hash family — the decade
+    #     rail under test is the BIGINT cell counters and the harmonic
+    #     sum, not the salt family),
+    # plus a hash-free qsketch pass over the raw ids. Each sketch is
+    # built PER HALF (i%2) and combined with the real merge operators
+    # (hll_merge / cms_merge / qsketch_merge), so the mergeable state
+    # path is what's exercised. One result row carries the saturation
+    # rails: the HLL harmonic sum (BIGINT, must stay < 2^63 — bounded by
+    # m*2^53 ~ 2.3e18 by construction), max register rank (grows ~log2
+    # of inserts/m), CMS counter extremes, and the qsketch bucket count
+    # and p50/p99 lower bounds (relative error <= 12.5% by bucket
+    # construction).
+    f"""
+    WITH ids AS (
+      SELECT e.event_id * 60 + u.j AS i
+      FROM events e, unnest(generate_series(0, 59)) AS u(j)
+    ),
+    hx AS (
+      SELECT {stable_hash64_sql('CAST(i AS VARCHAR)')} AS h,
+             i % 2 AS half
+      FROM ids
+    ),
+    cells AS (
+      SELECT half, t.c.kind AS kind, t.c.key AS key, t.c.rk AS rk
+      FROM hx, unnest([
+        struct_pack(kind := 0, key := h & 255,
+                    rk := CASE WHEN (h >> 8) > 0
+                               THEN 53 - length(bin(h >> 8)) ELSE 53 END),
+        struct_pack(kind := 1, key := (h >> 8)  & 255, rk := 0),
+        struct_pack(kind := 2, key := (h >> 18) & 255, rk := 0),
+        struct_pack(kind := 3, key := (h >> 28) & 255, rk := 0),
+        struct_pack(kind := 4, key := (h >> 38) & 255, rk := 0)
+      ]) AS t(c)
+    ),
+    state AS (
+      SELECT kind, key, half, count(*) AS cnt, max(rk) AS mrk
+      FROM cells GROUP BY 1, 2, 3
+    ),
+    hreg AS (SELECT key AS reg, max(mrk) AS max_rank
+             FROM state WHERE kind = 0 GROUP BY 1),
+    hagg AS (
+      SELECT count(*) AS nregs,
+             sum(1::BIGINT << (53 - max_rank)) AS s_data,
+             max(max_rank) AS hmax
+      FROM hreg
+    ),
+    hest AS (
+      SELECT CAST(256 - nregs AS BIGINT) AS n_zero,
+             CAST(s_data + (256 - nregs) * (1::BIGINT << 53) AS BIGINT)
+               AS harmonic_sum,
+             CAST(hmax AS BIGINT) AS hmax,
+             {_hll_const(8)!r}
+               / CAST(s_data + (256 - nregs) * (1::BIGINT << 53) AS DOUBLE)
+               AS raw
+      FROM hagg
+    ),
+    cms AS (SELECT kind - 1 AS r, key AS c, sum(cnt) AS cnt
+            FROM state WHERE kind >= 1 GROUP BY 1, 2),
+    cagg AS (
+      SELECT CAST(sum(CASE WHEN r = 0 THEN cnt END) AS BIGINT) AS cms_total,
+             CAST(max(cnt) AS BIGINT) AS cms_max_cnt,
+             CAST(min(cnt) AS BIGINT) AS cms_min_cnt
+      FROM cms
+    ),
+    qb AS (
+      SELECT CAST((length(bin(i)) - 1) * 8
+               + ((i - i % CAST(pow(2, greatest(length(bin(i)) - 1 - 3, 0))
+                               AS BIGINT))
+                  // CAST(pow(2, greatest(length(bin(i)) - 1 - 3, 0))
+                          AS BIGINT)) % 8
+             AS BIGINT) AS bucket
+      FROM ids
+    ),
+    qsk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM qb GROUP BY 1),
+    qcum AS (
+      SELECT bucket, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM qsk
+    ),
+    qhit AS (
+      SELECT p.pct, CAST(min(c.bucket) AS BIGINT) AS bucket
+      FROM (VALUES (50), (99)) AS p(pct)
+      JOIN qcum c ON c.cum >= (c.n * p.pct + 99) // 100
+      GROUP BY 1
+    ),
+    qlo AS (
+      SELECT
+        max(CASE WHEN pct = 50 THEN vlo END) AS qsk_p50_lo,
+        max(CASE WHEN pct = 99 THEN vlo END) AS qsk_p99_lo
+      FROM (SELECT pct,
+                   CAST(CASE WHEN bucket // 8 < 3 THEN bucket % 8
+                        ELSE (8 + bucket % 8)
+                             * CAST(pow(2, bucket // 8 - 3) AS BIGINT)
+                        END AS BIGINT) AS vlo
+            FROM qhit)
+    ),
+    qagg AS (SELECT CAST(count(*) AS BIGINT) AS qsk_buckets,
+                    CAST(max(cnt) AS BIGINT) AS qsk_max_cnt FROM qsk)
+    SELECT CAST((SELECT count(*) * 60 FROM events) AS BIGINT) AS n_inserts,
+           CAST(256 AS INT) AS hll_m,
+           h.n_zero AS hll_n_zero,
+           round(CASE WHEN h.n_zero > 0 AND h.raw <= 640.0
+                      THEN 256.0 * ln(256.0 / h.n_zero) ELSE h.raw END, 2)
+             AS hll_est,
+           h.hmax AS hll_max_rank,
+           h.harmonic_sum AS hll_harmonic_sum,
+           c.cms_total, c.cms_max_cnt, c.cms_min_cnt,
+           q.qsk_buckets, q.qsk_max_cnt, l.qsk_p50_lo, l.qsk_p99_lo
+    FROM hest h, cagg c, qagg q, qlo l
+    """,
+)
+def q_sketch_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sketches import (
+        cms_merge,
+        hll_estimate_from_registers,
+        hll_merge,
+        qsketch,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    n_ev = _events(spark, sf_dir).count()
+    n = 60 * n_ev
+    ids = spark.range(n)
+    h = F.col("h")
+    w = F.shiftright(h, 8)
+    # one md5 per key, exploded into the HLL register cell + 4 CMS cells
+    # (disjoint 8-bit slices of the same hash); the 5x explode collapses
+    # map-side to <= 5*256*2 groups per partition, so the single shuffle
+    # carries a few KB regardless of insert count — the 100 TB shape.
+    cells = F.array(
+        F.struct(
+            F.lit(0).alias("kind"),
+            h.bitwiseAND(F.lit(255)).cast("bigint").alias("key"),
+            F.when(w > 0, F.lit(53) - F.length(F.bin(w)))
+            .otherwise(F.lit(53))
+            .cast("int")
+            .alias("rk"),
+        ),
+        *[
+            F.struct(
+                F.lit(j + 1).alias("kind"),
+                F.shiftright(h, 8 + 10 * j)
+                .bitwiseAND(F.lit(255))
+                .cast("bigint")
+                .alias("key"),
+                F.lit(0).cast("int").alias("rk"),
+            )
+            for j in range(4)
+        ],
+    )
+    state = (
+        ids.select(
+            (F.col("id") % 2).alias("half"),
+            stable_hash64(F.col("id").cast("string")).alias("h"),
+        )
+        .select("half", F.explode(cells).alias("c"))
+        .select("half", "c.kind", "c.key", "c.rk")
+        .groupBy("kind", "key", "half")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("rk").alias("mrk"))
+        # <= 2560 rows; checkpoint so the three sketch consumers below
+        # don't each replay the 60N-row hash pass
+        .localCheckpoint(eager=True)
+    )
+
+    def _hll_half(half: int) -> DataFrame:
+        return state.filter(
+            (F.col("kind") == 0) & (F.col("half") == half)
+        ).select(F.col("key").alias("reg"), F.col("mrk").alias("max_rank"))
+
+    merged_regs = hll_merge([_hll_half(0), _hll_half(1)]).localCheckpoint(
+        eager=True
+    )
+    est = hll_estimate_from_registers(merged_regs)
+    rail = merged_regs.agg(
+        F.max("max_rank").cast("bigint").alias("hll_max_rank"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - max_rank)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.lit(1 << 53).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hll_harmonic_sum"),
+    )
+
+    def _cms_half(half: int) -> DataFrame:
+        return state.filter(
+            (F.col("kind") >= 1) & (F.col("half") == half)
+        ).select(
+            (F.col("kind") - 1).alias("r"),
+            F.col("key").alias("c"),
+            F.col("cnt"),
+        )
+
+    cms = cms_merge([_cms_half(0), _cms_half(1)])
+    cagg = cms.agg(
+        F.sum(F.when(F.col("r") == 0, F.col("cnt")))
+        .cast("bigint")
+        .alias("cms_total"),
+        F.max("cnt").cast("bigint").alias("cms_max_cnt"),
+        F.min("cnt").cast("bigint").alias("cms_min_cnt"),
+    )
+
+    # hash-free second pass: quantile sketch over the raw ids
+    qsk = qsketch_merge(
+        [
+            qsketch(ids.filter(F.col("id") % 2 == 0), "id"),
+            qsketch(ids.filter(F.col("id") % 2 == 1), "id"),
+        ]
+    ).localCheckpoint(eager=True)
+    qagg = qsk.agg(
+        F.count(F.lit(1)).alias("qsk_buckets"),
+        F.max("cnt").cast("bigint").alias("qsk_max_cnt"),
+    )
+    qq = qsketch_quantiles(qsk, [50, 99]).agg(
+        F.max(F.when(F.col("pct") == 50, F.col("value_lo")))
+        .cast("bigint")
+        .alias("qsk_p50_lo"),
+        F.max(F.when(F.col("pct") == 99, F.col("value_lo")))
+        .cast("bigint")
+        .alias("qsk_p99_lo"),
+    )
+    return (
+        est.crossJoin(F.broadcast(rail))
+        .crossJoin(F.broadcast(cagg))
+        .crossJoin(F.broadcast(qagg))
+        .crossJoin(F.broadcast(qq))
+        .select(
+            F.lit(n).cast("bigint").alias("n_inserts"),
+            F.col("m").alias("hll_m"),
+            F.col("n_zero").cast("bigint").alias("hll_n_zero"),
+            F.col("est").alias("hll_est"),
+            "hll_max_rank",
+            "hll_harmonic_sum",
+            "cms_total",
+            "cms_max_cnt",
+            "cms_min_cnt",
+            F.col("qsk_buckets").cast("bigint").alias("qsk_buckets"),
+            "qsk_max_cnt",
+            "qsk_p50_lo",
+            "qsk_p99_lo",
+        )
+    )
+
+
+@register(
     "maxsim_search",
     # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
     # score = sum over query tokens of max over doc tokens of

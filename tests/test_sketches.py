@@ -260,3 +260,27 @@ def test_qsketch_quantiles_within_relative_error(spark):
         assert lo <= exact * 1.1251 and lo >= exact / 1.1251, (
             pct, lo, exact,
         )
+
+
+def test_sketch_saturation_row_invariants(spark):
+    """The saturation probe's one-row contract at the smallest SF: the
+    CMS totals are exact (counts are linear), the HLL estimate is within
+    its m=256 design error of the true distinct count, the harmonic sum
+    sits strictly inside its provable < m*2^53 rail, and the qsketch
+    quantile lower bounds are within one 12.5% bucket of the true
+    quantiles of {0..n-1}."""
+    from rag_content_spark.queries import QUERIES
+
+    row = QUERIES["sketch_saturation"](spark, "/root/testdata/sf0.001").collect()[0]
+    n = row["n_inserts"]
+    assert row["cms_total"] == n
+    assert 0 < row["cms_min_cnt"] <= row["cms_max_cnt"] < n
+    # HLL: m=256 -> relative standard error ~1.04/sqrt(256) = 6.5%;
+    # allow 4 sigma
+    assert abs(row["hll_est"] - n) / n < 0.26
+    assert 0 < row["hll_harmonic_sum"] < 256 * (1 << 53)
+    assert 0 < row["hll_max_rank"] <= 53
+    # quantiles of 0..n-1: p-th ~ n*p/100, lower bound within one bucket
+    for pct, lo in ((50, row["qsk_p50_lo"]), (99, row["qsk_p99_lo"])):
+        exact = n * pct // 100
+        assert exact / 1.1251 <= lo * 1.1251 and lo <= exact, (pct, lo, exact)
