@@ -10189,7 +10189,11 @@ def q_streaming_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and p50/p99 lower bounds (relative error <= 12.5% by bucket
     # construction).
     f"""
-    WITH ids AS (
+    WITH ids AS NOT MATERIALIZED (
+      -- referenced twice (hash pass + qsketch pass); DuckDB's default
+      -- CTE materialization would spill the full 60N-row id stream to
+      -- disk at the 6B-insert replica — NOT MATERIALIZED keeps both
+      -- consumers streaming over a re-evaluated generate_series
       SELECT e.event_id * 60 + u.j AS i
       FROM events e, unnest(generate_series(0, 59)) AS u(j)
     ),
