@@ -339,3 +339,115 @@ def qsketch_quantiles(sk: DataFrame, pcts: "list[int]") -> DataFrame:
             qsketch_bucket_lo("bucket").alias("value_lo"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; the theta-sketch set
+# algebra of Dasgupta et al. / Apache DataSketches): the k minimum
+# DISTINCT hash values of a set. Unlike HLL it supports INTERSECTION
+# (and difference) estimates from the same mergeable state — the cheap
+# path for "how many new documents does corpus B add beyond A?" at
+# 100 TB, where the exact answer is a corpus-sized distinct join.
+# Deterministic and cross-engine like the sketches above: the state is
+# a plain sorted BIGINT list, the estimate one double division from
+# identical integer literals.
+
+KMV_DEFAULT_K = 256
+_KMV_SPACE = 1 << 60  # stable_hash64 range
+
+
+def kmv_state(values: DataFrame, hash_col: str, k: int = KMV_DEFAULT_K) -> DataFrame:
+    """The mergeable state: k smallest DISTINCT hash values (one ``h``
+    column, <= k rows).
+
+    At 100 TB: distinct is a partial-aggregating exchange and the
+    sort+limit is a per-partition TakeOrdered combine — the state that
+    crosses the wire is <= k rows per partition, <= k rows out."""
+    return (
+        values.select(F.col(hash_col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_union(states: "list[DataFrame]", k: int = KMV_DEFAULT_K) -> DataFrame:
+    """Union of sets from their states alone (k smallest of the merged
+    value lists — exactly the state the union's own kmv_state would
+    produce restricted to sampled values): union + distinct + top-k over
+    <= len(states)*k rows."""
+    merged = states[0]
+    for t in states[1:]:
+        merged = merged.unionByName(t)
+    return merged.distinct().orderBy("h").limit(k)
+
+
+def _kmv_theta(state: DataFrame, k: int) -> DataFrame:
+    """One-row (n_state, theta): theta = the kth smallest value when the
+    state is saturated, else 2^60 (exact mode — every value was kept)."""
+    return state.agg(
+        F.count(F.lit(1)).alias("n_state"), F.max("h").alias("_hmax")
+    ).select(
+        "n_state",
+        F.when(F.col("n_state") >= k, F.col("_hmax"))
+        .otherwise(F.lit(_KMV_SPACE).cast("bigint"))
+        .alias("theta"),
+    )
+
+
+def kmv_estimate(state: DataFrame, k: int = KMV_DEFAULT_K) -> DataFrame:
+    """One-row (n_state, theta, est) distinct-count estimate:
+    (k-1) / (theta/2^60) when saturated (the kth value itself sits ON
+    the threshold and is excluded from the below-theta count), else the
+    exact kept count. Relative standard error ~1/sqrt(k-2)."""
+    return _kmv_theta(state, k).select(
+        "n_state",
+        "theta",
+        F.when(
+            F.col("n_state") >= k,
+            F.round(
+                F.lit(float(k - 1) * float(_KMV_SPACE))
+                / F.col("theta").cast("double"),
+                2,
+            ),
+        )
+        .otherwise(F.col("n_state").cast("double"))
+        .alias("est"),
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = KMV_DEFAULT_K
+) -> DataFrame:
+    """One-row (n_common, theta, est) intersection estimate from two
+    states: theta = min of the per-state thresholds, the common values
+    strictly below theta are counted exactly (both states retain ALL
+    their values below their own threshold, so the sub-theta overlap is
+    exact), est = n_common / (theta/2^60). Everything after the state
+    builds is <= k rows — broadcast joins, no corpus access."""
+    ta = _kmv_theta(a, k).select(F.col("theta").alias("_ta"))
+    tb = _kmv_theta(b, k).select(F.col("theta").alias("_tb"))
+    theta = ta.crossJoin(F.broadcast(tb)).select(
+        F.least("_ta", "_tb").alias("theta")
+    )
+    common = (
+        a.join(F.broadcast(b), "h", "leftsemi")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common.crossJoin(F.broadcast(theta)).select(
+        "n_common",
+        "theta",
+        F.when(
+            F.col("theta") < F.lit(_KMV_SPACE).cast("bigint"),
+            F.round(
+                F.col("n_common").cast("double")
+                * F.lit(float(_KMV_SPACE))
+                / F.col("theta").cast("double"),
+                2,
+            ),
+        )
+        .otherwise(F.col("n_common").cast("double"))
+        .alias("est"),
+    )

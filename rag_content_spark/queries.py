@@ -10428,6 +10428,138 @@ def q_sketch_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_set_ops",
+    # KMV / theta sketch set algebra (Bar-Yossef et al. 2002; the
+    # theta-sketch framing of Apache DataSketches): distinct-count,
+    # union AND INTERSECTION estimates of the two corpus halves' token
+    # vocabularies from k=256-row mergeable states — the set operation
+    # HLL cannot do, and the cheap 100 TB path for "how much new
+    # vocabulary does corpus B add beyond A?" (the exact answer is a
+    # corpus-sized distinct join). States are the k smallest distinct
+    # 60-bit hashes; theta = the kth value when saturated else 2^60;
+    # estimates are one double division from identical integers, so the
+    # oracle matches to the bit. Exact counts reported alongside (the
+    # hll_distinct convention) — at sf0.01 the estimates land within
+    # the ~1/sqrt(k-2) = 6.3% design error.
+    f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS side, u.token AS token
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents) t,
+           unnest(t.tk) AS u(token)
+    ),
+    dt AS (SELECT DISTINCT side, token FROM tok),
+    hv AS (SELECT DISTINCT side, {stable_hash64_sql('token')} AS h FROM dt),
+    sa AS (SELECT h FROM hv WHERE side = 0 ORDER BY h LIMIT 256),
+    sb AS (SELECT h FROM hv WHERE side = 1 ORDER BY h LIMIT 256),
+    su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+           ORDER BY h LIMIT 256),
+    ta AS (SELECT count(*) AS n,
+                  CASE WHEN count(*) >= 256 THEN max(h)
+                       ELSE 1152921504606846976 END AS theta FROM sa),
+    tb AS (SELECT count(*) AS n,
+                  CASE WHEN count(*) >= 256 THEN max(h)
+                       ELSE 1152921504606846976 END AS theta FROM sb),
+    tu AS (SELECT count(*) AS n,
+                  CASE WHEN count(*) >= 256 THEN max(h)
+                       ELSE 1152921504606846976 END AS theta FROM su),
+    ti AS (SELECT least(ta.theta, tb.theta) AS theta FROM ta, tb),
+    ic AS (SELECT count(*) AS n_common
+           FROM sa JOIN sb USING (h), ti WHERE h < ti.theta),
+    stats AS (SELECT token, count(DISTINCT side) AS ns, min(side) AS ms
+              FROM dt GROUP BY token),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_union,
+             CAST(count(*) FILTER (WHERE ns = 2) AS BIGINT) AS exact_inter,
+             CAST(count(*) FILTER (WHERE ns = 2 OR ms = 0) AS BIGINT) AS exact_a,
+             CAST(count(*) FILTER (WHERE ns = 2 OR ms = 1) AS BIGINT) AS exact_b
+      FROM stats
+    )
+    SELECT CAST(256 AS INT) AS k,
+           CASE WHEN ta.n >= 256
+                THEN round((255.0 * 1152921504606846976.0)
+                           / CAST(ta.theta AS DOUBLE), 2)
+                ELSE CAST(ta.n AS DOUBLE) END AS est_a,
+           CASE WHEN tb.n >= 256
+                THEN round((255.0 * 1152921504606846976.0)
+                           / CAST(tb.theta AS DOUBLE), 2)
+                ELSE CAST(tb.n AS DOUBLE) END AS est_b,
+           CASE WHEN tu.n >= 256
+                THEN round((255.0 * 1152921504606846976.0)
+                           / CAST(tu.theta AS DOUBLE), 2)
+                ELSE CAST(tu.n AS DOUBLE) END AS est_union,
+           CASE WHEN ti.theta < 1152921504606846976
+                THEN round(CAST(ic.n_common AS DOUBLE)
+                           * 1152921504606846976.0
+                           / CAST(ti.theta AS DOUBLE), 2)
+                ELSE CAST(ic.n_common AS DOUBLE) END AS est_inter,
+           ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter
+    FROM ta, tb, tu, ti, ic, ex
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_content_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_state,
+        kmv_union,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dt = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("side"),
+            F.explode(tokens("text")).alias("token"),
+        )
+        .distinct()
+        # reused by the three state builds AND the exact stats — one
+        # corpus tokenization
+        .localCheckpoint(eager=True)
+    )
+    hv = dt.select(
+        "side", stable_hash64("token").alias("h")
+    ).localCheckpoint(eager=True)
+    sa = kmv_state(hv.filter(F.col("side") == 0), "h")
+    sb = kmv_state(hv.filter(F.col("side") == 1), "h")
+    su = kmv_union([sa, sb])
+    ea = kmv_estimate(sa).select(F.col("est").alias("est_a"))
+    eb = kmv_estimate(sb).select(F.col("est").alias("est_b"))
+    eu = kmv_estimate(su).select(F.col("est").alias("est_union"))
+    ei = kmv_intersect_estimate(sa, sb).select(
+        F.col("est").alias("est_inter")
+    )
+    stats = dt.groupBy("token").agg(
+        F.countDistinct("side").alias("ns"), F.min("side").alias("ms")
+    )
+    ex = stats.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.count(F.when(F.col("ns") == 2, 1)).alias("exact_inter"),
+        F.count(
+            F.when((F.col("ns") == 2) | (F.col("ms") == 0), 1)
+        ).alias("exact_a"),
+        F.count(
+            F.when((F.col("ns") == 2) | (F.col("ms") == 1), 1)
+        ).alias("exact_b"),
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(ei))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(256).alias("k"),
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_inter",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+@register(
     "maxsim_search",
     # ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
     # score = sum over query tokens of max over doc tokens of

@@ -284,3 +284,50 @@ def test_sketch_saturation_row_invariants(spark):
     for pct, lo in ((50, row["qsk_p50_lo"]), (99, row["qsk_p99_lo"])):
         exact = n * pct // 100
         assert exact / 1.1251 <= lo * 1.1251 and lo <= exact, (pct, lo, exact)
+
+
+def test_kmv_estimates_within_design_error(spark):
+    """KMV k=256 on two overlapping synthetic sets: distinct / union /
+    intersection estimates all inside 4x the ~6.3% design RSE, and the
+    sub-theta overlap logic is exact when nothing saturates."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.functions.hashing import stable_hash64
+    from rag_content_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_state,
+        kmv_union,
+    )
+
+    # A = {0..19999}, B = {10000..29999}: |A|=|B|=20000, inter=10000,
+    # union=30000
+    a_vals = spark.range(0, 20000).select(
+        stable_hash64(F.col("id").cast("string")).alias("h")
+    )
+    b_vals = spark.range(10000, 30000).select(
+        stable_hash64(F.col("id").cast("string")).alias("h")
+    )
+    sa, sb = kmv_state(a_vals, "h"), kmv_state(b_vals, "h")
+    est_a = kmv_estimate(sa).collect()[0]["est"]
+    est_u = kmv_estimate(kmv_union([sa, sb])).collect()[0]["est"]
+    est_i = kmv_intersect_estimate(sa, sb).collect()[0]["est"]
+    assert abs(est_a - 20000) / 20000 < 0.26
+    assert abs(est_u - 30000) / 30000 < 0.26
+    # intersection uses theta-scaled counting over <=k samples: wider
+    # variance (k_eff ~ k * jaccard), allow 40%
+    assert abs(est_i - 10000) / 10000 < 0.40
+
+    # unsaturated exact mode: tiny sets -> exact counts, no scaling
+    ta = spark.range(0, 50).select(
+        stable_hash64(F.col("id").cast("string")).alias("h")
+    )
+    tb = spark.range(25, 75).select(
+        stable_hash64(F.col("id").cast("string")).alias("h")
+    )
+    assert kmv_estimate(kmv_state(ta, "h")).collect()[0]["est"] == 50.0
+    assert (
+        kmv_intersect_estimate(kmv_state(ta, "h"), kmv_state(tb, "h"))
+        .collect()[0]["est"]
+        == 25.0
+    )
