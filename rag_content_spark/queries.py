@@ -10169,9 +10169,10 @@ def q_streaming_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_saturation",
     # Insert-decade saturation probe for ALL THREE mergeable sketches in
     # one pass: a deterministic synthetic stream of 60 x count(events)
-    # distinct keys (event_id*60+j, j<60 — exactly {0..60N-1}, so the
-    # stream scales with the replica: 600k inserts at sf0.01, 6B at the
-    # 100M-event ~sf100 replica) feeds, from ONE md5 pass,
+    # distinct keys (event_id*60+j, j<60 — data-derived on BOTH engines,
+    # so it needs only DISTINCT event_ids, not dense ones: the ~sf100
+    # replica's ids are sparse 0..9.99e9 and the stream is still 6B
+    # distinct inserts; 600k at sf0.01) feeds, from ONE md5 pass,
     #   - the HLL register table (reg = low 8 bits, rank from the high
     #     52 — operators/sketches.py hll_registers math inlined so the
     #     CMS cells reuse the same hash),
@@ -10314,9 +10315,18 @@ def q_sketch_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsketch_quantiles,
     )
 
-    n_ev = _events(spark, sf_dir).count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    n_ev = ev.count()
     n = 60 * n_ev
-    ids = spark.range(n)
+    # the insert stream is DATA-DERIVED (event_id*60+j), matching the
+    # oracle exactly — a spark.range(60*N) twin diverges the moment
+    # event_ids are distinct-but-sparse (the 1000x replica generator
+    # offsets them to ~1e10), which the first 6B run caught as a
+    # full-row value-hash mismatch
+    ids = ev.select(
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"),
+    ).select((F.col("event_id") * 60 + F.col("j")).alias("id"))
     h = F.col("h")
     w = F.shiftright(h, 8)
     # one md5 per key, exploded into the HLL register cell + 4 CMS cells

@@ -280,7 +280,9 @@ def test_sketch_saturation_row_invariants(spark):
     assert abs(row["hll_est"] - n) / n < 0.26
     assert 0 < row["hll_harmonic_sum"] < 256 * (1 << 53)
     assert 0 < row["hll_max_rank"] <= 53
-    # quantiles of 0..n-1: p-th ~ n*p/100, lower bound within one bucket
+    # quantiles of the id stream: the driver testdata's event_ids are
+    # dense 0..N-1, so the stream is {0..n-1} and the p-th quantile ~
+    # n*p/100 (sparse-id replicas shift these; this pin is testdata-only)
     for pct, lo in ((50, row["qsk_p50_lo"]), (99, row["qsk_p99_lo"])):
         exact = n * pct // 100
         assert exact / 1.1251 <= lo * 1.1251 and lo <= exact, (pct, lo, exact)
