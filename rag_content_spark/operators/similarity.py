@@ -741,3 +741,82 @@ def srp_reduce_np(
             yield pdf
 
     return df.mapInPandas(_proj, schema=schema)
+
+
+def blocked_exact_dot_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    pair_chunk: int = 1 << 20,
+) -> DataFrame:
+    """All within-block (id_a < id_b) pairs with their RAW inner product
+    ``_dot`` — the vectorized twin of the declarative
+    ``join on block + dot(a, b)`` shape (q_embedding_neardup).
+
+    Bit-exactness: the per-pair double is accumulated dimension-by-
+    dimension in ascending order starting from 0.0 (``acc = acc +
+    x_d * y_d``), i.e. the SAME IEEE operation sequence as
+    :func:`~rag_content_spark.functions.vector.dot`'s fold — unlike a
+    BLAS matmul, whose pairwise reassociation drifts ~1 ulp. float32
+    inputs are widened to float64 first (exact), as the fold's casts
+    are. Callers apply the final F.round/threshold in Spark, unchanged
+    from the declarative form (equality-pinned in
+    tests/test_dedup_similarity.py).
+
+    Why this beats the join at any scale: the fold is an interpreted
+    lambda island evaluated per pair — and when the caller filters on
+    the rounded dot, Catalyst folds that predicate into the join
+    CONDITION, so every candidate pair pays the fold twice (see
+    plans/r11/embedding_neardup_before.txt: the same ``aggregate(
+    zip_with(...))`` subtree sits in both BroadcastHashJoin's condition
+    and the Project). Here each block crosses the Python boundary once
+    (rows, not pairs), the pairwise products are numpy elementwise ops,
+    and a predicate on ``_dot`` cannot be pushed into the (opaque)
+    group eval — one evaluation total. The one shuffle (groupBy block)
+    matches the join's exchange; per-block work is quadratic in block
+    size exactly as the join's output was. ``pair_chunk`` bounds the
+    peak pair-buffer memory per block.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    id_type = emb.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("_dot", T.DoubleType()),
+        ]
+    )
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"id_a": pdf[id_col].to_numpy()[:0],
+                 "id_b": pdf[id_col].to_numpy()[:0],
+                 "_dot": np.empty(0)}
+            )
+        pdf = pdf.sort_values(id_col)
+        X = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        ia, ib = np.triu_indices(m, 1)
+        dots = np.empty(len(ia), dtype=np.float64)
+        for s in range(0, len(ia), pair_chunk):
+            A = X[ia[s : s + pair_chunk]]
+            B = X[ib[s : s + pair_chunk]]
+            acc = np.zeros(len(A), dtype=np.float64)
+            for d in range(X.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            dots[s : s + pair_chunk] = acc
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "_dot": dots})
+
+    return (
+        emb.filter(F.col(block_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(id_col, block_col, embedding_col)
+        .groupBy(block_col)
+        .applyInPandas(_block, schema=out_schema)
+    )

@@ -1526,26 +1526,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("_la"),
-        F.col("embedding").alias("_ea"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("_lb"),
-        F.col("embedding").alias("_eb"),
-    )
-    return (
-        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot("_ea", "_eb", 64), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.3)
-    )
+    # r11 optimization: the declarative label self-join evaluated the
+    # interpreted 64-d fold dot TWICE per candidate pair (Catalyst folds
+    # the rounded-cosine predicate into the join condition — see
+    # plans/r11/embedding_neardup_before.txt). blocked_exact_dot_pairs
+    # crosses rows (not pairs) into Python once per label block and
+    # accumulates the dot dimension-at-a-time in the fold's exact IEEE
+    # order, so the raw doubles are bit-identical; the final
+    # round/threshold stay in Spark, unchanged (guide §4.2/§4.4).
+    from rag_content_spark.operators.similarity import blocked_exact_dot_pairs
+
+    pairs = blocked_exact_dot_pairs(_emb(spark, sf_dir), block_col="label")
+    return pairs.select(
+        "id_a", "id_b", F.round("_dot", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.3)
 
 
 @register(

@@ -621,3 +621,54 @@ def test_collapse_exact_and_expand(spark):
     # intra-cluster exact pairs + cross pairs to the near twin
     assert {(1, 2), (1, 3), (2, 3), (1, 10), (2, 10), (3, 10)} <= out
     assert not any(20 in p for p in out)
+
+
+def test_blocked_exact_dot_pairs_bit_identical_to_fold(spark):
+    # r11: the vectorized per-block pair path must reproduce the
+    # declarative join + fold dot BIT-exactly (same IEEE accumulation
+    # order), including float32 widening and id ordering; null blocks
+    # drop like the join's equality did.
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.functions.vector import dot
+    from rag_content_spark.operators.similarity import blocked_exact_dot_pairs
+
+    rows = []
+    rnd = 1
+    for vid in range(40):
+        rnd = (rnd * 1103515245 + 12345) % (1 << 31)
+        vec = [((rnd >> (2 * j)) % 1000 - 500) / 257.0 for j in range(16)]
+        rows.append((vid, vid % 3 if vid % 7 else None, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    a = df.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("_la"),
+        F.col("embedding").alias("_ea"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_eb"),
+    )
+    old = {
+        (r.id_a, r.id_b): r.d
+        for r in a.join(
+            b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b"))
+        )
+        .select("id_a", "id_b", dot("_ea", "_eb", 16).alias("d"))
+        .collect()
+    }
+    new = {
+        (r.id_a, r.id_b): r.d
+        for r in blocked_exact_dot_pairs(df, block_col="label", pair_chunk=7)
+        .select("id_a", "id_b", F.col("_dot").alias("d"))
+        .collect()
+    }
+    assert set(old) == set(new) and len(old) > 100
+    assert all(
+        struct.pack("d", old[k]) == struct.pack("d", new[k]) for k in old
+    )
