@@ -359,3 +359,80 @@ def train_pq_codebook(
         )
         codebook.append([vec for _, vec in sorted(centroids)])
     return codebook
+
+
+def pq_adc_scan_exact_np(
+    df,
+    codebook: list[list[list[float]]],
+    table: list[list[float]],
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    codes_col: str = "_codes",
+    adc_col: str = "_adc",
+    passthrough: list[str] | None = None,
+):
+    """One-pass vectorized PQ encode + ADC score: (id, codes, raw adc)
+    per row — the EXACT twin of ``pq_encode`` + ``pq_adc_score``.
+
+    Unlike :func:`pq_encode_np` (matmul expansion — build path, ~1 ulp
+    reassociation drift), every squared distance here is accumulated
+    dimension-at-a-time from 0.0 in ascending order, reproducing the
+    fold's IEEE operation sequence bit-for-bit, so the argmin (numpy
+    first-minimum == ``array_position(dists, array_min(dists))``) and
+    the left-to-right ADC lookup sum are identical to the declarative
+    expressions on any input (pinned in tests/test_ann.py). float32
+    widens to float64 first, as the fold's casts do.
+
+    Why: the declarative encode evaluates m*k interpreted folds per row
+    (m*k*sub_dim lambda steps — and a single-file scan runs them on one
+    core); here each Arrow batch does m*k*sub_dim numpy elementwise ops
+    over the whole batch (guide §4.2). Callers keep the final
+    F.round / ordering in Spark, unchanged.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    import pyspark.sql.types as T
+
+    m = len(codebook)
+    sub_dim = len(codebook[0][0])
+    thru = list(passthrough or [])
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + [T.StructField(c, df.schema[c].dataType) for c in thru]
+        + [
+            T.StructField(codes_col, T.ArrayType(T.IntegerType())),
+            T.StructField(adc_col, T.DoubleType()),
+        ]
+    )
+    luts = [np.array(row, dtype=np.float64) for row in table]
+
+    def _scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            adc = None
+            for s in range(m):
+                sub = X[:, s * sub_dim : (s + 1) * sub_dim]
+                dists = np.empty((n, len(codebook[s])), dtype=np.float64)
+                for j, cent in enumerate(codebook[s]):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(sub_dim):
+                        diff = sub[:, d] - cent[d]
+                        acc = acc + diff * diff
+                    dists[:, j] = acc
+                cs = dists.argmin(axis=1)
+                codes[:, s] = cs
+                term = luts[s][cs]
+                adc = term if adc is None else adc + term
+            out = pdf[[id_col, *thru]].copy()
+            out[codes_col] = list(codes.tolist())
+            out[adc_col] = adc
+            yield out
+
+    return df.select(id_col, *thru, embedding_col).mapInPandas(
+        _scan, schema=schema
+    )

@@ -1418,3 +1418,88 @@ def maxsim_search(
         .orderBy(F.desc("maxsim6"), id_col)
         .limit(k)
     )
+
+
+def maxsim_scores_np(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    dim: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vectorized twin of :func:`maxsim_search`'s per-document scorer:
+    (id, maxsim6) for every document with >= 1 token — EXACT, because
+    every quantity is an int64 (token vectors, dots, maxes, the term
+    sum), so no accumulation-order question exists.
+
+    Per Arrow batch: tokenize with the byte-for-byte Java ``\\s``
+    equivalent ``[ \\t\\n\\x0B\\f\\r]+`` (Spark's split regex is Java's
+    ASCII-only \\s), factorize the batch's tokens into a vocabulary,
+    md5 each DISTINCT (token, dim) once per task (cached across
+    batches — the declarative path re-hashes per occurrence), one
+    int64 matmul vocabulary x query-term matrix, then per-document
+    segmented maxes. The declarative expression tree evaluates
+    interpreted per-token transform/array_max lambdas per row; this is
+    the guide §4.2 shape (hand the batch to numpy) with identical
+    integer outputs (equality-pinned in tests/test_search.py).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    split_re = re.compile("[ \t\n\x0b\f\r]+")
+
+    def _vec(term: str) -> "list[int]":
+        return [
+            int(
+                hashlib.md5(f"{term}:{i}".encode()).hexdigest()[:15], 16
+            )
+            % 1_000_000
+            * 2
+            - 1_000_000
+            for i in range(dim)
+        ]
+
+    qmat = np.array([_vec(t) for t in query_terms], dtype=np.int64)  # (q, dim)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("maxsim6", T.LongType()),
+        ]
+    )
+
+    def _score(batches):
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat: list[str] = []
+            starts: list[int] = []
+            ids = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split_re.split(text) if t]
+                if not toks:
+                    continue
+                starts.append(len(flat))
+                # distinct tokens only, like array_distinct (max is
+                # order/multiplicity-free, so set semantics suffice)
+                flat.extend(dict.fromkeys(toks))
+                ids.append(did)
+            if not ids:
+                continue
+            codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+            miss = [t for t in vocab if t not in cache]
+            for t in miss:
+                cache[t] = _vec(t)
+            vmat = np.array([cache[t] for t in vocab], dtype=np.int64)
+            dots = vmat @ qmat.T  # (V, q) exact int64
+            flat_scores = dots[codes]  # (ntok, q)
+            maxes = np.maximum.reduceat(flat_scores, np.array(starts))
+            scores = maxes.sum(axis=1)
+            yield pd.DataFrame({id_col: ids, "maxsim6": scores})
+
+    return docs.select(id_col, text_col).mapInPandas(_score, schema=schema)

@@ -337,9 +337,8 @@ def ivf_pq_topk(
     import math
 
     from rag_content_spark.functions.vector import (
-        pq_adc_score,
+        pq_adc_scan_exact_np,
         pq_adc_table,
-        pq_encode,
     )
 
     def _l2(a: list[float], b: list[float]) -> float:
@@ -357,16 +356,24 @@ def ivf_pq_topk(
     assigned = assign(
         index, centroids, embedding_col=embedding_col, id_col=id_col
     )
-    encoded = assigned.withColumn(
-        "_codes", pq_encode(embedding_col, codebook)
-    )
     table = pq_adc_table(query_vec, codebook)
-    cand = encoded.filter(F.col("centroid_id").isin(probed))
+    cand = assigned.filter(F.col("centroid_id").isin(probed))
+    # r11: encode + ADC-score the probed cells in one vectorized pass
+    # (bit-identical to the pq_encode/pq_adc_score folds — see
+    # pq_adc_scan_exact_np; guide §4.2)
     return (
-        cand.select(
+        pq_adc_scan_exact_np(
+            cand,
+            codebook,
+            table,
+            id_col=id_col,
+            embedding_col=embedding_col,
+            passthrough=["centroid_id"],
+        )
+        .select(
             F.col(id_col),
             F.col("centroid_id"),
-            F.round(pq_adc_score("_codes", table), 6).alias("adc"),
+            F.round("_adc", 6).alias("adc"),
         )
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(k)
@@ -396,19 +403,22 @@ def pq_rerank_topk(
     ordering is exact. Returns (id, adc, exact) rows, best first.
     """
     from rag_content_spark.functions.vector import (
-        pq_adc_score,
+        pq_adc_scan_exact_np,
         pq_adc_table,
-        pq_encode,
     )
 
     table = pq_adc_table(query_vec, codebook)
-    coded = index.select(
-        id_col, pq_encode(embedding_col, codebook).alias("_codes")
-    )
+    # r11: one vectorized encode+ADC pass per Arrow batch instead of
+    # m*k interpreted folds per row — bit-identical codes and raw adc
+    # (pq_adc_scan_exact_np keeps the folds' accumulation order), same
+    # round/ordering in Spark (guide §4.2; equality-pinned in
+    # tests/test_ann.py).
     short = (
-        coded.select(
-            F.col(id_col),
-            F.round(pq_adc_score("_codes", table), round_to).alias("adc"),
+        pq_adc_scan_exact_np(
+            index, codebook, table, id_col=id_col, embedding_col=embedding_col
+        )
+        .select(
+            F.col(id_col), F.round("_adc", round_to).alias("adc")
         )
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(k * shortlist_factor)

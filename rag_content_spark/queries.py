@@ -4300,21 +4300,22 @@ def _pq_sql() -> str:
 @register("pq_topk", _pq_sql())
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.functions.vector import (
-        pq_adc_score,
+        pq_adc_scan_exact_np,
         pq_adc_table,
         pq_demo_codebook,
-        pq_encode,
     )
 
     cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
     table = pq_adc_table(_PQ_QUERY, cb)
     emb = _emb(spark, sf_dir)
+    # r11: vectorized encode+ADC pass (bit-identical to the
+    # pq_encode/pq_adc_score folds; guide §4.2)
     return (
-        emb.select("vec_id", pq_encode("embedding", cb).alias("_codes"))
+        pq_adc_scan_exact_np(emb, cb, table)
         .select(
             "vec_id",
             _ser_int_array("_codes").alias("codes"),
-            F.round(pq_adc_score("_codes", table), 6).alias("adc"),
+            F.round("_adc", 6).alias("adc"),
         )
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(10)
@@ -10585,10 +10586,15 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     _maxsim_oracle(),
 )
 def q_maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rag_content_spark.operators.search import maxsim_search
+    # r11: vectorized integer scorer (maxsim_scores_np) — exact by
+    # int64-ness, one md5 per distinct (token, dim) per task instead of
+    # per occurrence; ordering/limit unchanged (guide §4.2).
+    from rag_content_spark.operators.search import maxsim_scores_np
 
-    return maxsim_search(
-        _docs(spark, sf_dir), _MAXSIM_TERMS, dim=_MAXSIM_DIM, k=20
+    return (
+        maxsim_scores_np(_docs(spark, sf_dir), _MAXSIM_TERMS, dim=_MAXSIM_DIM)
+        .orderBy(F.desc("maxsim6"), "doc_id")
+        .limit(20)
     )
 
 

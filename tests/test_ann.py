@@ -321,3 +321,48 @@ def test_compact_ann_index_preserves_results(spark, tmp_path):
         for r in query_ann_index(spark, d, qv, topk=5, n_probe=8).collect()
     ]
     assert after == before and after[0][0] == 3
+
+
+def test_pq_adc_scan_exact_np_bit_identical_to_folds(spark):
+    # r11: the one-pass vectorized encode+ADC must reproduce the
+    # declarative pq_encode codes AND the raw pq_adc_score doubles
+    # bit-for-bit (same IEEE accumulation order, first-min argmin).
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.functions.vector import (
+        pq_adc_scan_exact_np,
+        pq_adc_score,
+        pq_adc_table,
+        pq_demo_codebook,
+        pq_encode,
+    )
+
+    cb = pq_demo_codebook(4, 8, 4)
+    query = [((i * 7) % 13 - 6) / 6.0 for i in range(16)]
+    table = pq_adc_table(query, cb)
+    rows = []
+    rnd = 7
+    for vid in range(300):
+        rnd = (rnd * 1103515245 + 12345) % (1 << 31)
+        # include exact-duplicate subvectors so argmin ties exist
+        vec = [((rnd >> (j % 16)) % 23 - 11) / 11.0 for j in range(16)]
+        rows.append((vid, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old = {
+        r.vec_id: (tuple(r.codes), r.adc)
+        for r in df.select(
+            "vec_id",
+            pq_encode("embedding", cb).alias("codes"),
+            pq_adc_score(pq_encode("embedding", cb), table).alias("adc"),
+        ).collect()
+    }
+    new = {
+        r.vec_id: (tuple(r._codes), r._adc)
+        for r in pq_adc_scan_exact_np(df, cb, table).collect()
+    }
+    assert set(old) == set(new)
+    for k in old:
+        assert old[k][0] == new[k][0], k
+        assert struct.pack("d", old[k][1]) == struct.pack("d", new[k][1]), k

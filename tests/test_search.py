@@ -952,3 +952,34 @@ def test_hybrid_rrf_formula(spark):
     for d in (1, 2, 4):
         vr, kr, s = got[d]
         assert abs(s - (1.0 / (60 + vr) + 1.0 / (60 + kr))) < 1e-12
+
+
+def test_maxsim_scores_np_matches_declarative(spark):
+    # r11: the vectorized integer MaxSim scorer must agree exactly with
+    # the declarative expression tree, including Java-\s tokenization
+    # (ASCII whitespace only — NBSP is NOT a separator) and empty-doc
+    # dropping.
+    from rag_content_spark.operators.search import (
+        maxsim_scores_np,
+        maxsim_search,
+    )
+
+    rows = [
+        (1, "spark join  merge\twindow sort"),
+        (2, "alpha beta\ngamma\x0bdelta\fepsilon\rzeta"),
+        (3, "spark join"),  # NBSP: one token under Java \s
+        (4, "   "),  # whitespace only -> no tokens -> dropped
+        (5, "join join join"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "join", "merge", "window"]
+    old = {
+        r.doc_id: r.maxsim6
+        for r in maxsim_search(docs, terms, dim=8, k=100).collect()
+    }
+    new = {
+        r.doc_id: r.maxsim6
+        for r in maxsim_scores_np(docs, terms, dim=8).collect()
+    }
+    assert old == new and 4 not in new and 6 not in new and len(new) == 4
