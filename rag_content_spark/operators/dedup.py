@@ -206,6 +206,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -219,15 +220,28 @@ def minhash_lsh_candidates(
     reports what a binding cap truncated). At 100 TB pair this with
     :func:`collapse_exact_before_lsh` so a boilerplate page repeated
     10^6 times is ONE bucket member, not 10^6.
+
+    ``vectorized=True`` computes the band table with the exact
+    numpy/hashlib twin (:func:`minhash_band_table_np` — identical
+    rows, one md5 per distinct token per task). Default False: the r11
+    interleaved measurement showed the Python boundary (document text
+    crossing Arrow + per-doc loops) costs MORE than the JVM md5 work
+    at typical doc sizes (band table 0.42 s JVM vs 0.79 s np at
+    sf0.1); flip it when per-doc hashing dominates (very long docs).
     """
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(
-            minhash_band_hashes(
-                hashed_shingles(text_col, n=shingle_n), num_hashes, bands
-            )
-        ).alias("band", "band_hash"),
-    )
+    if vectorized:
+        banded = minhash_band_table_np(
+            df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+    else:
+        banded = df.select(
+            F.col(id_col),
+            F.posexplode(
+                minhash_band_hashes(
+                    hashed_shingles(text_col, n=shingle_n), num_hashes, bands
+                )
+            ).alias("band", "band_hash"),
+        )
     return bucket_pairs(
         banded, id_col, ["band", "band_hash"], max_bucket_size=max_bucket_size
     )
@@ -241,17 +255,23 @@ def minhash_lsh_overflow(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Overflow report for ``minhash_lsh_candidates(max_bucket_size=)``:
     (band, band_hash, bucket_size, n_dropped) per truncated bucket."""
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(
-            minhash_band_hashes(
-                hashed_shingles(text_col, n=shingle_n), num_hashes, bands
-            )
-        ).alias("band", "band_hash"),
-    )
+    if vectorized:
+        banded = minhash_band_table_np(
+            df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+    else:
+        banded = df.select(
+            F.col(id_col),
+            F.posexplode(
+                minhash_band_hashes(
+                    hashed_shingles(text_col, n=shingle_n), num_hashes, bands
+                )
+            ).alias("band", "band_hash"),
+        )
     return bucket_overflow_report(
         banded, ["band", "band_hash"], max_bucket_size
     )
@@ -486,6 +506,12 @@ def jaccard_pairs(
         .select(
             F.col(id_col), hashed_shingles(text_col, n=shingle_n).alias("_shingles")
         )
+        # r11: the shingle table is joined TWICE below (id_a and id_b
+        # sides) — without materialization each side re-scans the
+        # corpus and re-shingles the candidate docs (2x the per-doc
+        # md5/shingle work at any scale). Candidate-bounded, so the
+        # checkpoint is small by construction.
+        .localCheckpoint(eager=True)
     )
     out = (
         pairs.join(
@@ -535,8 +561,14 @@ def containment_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = df.join(cand_ids, on=id_col, how="leftsemi").select(
-        F.col(id_col), hashed_shingles(text_col, n=shingle_n).alias("_shingles")
+    sh = (
+        df.join(cand_ids, on=id_col, how="leftsemi")
+        .select(
+            F.col(id_col),
+            hashed_shingles(text_col, n=shingle_n).alias("_shingles"),
+        )
+        # r11: joined twice below — materialize once (see jaccard_pairs)
+        .localCheckpoint(eager=True)
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     return (
@@ -822,12 +854,19 @@ def minhash_band_table(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    vectorized: bool = False,
 ) -> DataFrame:
     """(id, band, band_hash) — the materialized LSH index of a corpus
     snapshot. At 100 TB this is written once per snapshot, partitioned
     (or bucketed) by (band, band_hash); incremental batches then probe
     it without touching corpus text. ``minhash_lsh_candidates`` is the
-    self-join flavor of the same table."""
+    self-join flavor of the same table. ``vectorized=True`` uses the
+    exact numpy/hashlib twin (:func:`minhash_band_table_np`; default
+    False — see minhash_lsh_candidates' measured trade-off note)."""
+    if vectorized:
+        return minhash_band_table_np(
+            df, text_col, id_col, num_hashes, bands, shingle_n
+        )
     return df.select(
         F.col(id_col),
         F.posexplode(
@@ -1410,3 +1449,117 @@ def scrub_duplicate_spans(
         .alias("n_removed"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+
+
+def minhash_band_table_np(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Vectorized EXACT twin of :func:`minhash_band_table`: (id, band,
+    band_hash) rows computed per Arrow batch in numpy + hashlib instead
+    of interpreted per-row HOF folds.
+
+    Every quantity is integer or an md5 hex string, so exactness is
+    structural, not numerical: tokenization uses the byte-for-byte Java
+    ``\\s`` class (Spark's split is ASCII-only ``[ \\t\\n\\x0B\\f\\r]``),
+    token hashes are md5-per-DISTINCT-token (cached across the task —
+    the expression tree re-hashes per occurrence), shingle combination /
+    signature minima are int64 ops below 2^62 (the documented
+    no-overflow bound), and band hashes are md5 of the identical
+    comma-joined signature rows. Matches the declarative path on all
+    edges: out-of-range shingle positions contribute 0 (docs shorter
+    than ``shingle_n`` emit their degenerate shingle), empty token
+    lists emit shingle [0] — and so does NULL text (size(NULL) is
+    NULL, greatest(NULL-n, 0) is 0, coalesce fills 0: the declarative
+    chain gives NULL-text docs the same degenerate shingle as empty
+    ones). Equality-pinned row-for-row in
+    tests/test_dedup_similarity.py.
+
+    Why (guide §4.2): the signature fold runs 16 interpreted lambda
+    steps per SHINGLE per row and the whole chain re-evaluates per
+    reference; at any scale this path hashes each distinct token once
+    per task and runs ~num_hashes vectorized passes per batch.
+    """
+    assert shingle_n == len(_SHINGLE_COEFFS), "n=3 supported"
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    import re
+
+    split_re = re.compile("[ \t\n\x0b\f\r]+")
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    c0, c1, c2 = _SHINGLE_COEFFS
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.StringType()),
+        ]
+    )
+
+    def _bands(batches):
+        tok_cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, th_flat, starts = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    text = ""  # NULL text == empty doc (see docstring)
+                ids.append(did)
+                starts.append(len(th_flat))
+                for t in split_re.split(text):
+                    if not t:
+                        continue
+                    h = tok_cache.get(t)
+                    if h is None:
+                        h = (
+                            int(
+                                hashlib.md5(t.encode()).hexdigest()[:15], 16
+                            )
+                            % MINHASH_P
+                        )
+                        tok_cache[t] = h
+                    th_flat.append(h)
+            if not ids:
+                continue
+            th = np.asarray(th_flat, dtype=np.int64)
+            starts.append(len(th_flat))
+            # per-doc sorted-distinct shingle hashes, flattened
+            sh_flat, sh_starts = [], [0]
+            for k in range(len(ids)):
+                d = th[starts[k] : starts[k + 1]]
+                pad = np.concatenate([d, np.zeros(3, dtype=np.int64)])
+                m = max(len(d) - 3, 0) + 1
+                sh = (
+                    pad[0:m] * c0 + pad[1 : m + 1] * c1 + pad[2 : m + 2] * c2
+                ) % MINHASH_P
+                sh_flat.append(np.unique(sh))
+                sh_starts.append(sh_starts[-1] + len(sh_flat[-1]))
+            flat = np.concatenate(sh_flat)
+            seg = np.asarray(sh_starts[:-1], dtype=np.int64)
+            sig = np.empty((len(ids), num_hashes), dtype=np.int64)
+            for j, (a, b) in enumerate(coeffs):
+                sig[:, j] = np.minimum.reduceat((flat * a + b) % MINHASH_P, seg)
+            out_ids, out_band, out_hash = [], [], []
+            for k, did in enumerate(ids):
+                for b in range(bands):
+                    row = ",".join(
+                        str(v)
+                        for v in sig[k, b * rows_per_band : (b + 1) * rows_per_band]
+                    )
+                    out_ids.append(did)
+                    out_band.append(b)
+                    out_hash.append(hashlib.md5(row.encode()).hexdigest())
+            yield pd.DataFrame(
+                {id_col: out_ids, "band": out_band, "band_hash": out_hash}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_bands, schema=schema)

@@ -482,6 +482,7 @@ def retrieval_eval(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     label_col: str = "label",
+    vectorized: bool = True,
 ) -> "DataFrame":
     """IR evaluation of the vector index: per query, MRR and NDCG@k of
     the exact cosine/IP ranking, with same-label items as the relevance
@@ -496,26 +497,51 @@ def retrieval_eval(
     Shape: queries broadcast against the index scan (the top_k_batch
     phase-1 shape), one rank window per query, then per-query folds —
     the only shuffle carries <= k rows per query plus one tiny
-    label-count aggregate.
+    label-count aggregate. ``vectorized`` (default, r11) computes the
+    item x query raw scores with the exact numpy twin
+    (:func:`_crossdot_scores_np` — fold-order bit-identical doubles,
+    query set collected once at plan build, as the declarative
+    broadcast already implied boundedness); ranking/rounding stay in
+    Spark either way.
     """
     from pyspark.sql import Window
     from rag_content_spark.functions.vector import dot
 
-    q = F.broadcast(queries.select("query_id", "query_vec", "query_label"))
-    scored = (
-        index.select(id_col, embedding_col, label_col)
-        .crossJoin(q)
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
+    if vectorized:
+        q_rows = [
+            (r["query_id"], list(r["query_vec"]), r["query_label"])
+            for r in queries.select(
+                "query_id", "query_vec", "query_label"
+            ).collect()
+        ]
+        scored = _crossdot_scores_np(
+            index, q_rows, "query_id", "query_label",
+            id_col, embedding_col, label_col,
+        ).select(
             "query_id",
             "query_label",
             F.col(id_col),
             F.col(label_col),
-            F.round(dot(F.col(embedding_col), F.col("query_vec")), 6).alias(
-                "score"
-            ),
+            F.round("_raw", 6).alias("score"),
         )
-    )
+    else:
+        q = F.broadcast(
+            queries.select("query_id", "query_vec", "query_label")
+        )
+        scored = (
+            index.select(id_col, embedding_col, label_col)
+            .crossJoin(q)
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select(
+                "query_id",
+                "query_label",
+                F.col(id_col),
+                F.col(label_col),
+                F.round(
+                    dot(F.col(embedding_col), F.col("query_vec")), 6
+                ).alias("score"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -572,6 +598,7 @@ def mine_contrastive_pairs(
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
     label_col: str = "label",
+    vectorized: bool = True,
 ) -> "DataFrame":
     """Contrastive-pair mining for embedding finetuning: per anchor, the
     ``n_pos`` nearest SAME-label items (positives) and the ``n_neg``
@@ -581,28 +608,49 @@ def mine_contrastive_pairs(
     Same broadcast-anchors + rank-window shape as retrieval_eval; the
     two ranks ride ONE window pass each over the same scored scan.
     Output: (anchor_id, vec_id, score, kind['pos'|'neg'], rank).
+    ``vectorized`` (default, r11): exact numpy scorer, see
+    :func:`retrieval_eval`.
     """
     from pyspark.sql import Window
     from rag_content_spark.functions.vector import dot
 
-    a = F.broadcast(
-        anchors.select("anchor_id", "anchor_vec", "anchor_label")
-    )
-    scored = (
-        index.select(id_col, embedding_col, label_col)
-        .crossJoin(a)
-        .filter(F.col(id_col) != F.col("anchor_id"))
-        .select(
+    if vectorized:
+        a_rows = [
+            (r["anchor_id"], list(r["anchor_vec"]), r["anchor_label"])
+            for r in anchors.select(
+                "anchor_id", "anchor_vec", "anchor_label"
+            ).collect()
+        ]
+        scored = _crossdot_scores_np(
+            index, a_rows, "anchor_id", "anchor_label",
+            id_col, embedding_col, label_col,
+        ).select(
             "anchor_id",
             F.col(id_col),
-            F.round(dot(F.col(embedding_col), F.col("anchor_vec")), 6).alias(
-                "score"
-            ),
+            F.round("_raw", 6).alias("score"),
             F.when(F.col(label_col) == F.col("anchor_label"), "pos")
             .otherwise("neg")
             .alias("kind"),
         )
-    )
+    else:
+        a = F.broadcast(
+            anchors.select("anchor_id", "anchor_vec", "anchor_label")
+        )
+        scored = (
+            index.select(id_col, embedding_col, label_col)
+            .crossJoin(a)
+            .filter(F.col(id_col) != F.col("anchor_id"))
+            .select(
+                "anchor_id",
+                F.col(id_col),
+                F.round(
+                    dot(F.col(embedding_col), F.col("anchor_vec")), 6
+                ).alias("score"),
+                F.when(F.col(label_col) == F.col("anchor_label"), "pos")
+                .otherwise("neg")
+                .alias("kind"),
+            )
+        )
     w = Window.partitionBy("anchor_id", "kind").orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -1503,3 +1551,75 @@ def maxsim_scores_np(
             yield pd.DataFrame({id_col: ids, "maxsim6": scores})
 
     return docs.select(id_col, text_col).mapInPandas(_score, schema=schema)
+
+
+def _crossdot_scores_np(
+    index,
+    q_rows: "list[tuple]",
+    out_qid: str,
+    out_qlabel: str,
+    id_col: str,
+    embedding_col: str,
+    label_col: str,
+):
+    """index x bounded-query-set raw inner products, vectorized: one
+    mapInPandas over the index emitting (id, label, qid, qlabel, _raw)
+    for every (item, query) pair — the exact twin of the
+    ``crossJoin(broadcast(queries)) + fold dot`` shape shared by
+    retrieval_eval / mine_contrastive_pairs.
+
+    ``q_rows`` is the DRIVER-side query set [(qid, vec, qlabel), ...] —
+    bounded by contract (the declarative shape already broadcast it),
+    collected once at plan-build time like the IVF centroid sets. The
+    per-pair double accumulates dimension-at-a-time in ascending order
+    from 0.0 — the fold's IEEE sequence — so raw scores are
+    bit-identical; callers keep F.round and all ranking in Spark.
+    The self-pair (id == qid) is excluded here exactly as the
+    declarative filter did.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    qids = [r[0] for r in q_rows]
+    qmat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qlabels = [r[2] for r in q_rows]
+    nq = len(qids)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, index.schema[id_col].dataType),
+            T.StructField(label_col, index.schema[label_col].dataType),
+            T.StructField(out_qid, index.schema[id_col].dataType),
+            T.StructField(out_qlabel, index.schema[label_col].dataType),
+            T.StructField("_raw", T.DoubleType()),
+        ]
+    )
+    qid_arr = np.asarray(qids)
+    qlab_arr = np.asarray(qlabels)
+
+    def _score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((n, nq), dtype=np.float64)
+            for d in range(X.shape[1]):
+                acc = acc + X[:, d, None] * qmat[None, :, d]
+            ids = np.repeat(pdf[id_col].to_numpy(), nq)
+            labels = np.repeat(pdf[label_col].to_numpy(), nq)
+            out = pd.DataFrame(
+                {
+                    id_col: ids,
+                    label_col: labels,
+                    out_qid: np.tile(qid_arr, n),
+                    out_qlabel: np.tile(qlab_arr, n),
+                    "_raw": acc.ravel(),
+                }
+            )
+            yield out[out[id_col] != out[out_qid]]
+
+    return index.select(id_col, embedding_col, label_col).mapInPandas(
+        _score, schema=schema
+    )

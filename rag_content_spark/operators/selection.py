@@ -172,6 +172,7 @@ def dsir_log_weights(
     buckets: int = 4096,
     target_subset_of_raw: bool = False,
     materialize: bool = True,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Per-raw-document DSIR importance weight: (id, n_ngrams, logw).
 
@@ -205,7 +206,14 @@ def dsir_log_weights(
     truncates lineage and stays AQE-replannable; on a real cluster
     prefer reliable checkpoints if executor loss must not recompute.)
     """
-    feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
+    # r11: ``vectorized`` (default) computes the per-doc feature table
+    # with the exact numpy/hashlib twin — identical integer rows, and
+    # the corpus-sized ngram explode ahead of the (id, bucket) groupBy
+    # disappears (counts finalize inside each batch; see
+    # hashed_ngram_buckets_np). The target distribution reuses the same
+    # twin summed per bucket. Equality pinned in tests/test_selection.py.
+    feat_fn = hashed_ngram_buckets_np if vectorized else hashed_ngram_buckets
+    feats = feat_fn(raw, text_col, id_col, buckets)
     if materialize:
         feats = feats.localCheckpoint(eager=True)
     rc = feats.groupBy("bucket").agg(F.sum("cnt").alias("c"))
@@ -214,6 +222,13 @@ def dsir_log_weights(
         tids = target.select(id_col).distinct()
         tc = (
             feats.join(tids, id_col, "leftsemi")
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        pt = _smoothed(tc, buckets)
+    elif vectorized:
+        tc = (
+            hashed_ngram_buckets_np(target, text_col, id_col, buckets)
             .groupBy("bucket")
             .agg(F.sum("cnt").alias("c"))
         )
@@ -266,6 +281,7 @@ def dsir_select(
     salt: str = "dsir",
     target_subset_of_raw: bool = False,
     materialize: bool = True,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Gumbel top-k importance resample: the k raw documents to keep.
 
@@ -278,6 +294,7 @@ def dsir_select(
         raw, target, text_col, id_col, buckets,
         target_subset_of_raw=target_subset_of_raw,
         materialize=materialize,
+        vectorized=vectorized,
     )
     keyed = w.select(
         F.col(id_col),
@@ -871,3 +888,89 @@ def bpe_token_stats(
             ).alias("compression"),
         )
     )
+
+
+def hashed_ngram_buckets_np(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Vectorized EXACT twin of :func:`hashed_ngram_buckets`: per-doc
+    (id, bucket, cnt) computed inside each Arrow batch — tokenization
+    via the byte-for-byte Java ``\\s`` class, one md5 per DISTINCT
+    ngram per batch (pd.factorize), per-doc counts via bincount.
+
+    Structural, not numerical, exactness: every output is an integer
+    and the bucket map is the identical md5-mod. Beyond removing the
+    interpreted expression tree, this eliminates the corpus-sized
+    ngram explode ahead of the (id, bucket) aggregation entirely —
+    counts are per-document-local, so they reduce to final form inside
+    the batch and nothing corpus-sized ever shuffles (guide §2.3 taken
+    to its limit: aggregate BEFORE the exchange, here before even
+    leaving the task). Row-for-row equality with the declarative path
+    is pinned in tests/test_selection.py.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    split_re = re.compile("[ \t\n\x0b\f\r]+")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def _feats(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            flat: list[str] = []
+            starts: list[int] = []
+            ids = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in split_re.split(text) if t]
+                starts.append(len(flat))
+                flat.extend(toks)
+                flat.extend(
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                )
+                ids.append(did)
+            if not ids:
+                continue
+            starts.append(len(flat))
+            codes, vocab = pd.factorize(np.asarray(flat, dtype=object))
+            vb = np.empty(len(vocab), dtype=np.int64)
+            for i, g in enumerate(vocab):
+                h = cache.get(g)
+                if h is None:
+                    h = (
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        % buckets
+                    )
+                    cache[g] = h
+                vb[i] = h
+            bkt = vb[codes]
+            out_id, out_b, out_c = [], [], []
+            for k, did in enumerate(ids):
+                seg = bkt[starts[k] : starts[k + 1]]
+                if len(seg) == 0:
+                    continue
+                counts = np.bincount(seg, minlength=0)
+                nz = np.nonzero(counts)[0]
+                out_id.extend([did] * len(nz))
+                out_b.extend(nz.tolist())
+                out_c.extend(counts[nz].tolist())
+            yield pd.DataFrame(
+                {id_col: out_id, "bucket": out_b, "cnt": out_c}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_feats, schema=schema)

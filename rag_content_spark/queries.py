@@ -5760,7 +5760,11 @@ def _dsir_weights_sql(
 
 
 def _dsir_frames(spark: SparkSession, sf_dir: str):
-    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    # _fan: the feature extraction (md5 per distinct ngram, bincount
+    # per doc — hashed_ngram_buckets_np) is heavy per-row map work and
+    # the single-file input would otherwise run it in ONE task (the
+    # _fan docstring's measured case; guide §2.5 input-skew rule)
+    docs = _fan(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
     return docs, docs.filter(F.col("lang") == "en")
 
 
@@ -7611,6 +7615,10 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.quality import gopher_rules
     from rag_content_spark.operators.selection import dsir_select
 
+    # NO _fan here (r11 attribution): the gate shrinks the corpus, so a
+    # pre-gate fan leaves every downstream stage of this multi-stage
+    # pipeline scheduling 32 near-empty tasks — measured net-negative
+    # (nofan+vectorized-feats was the best variant; OPTIMIZATION_r11.md)
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     gated = docs.filter(gopher_rules("text")["keep"]).localCheckpoint(eager=True)
     target = gated.filter(F.col("lang") == "en")

@@ -33,17 +33,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the advisory partition size when coalescing instead of
-        # first maximizing parallelism (the Spark docs themselves
-        # recommend false): small shuffles collapse to few reducer
-        # tasks sized by advisoryPartitionSizeInBytes rather than
-        # fanning to defaultParallelism near-empty tasks. At 100 TB the
-        # advisory size (64 MB default) governs either way; on small
-        # inputs this removes per-task scheduling overhead (measured
-        # r11: minhash_pairs warm median 2.15 s -> 1.65 s at sf0.1).
-        # Scale-adaptive, not a local constant: reducer counts derive
-        # from actual shuffle bytes at any scale and any core count.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at its default (true). r11 tried
+        # false (the Spark-docs recommendation for large batch jobs):
+        # a single-query microbench improved (minhash_pairs warm median
+        # 2.15 -> 1.65 s), but the full-suite interleaved A/B showed a
+        # median 1.14x REGRESSION across untouched queries — with
+        # advisory-sized coalescing, small shuffles collapse to one
+        # reducer and every aggregation/window with non-trivial
+        # reduce-side compute serializes. At 100 TB shuffle bytes dwarf
+        # the advisory size so the flag is near-moot there; locally the
+        # parallelism-first default wins. See OPTIMIZATION_r11.md.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # naive timestamps mean UTC everywhere (parquet TIMESTAMP_NTZ ->

@@ -672,3 +672,38 @@ def test_blocked_exact_dot_pairs_bit_identical_to_fold(spark):
     assert all(
         struct.pack("d", old[k]) == struct.pack("d", new[k]) for k in old
     )
+
+
+def test_minhash_band_table_np_row_identical(spark):
+    # r11: the vectorized band table must equal the declarative one
+    # row-for-row on every edge: short docs (degenerate shingle),
+    # empty text (shingle [0]), NULL text (same degenerate shingle as
+    # empty — size(NULL) is NULL and greatest/coalesce fill 0), NBSP
+    # (one token under Java \s), exact-duplicate docs, tab/newline
+    # separators.
+    rows = [
+        (1, "alpha beta gamma delta alpha beta"),
+        (2, "alpha beta gamma delta alpha beta"),
+        (3, "one two"),
+        (4, "single"),
+        (5, ""),
+        (6, None),
+        (7, "nb\xa0sp token"),
+        (8, "tab\tsep\nnewline\x0bvt\fff\rcr end"),
+        (9, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = sorted(
+        map(
+            tuple,
+            dedup.minhash_band_table(df, vectorized=False).collect(),
+        )
+    )
+    new = sorted(
+        map(
+            tuple,
+            dedup.minhash_band_table_np(df).collect(),
+        )
+    )
+    assert old == new
+    assert len(new) == 9 * 4  # EVERY doc (NULL text included) emits rows

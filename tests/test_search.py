@@ -983,3 +983,59 @@ def test_maxsim_scores_np_matches_declarative(spark):
         for r in maxsim_scores_np(docs, terms, dim=8).collect()
     }
     assert old == new and 4 not in new and 6 not in new and len(new) == 4
+
+
+def test_retrieval_eval_and_mining_vectorized_match_declarative(spark):
+    # r11: the numpy cross-score path (collected bounded query set,
+    # fold-order dots) must reproduce the crossJoin+fold results
+    # exactly, including self-pair exclusion and pos/neg kinds.
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import (
+        mine_contrastive_pairs,
+        retrieval_eval,
+    )
+
+    rows = []
+    rnd = 11
+    for vid in range(60):
+        rnd = (rnd * 1103515245 + 12345) % (1 << 31)
+        vec = [((rnd >> (j % 16)) % 200 - 100) / 77.0 for j in range(8)]
+        rows.append((vid, vec, vid % 4))
+    idx = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = idx.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    anchors = idx.filter("vec_id % 10 = 3").select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    old_e = sorted(
+        map(tuple, retrieval_eval(idx, queries, k=5, vectorized=False).collect())
+    )
+    new_e = sorted(
+        map(tuple, retrieval_eval(idx, queries, k=5, vectorized=True).collect())
+    )
+    assert old_e == new_e and len(new_e) == 6
+    old_m = sorted(
+        map(
+            tuple,
+            mine_contrastive_pairs(
+                idx, anchors, n_pos=2, n_neg=2, vectorized=False
+            ).collect(),
+        )
+    )
+    new_m = sorted(
+        map(
+            tuple,
+            mine_contrastive_pairs(
+                idx, anchors, n_pos=2, n_neg=2, vectorized=True
+            ).collect(),
+        )
+    )
+    assert old_m == new_m and len(new_m) == 24

@@ -349,3 +349,31 @@ def test_doremi_upweights_high_loss_domains(spark):
     assert got["hard"]["weight"] > got["easy"]["weight"]
     # linear-Hedge bound: w_T <= 1.2^10 * w_0, so max weight < 6.2x uniform
     assert got["hard"]["weight"] < 0.9
+
+
+def test_hashed_ngram_buckets_np_row_identical(spark):
+    # r11: the vectorized per-doc DSIR feature table must equal the
+    # declarative explode+md5+groupBy rows exactly (including empty /
+    # NULL / single-token docs and Java-\s tokenization).
+    from rag_content_spark.operators.selection import (
+        hashed_ngram_buckets,
+        hashed_ngram_buckets_np,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox"),
+        (3, "single"),
+        (4, ""),
+        (5, None),
+        (6, "nb\xa0sp and\ttabs\nnewlines"),
+        (7, "a a a b b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = sorted(
+        map(tuple, hashed_ngram_buckets(df, buckets=64).collect())
+    )
+    new = sorted(
+        map(tuple, hashed_ngram_buckets_np(df, buckets=64).collect())
+    )
+    assert old == new and len(new) > 10
