@@ -96,13 +96,19 @@ def hybrid_scores(
     all docs; the fusion is a left join from the vector side (missing
     keyword score = 0), matching the OGX hybrid shape. The per-query
     max used for normalization is a one-row aggregate broadcast back
-    into the plan — no driver collect, so the whole query stays lazy.
+    into the plan — no driver collect; the (bounded) keyword table is
+    materialized once and reused by both the normalizer and the join.
     """
     from rag_content_spark.functions.vector import dot
 
     kw = keyword_scores(
         docs_with_vectors, terms, id_col, text_col, round_to=9, stats=stats
     )
+    # r11: kw is referenced twice below (the max-normalizer aggregate
+    # AND the fusion join) — materialize once so the keyword pipeline
+    # (tokenize + posting aggregation) doesn't run twice per query.
+    # Term-matching-docs-bounded, so the checkpoint is small.
+    kw = kw.localCheckpoint(eager=True)
     # empty/zero max -> 1.0, mirroring the previous `max or 1.0` scalar
     kw_max = kw.agg(
         F.coalesce(

@@ -5621,7 +5621,9 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.sketches import cms_estimate, cms_sketch
     from rag_content_spark.functions.text import tokens
 
-    tok = _docs(spark, sf_dir).select(
+    # _fan: the sketch side computes 4 salted md5s per token and the
+    # input is single-split (see q_cms_merge, r11)
+    tok = _fan(_docs(spark, sf_dir)).select(
         F.explode(tokens("text")).alias("token")
     )
     sketch = cms_sketch(tok, "token", depth=4, width=256)
@@ -9276,7 +9278,9 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vals = (
-        _docs(spark, sf_dir)
+        # _fan: shingle-hashing + the downstream register builds are
+        # md5-heavy and the input is single-split (see q_cms_merge)
+        _fan(_docs(spark, sf_dir))
         .select(
             "doc_id", F.explode(hashed_shingles("text", n=3)).alias("sh31")
         )
@@ -9471,8 +9475,12 @@ def q_streaming_chunk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.sketches import cms_merge, cms_sketch
 
+    # _fan before the explode: the single-split input otherwise runs
+    # the tokenize AND the checkpointed stream's three salted-md5
+    # sketch builds in ONE task (the checkpoint inherits the input's
+    # partitioning) — the _fan docstring's measured case (r11)
     toks = (
-        _docs(spark, sf_dir)
+        _fan(_docs(spark, sf_dir))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
         .localCheckpoint(eager=True)  # three sketch builds, one scan
     )
