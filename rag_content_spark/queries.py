@@ -598,7 +598,8 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_hash=True,
 )
 def q_markdown_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("text"))
+    # _fan: markdown synth + fence-aware split (r11: 0.93 -> 0.79 s)
+    d = _fan(_docs(spark, sf_dir)).select("doc_id", _md_doc_expr().alias("text"))
     return split_markdown(d).select(
         "doc_id",
         "section_index",
@@ -1484,7 +1485,8 @@ def q_dedup_precollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    # _fan: 16 per-token md5 folds per row (measured r11: 5.2 -> 1.4 s)
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id", dedup.simhash("text", bits=16).alias("simhash")
     )
 
@@ -2572,7 +2574,10 @@ def q_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     file_path = F.concat(
         F.lit("path/to/"), F.col("source"), F.lit("/file_"), i, F.lit(".md")
     )
-    documents = _docs(spark, sf_dir).select(
+    # _fan: the whole pipeline (markdown split + regex filters + chunk
+    # explode + md5 embed) is narrow, so a single-split input runs it
+    # all in one task (measured r11: 3.6 s -> 1.5 s fanned at sf0.1)
+    documents = _fan(_docs(spark, sf_dir)).select(
         file_path.alias("file_path"),
         F.lit("markdown").alias("doc_type"),
         F.md5(file_path).alias("doc_id"),
@@ -2836,7 +2841,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.search import doc_top_keywords
 
-    return doc_top_keywords(_docs(spark, sf_dir), k=3).withColumn(
+    # _fan: tokenize + per-term TF work ahead of the idf join
+    # (r11: 0.93 -> 0.79 s)
+    return doc_top_keywords(_fan(_docs(spark, sf_dir)), k=3).withColumn(
         "kw_rank", F.col("kw_rank").cast("bigint")
     )
 
@@ -3214,7 +3221,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _pii_doc_expr()
     counts = pii_counts(t)
-    return _docs(spark, sf_dir).select(
+    # _fan: several regex passes per row (r11: 0.6 -> 0.25 s)
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id",
         counts["email"].alias("email"),
         counts["phone"].alias("phone"),
@@ -3618,7 +3626,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.quality import contamination
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # _fan: shingle hashing on both sides (r11: 1.3 -> 0.95 s)
+    docs = _fan(_docs(spark, sf_dir)).select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 100 == 0)
     return contamination(docs, bench)
 
@@ -3698,7 +3707,8 @@ def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    return _docs(spark, sf_dir).select(
+    # _fan: N-language trigram profiles per row (r11: 2.4 -> 0.6 s)
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id",
         scores["en"].alias("score_en"),
         scores["de"].alias("score_de"),
@@ -4187,7 +4197,8 @@ def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    md = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("md"))
+    # _fan: markdown synth + per-paragraph md5s (r11: 1.3 -> 0.7 s)
+    md = _fan(_docs(spark, sf_dir)).select("doc_id", _md_doc_expr().alias("md"))
     return dedup.dedup_paragraphs(md, id_col="doc_id", text_col="md", sep="\n")
 
 
@@ -5082,7 +5093,8 @@ def q_srp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crossdoc_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.dedup import crossdoc_dup_stats
 
-    return crossdoc_dup_stats(_docs(spark, sf_dir), n=8)
+    # _fan: per-position 8-shingle md5s (measured r11: 5.0 -> 2.0 s)
+    return crossdoc_dup_stats(_fan(_docs(spark, sf_dir)), n=8)
 
 
 @register(
@@ -5498,7 +5510,9 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling-hash boundaries, insertion-robust chunk hashes."""
     from rag_content_spark.operators.dedup import cdc_chunks
 
-    return cdc_chunks(_docs(spark, sf_dir), mask=64)
+    # _fan: per-row rolling-hash over every byte — the _fan docstring's
+    # heavy-map case (measured r11: 1.4 s -> 0.4 s at sf0.1)
+    return cdc_chunks(_fan(_docs(spark, sf_dir)), mask=64)
 
 
 @register(
@@ -5578,7 +5592,8 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crossdoc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.dedup import remove_crossdoc_passages
 
-    return remove_crossdoc_passages(_docs(spark, sf_dir), n=8)
+    # _fan: shingle md5s + token-position rebuild (r11: 9.2 -> 1.5 s)
+    return remove_crossdoc_passages(_fan(_docs(spark, sf_dir)), n=8)
 
 
 _CMS_CELL_SQL = (
@@ -5839,7 +5854,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import bigram_logloss
 
-    return bigram_logloss(_docs(spark, sf_dir))
+    # _fan: tokenize + bigram explode ahead of the LM joins
+    # (r11: 1.4 -> 1.0 s)
+    return bigram_logloss(_fan(_docs(spark, sf_dir)))
 
 
 @register(
@@ -7240,7 +7257,8 @@ def q_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.quality import c4_line_filter
 
-    md = _docs(spark, sf_dir).select("doc_id", _md_doc_expr().alias("_md"))
+    # _fan: markdown synth + per-line C4 rules (r11: 0.7 -> 0.4 s)
+    md = _fan(_docs(spark, sf_dir)).select("doc_id", _md_doc_expr().alias("_md"))
     pert = md.select(
         "doc_id",
         F.array_join(
@@ -8057,8 +8075,10 @@ def q_balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_doc_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _fan: chunk explode + per-chunk md5 embed on a single-split input
+    # otherwise runs in one task (measured r11: 2.1 s -> 0.9 s)
     chunks = chunk_fixed(
-        _docs(spark, sf_dir).select("doc_id", "text"), size=16, overlap=0
+        _fan(_docs(spark, sf_dir)).select("doc_id", "text"), size=16, overlap=0
     ).select(
         "doc_id",
         mock_embedding_expr("chunk_text", dim=8).alias("_emb"),
@@ -8262,7 +8282,8 @@ _DUPSPAN_CTES = f"""
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.dedup import duplicate_span_stats
 
-    return duplicate_span_stats(_docs(spark, sf_dir), k=5, min_count=2)
+    # _fan: per-position 5-window shingle md5s (measured r11: 8.3 -> 1.9 s)
+    return duplicate_span_stats(_fan(_docs(spark, sf_dir)), k=5, min_count=2)
 
 
 @register(
@@ -8289,7 +8310,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.dedup import scrub_duplicate_spans
 
-    return scrub_duplicate_spans(_docs(spark, sf_dir), k=5, min_count=2)
+    # _fan: same shingle work as dup_spans plus the rebuild
+    # (measured r11: 9.5 -> 2.2 s)
+    return scrub_duplicate_spans(_fan(_docs(spark, sf_dir)), k=5, min_count=2)
 
 
 # ====================== TPC-H shapes, round 6 ==============================
@@ -9379,7 +9402,9 @@ def q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit("."),
     )
-    d = _docs(spark, sf_dir).select(
+    # _fan: sentence-ify + per-sentence md5 embeddings + the semantic
+    # merge are all narrow per-doc work (measured r11: 1.7 s -> 0.8 s)
+    d = _fan(_docs(spark, sf_dir)).select(
         "doc_id", sentenceified.alias("text")
     )
     return chunk_semantic(d, threshold6=0, dim=8)
