@@ -1151,14 +1151,22 @@ _DUP_CORPUS_SQL = f"""
 """
 
 
-def _fan(df: DataFrame, partitions: int = 32) -> DataFrame:
+def _fan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin fan-out BEFORE heavy per-row map work (md5 shingling,
     signature folds, big explodes). Single-file inputs otherwise run the
     whole map side in one task; measured at sf0.1: minhash 3.3 s → 1.9 s,
     top_bigrams 4.2 s → 1.0 s. Narrow cheap chains must NOT do this (the
     blanket-ingest note on _docs: the extra shuffle loses 25%); use it
     only where per-row work dominates. At scale, multi-file inputs make
-    this a no-op-shaped cost (one extra small shuffle)."""
+    this a no-op-shaped cost (one extra small shuffle).
+
+    partitions defaults to the session's defaultParallelism (== the
+    core count in local[N], total executor cores on a cluster) so the
+    fan-out is scale-adaptive rather than a local-mode constant; row
+    values are partitioning-independent everywhere this is used, so
+    the result hash does not depend on the choice."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(partitions)
 
 
@@ -1708,7 +1716,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    # _fan: k=8 minhash folds over 3-shingles per row (r11: 3.8 s -> <1 s)
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id",
         _ser_int_array(
             text_analysis.fingerprint("text", shingle_n=3, k=8)
@@ -3290,7 +3299,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.quality import dup_ngram_fracs
 
-    return dup_ngram_fracs(_docs(spark, sf_dir), top_n=3, dup_n=5)
+    # _fan: per-position ngram hashing for two n-gram orders
+    # (measured r11: 4.0 s -> see OPTIMIZATION_r11.md)
+    return dup_ngram_fracs(_fan(_docs(spark, sf_dir)), top_n=3, dup_n=5)
 
 
 # Deterministic messy-URL synthesis (same construction both engines; the
@@ -10359,7 +10370,10 @@ def q_sketch_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_ids are distinct-but-sparse (the 1000x replica generator
     # offsets them to ~1e10), which the first 6B run caught as a
     # full-row value-hash mismatch
-    ids = ev.select(
+    # _fan before the explode: events.parquet is single-split locally,
+    # so the 60N md5 hash pass otherwise runs in ONE task (measured
+    # r11: 12.8 s -> ~1.6 s at sf0.1's 6M inserts)
+    ids = _fan(ev).select(
         "event_id",
         F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"),
     ).select((F.col("event_id") * 60 + F.col("j")).alias("id"))
