@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from rag_content_spark.embedding.mock import mock_embedding_expr
+from rag_content_spark.embedding.mock import _mock_embed_one, mock_embedding_expr
 from rag_content_spark.functions.hashing import stable_hash64, stable_hash64_sql
 from rag_content_spark.functions.layout import morton_code_sql
 from rag_content_spark.functions.text import (
@@ -70,6 +70,44 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_driver(
+    sf_dir: str, vec_ids: list[int] | None = None, mod: int | None = None
+) -> list[tuple[int, list[float]]]:
+    """Driver-side fetch of query vectors / demo centroids straight from
+    the embeddings parquet, replacing the per-query Spark collect job
+    these bounded fetches used to pay (guide §5: a one-row collect is a
+    full job submission + scan; warm-measured 0.13-0.68 s per call at
+    sf0.1). Values are bit-identical by construction — the same parquet
+    float64 bytes either way (pinned in tests/test_queries_smoke.py).
+    ``vec_ids`` pushes an IN filter into the parquet read; ``mod`` keeps
+    every ``vec_id % mod == 0`` row (the demo-centroid pattern — the
+    Spark twin scanned every row for this predicate too). Returns
+    (vec_id, embedding) pairs sorted by vec_id."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(f"{sf_dir}/embeddings.parquet")
+    if mod is None:
+        t = d.to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(list(vec_ids or [])),
+        )
+        keep = None
+    else:
+        t = d.to_table(columns=["vec_id", "embedding"])
+        extra = set(vec_ids or [])
+        keep = lambda v: v % mod == 0 or v in extra  # noqa: E731
+    pairs = [
+        (v, e)
+        for v, e in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+        if keep is None or keep(v)
+    ]
+    pairs.sort(key=lambda p: p[0])
+    return pairs
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,7 +1023,7 @@ _QVEC_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 )
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvec = _emb_driver(sf_dir, vec_ids=[0])[0][1]  # guide §5: no collect job
     return top_k(emb.select("vec_id", "embedding"), list(qvec), k=10).select(
         "vec_id", "score"
     )
@@ -1003,7 +1041,7 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvec = _emb_driver(sf_dir, vec_ids=[0])[0][1]  # guide §5: no collect job
     return top_k(
         emb.select("vec_id", "embedding"), list(qvec), k=10, metric="l2"
     ).select("vec_id", "score")
@@ -2192,18 +2230,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    # one driver collect for centroids AND the query vector (two separate
-    # collects would each run a full scan job)
-    small = (
-        emb.filter((F.col("vec_id") % 50 == 0) | (F.col("vec_id") == 7))
-        .orderBy("vec_id")
-        .collect()
-    )
-    centroids = [
-        (r["vec_id"], list(r["embedding"])) for r in small if r["vec_id"] % 50 == 0
-    ]
+    # one driver parquet read for centroids AND the query vector
+    # (guide §5: was a per-invocation Spark collect job)
+    small = _emb_driver(sf_dir, vec_ids=[7], mod=50)
+    centroids = [(v, e) for v, e in small if v % 50 == 0]
     assigned = assign_ivf_cells_np(emb, centroids)
-    qv = list(next(r["embedding"] for r in small if r["vec_id"] == 7))
+    qv = next(e for v, e in small if v == 7)
     import math
 
     def _l2(a, b):
@@ -2300,11 +2332,11 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "embedding", mock_embedding_expr("text", dim=8)
     )
-    qvec = (
-        spark.createDataFrame([("spark join merge",)], ["text"])
-        .select(mock_embedding_expr("text", dim=8).alias("v"))
-        .collect()[0]["v"]
-    )
+    # guide §5: the constant query string's embedding is computed
+    # driver-side by the expression's documented exact twin (bit-identity
+    # pinned in tests/test_mock_embedding.py) instead of a one-row
+    # createDataFrame+collect Spark job (~0.55 s warm per call).
+    qvec = _mock_embed_one("spark join merge", 8, False).tolist()
     return hybrid_scores(docs, _KW_TERMS, list(qvec))
 
 
@@ -2364,11 +2396,11 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "embedding", mock_embedding_expr("text", dim=8)
     )
-    qvec = (
-        spark.createDataFrame([("spark join merge",)], ["text"])
-        .select(mock_embedding_expr("text", dim=8).alias("v"))
-        .collect()[0]["v"]
-    )
+    # guide §5: the constant query string's embedding is computed
+    # driver-side by the expression's documented exact twin (bit-identity
+    # pinned in tests/test_mock_embedding.py) instead of a one-row
+    # createDataFrame+collect Spark job (~0.55 s warm per call).
+    qvec = _mock_embed_one("spark join merge", 8, False).tolist()
     return hybrid_scores_rrf(
         docs, _KW_TERMS, list(qvec), impact_factor=60.0, top_n=200
     )
@@ -2480,11 +2512,11 @@ def q_hybrid_rrf_fts5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn(
         "embedding", mock_embedding_expr("text", dim=8)
     )
-    qvec = (
-        spark.createDataFrame([("spark join merge",)], ["text"])
-        .select(mock_embedding_expr("text", dim=8).alias("v"))
-        .collect()[0]["v"]
-    )
+    # guide §5: the constant query string's embedding is computed
+    # driver-side by the expression's documented exact twin (bit-identity
+    # pinned in tests/test_mock_embedding.py) instead of a one-row
+    # createDataFrame+collect Spark job (~0.55 s warm per call).
+    qvec = _mock_embed_one("spark join merge", 8, False).tolist()
     return hybrid_scores_rrf(
         docs, _KW_TERMS, list(qvec), impact_factor=60.0, top_n=200,
         keyword_ranker="fts5",
@@ -3153,7 +3185,7 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = emb.select(
         "vec_id", quantize_int8("embedding").alias("qv")
     ).select("vec_id", dequantize_int8("qv").alias("embedding"))
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvec = _emb_driver(sf_dir, vec_ids=[0])[0][1]  # guide §5: no collect job
     return top_k(quant, list(qvec), k=10).select("vec_id", "score")
 
 
@@ -4404,10 +4436,7 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import ivf_pq_topk
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    centroids = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
-    ]
+    centroids = _emb_driver(sf_dir, mod=50)  # guide §5: no collect job
     cb = pq_demo_codebook(_PQ_M, _PQ_K, _PQ_SUB)
     return ivf_pq_topk(
         emb, centroids, cb, _PQ_QUERY, k=10, n_probe=2, vectorized_assign=True
@@ -4548,15 +4577,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    small = (
-        emb.filter((F.col("vec_id") % 50 == 0) | (F.col("vec_id") == 7))
-        .orderBy("vec_id")
-        .collect()
-    )
-    centroids = [
-        (r["vec_id"], list(r["embedding"])) for r in small if r["vec_id"] % 50 == 0
-    ]
-    qv = list(next(r["embedding"] for r in small if r["vec_id"] == 7))
+    # guide §5: one driver parquet read instead of a Spark collect job
+    small = _emb_driver(sf_dir, vec_ids=[7], mod=50)
+    centroids = [(v, e) for v, e in small if v % 50 == 0]
+    qv = next(e for v, e in small if v == 7)
     import math
 
     def _l2(a, b):
@@ -5063,7 +5087,7 @@ def q_srp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import srp_rerank_topk
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    qvec = list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    qvec = _emb_driver(sf_dir, vec_ids=[0])[0][1]  # guide §5: no collect job
     return srp_rerank_topk(emb, qvec, k=10, shortlist=100, out_dim=16)
 
 
@@ -7033,7 +7057,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.search import mmr_rerank
 
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvec = _emb_driver(sf_dir, vec_ids=[0])[0][1]  # guide §5: no collect job
     return mmr_rerank(emb, list(qvec), k=10, shortlist=30, lam_pct=70)
 
 
@@ -8176,10 +8200,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.similarity import assign_ivf_cells_np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    centroids = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % 50 == 0).orderBy("vec_id").collect()
-    ]
+    centroids = _emb_driver(sf_dir, mod=50)  # guide §5: no collect job
     # vectorized cell assignment AND within-cell compare (numpy per
     # Arrow batch / per cell) — all paths round to the 1e-6 grid before
     # deciding, so the oracle stays exact; equality vs the declarative

@@ -41,3 +41,63 @@ def test_real_encoder_is_import_gated():
 
     with pytest.raises(NotImplementedError):
         _get_model("/nonexistent/model")
+
+
+def test_mock_embed_driver_twin_bit_identical(spark):
+    """The r11 driver-side qvec path: _mock_embed_one must match
+    mock_embedding_expr BIT-for-bit (the hybrid queries now embed their
+    constant query string on the driver instead of paying a one-row
+    createDataFrame+collect Spark job per invocation)."""
+    import struct
+
+    from rag_content_spark.embedding.mock import _mock_embed_one
+
+    texts = ["spark join merge", "", "a", "héllo wörld", "x" * 5000]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["text"]: r["e"]
+        for r in df.select(
+            "text", mock_embedding_expr("text", dim=8).alias("e")
+        ).collect()
+    }
+    for t in texts:
+        local = _mock_embed_one(t, 8, False).tolist()
+        assert [struct.pack("<d", x) for x in got[t]] == [
+            struct.pack("<d", x) for x in local
+        ], t
+
+
+def test_emb_driver_matches_spark_collect(spark, tmp_path):
+    """The r11 _emb_driver pyarrow fetch must return exactly what the
+    replaced Spark filter+collect returned — same vec_ids, bit-identical
+    float64s — for both the IN-filter and the mod-50 centroid pattern."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.queries import _emb_driver
+
+    rows = [(i, [float(i) * 0.1 + j * 1e-7 for j in range(4)]) for i in range(120)]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.parquet(
+        f"{path}/embeddings.parquet"
+    )
+    emb = spark.read.parquet(f"{path}/embeddings.parquet")
+
+    spark_one = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    got_one = _emb_driver(path, vec_ids=[7])
+    assert [v for v, _ in got_one] == [7]
+    assert [struct.pack("<d", x) for x in got_one[0][1]] == [
+        struct.pack("<d", x) for x in spark_one
+    ]
+
+    spark_mod = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter((F.col("vec_id") % 50 == 0) | (F.col("vec_id") == 7))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    got_mod = _emb_driver(path, vec_ids=[7], mod=50)
+    assert [v for v, _ in got_mod] == [v for v, _ in spark_mod]
+    for (_, a), (_, b) in zip(got_mod, spark_mod):
+        assert [struct.pack("<d", x) for x in a] == [struct.pack("<d", x) for x in b]

@@ -154,6 +154,48 @@ def main() -> None:
         timed(spark, "chunk_sentences: full", lambda: noop(Q.QUERIES["chunk_sentences"](spark, sf_dir)))
         timed(spark, "simhash: full", lambda: noop(Q.QUERIES["simhash"](spark, sf_dir)))
 
+    if want("hybridfts"):
+        # where do hybrid_rrf_fts5's seconds go? (corpus tokenized 3x on
+        # the kw side: postings / lengths / corpus_stats; vec side pays
+        # 8 md5 per doc via mock_embedding_expr)
+        from rag_content_spark.embedding.mock import mock_embedding_expr
+        from rag_content_spark.functions.text import tokens
+        from rag_content_spark.functions.vector import dot
+        from rag_content_spark.operators import search as S
+
+        docs = Q._docs(spark, sf_dir)
+        n = docs.count()
+        print(f"          docs rows: {n}")
+        timed(spark, "hyb: plain docs scan", lambda: noop(docs))
+        timed(spark, "hyb: tokens only", lambda: noop(
+            docs.select("doc_id", tokens("text").alias("tk"))))
+        timed(spark, "hyb: lengths (size(tokens))", lambda: noop(
+            docs.select("doc_id", F.size(tokens("text")).alias("dl"))))
+        timed(spark, "hyb: corpus_stats", lambda: noop(
+            S.corpus_stats(docs)))
+        timed(spark, "hyb: postings(filtered)", lambda: noop(
+            S.postings(docs).filter(F.col("token").isin(Q._KW_TERMS))))
+        timed(spark, "hyb: bm25_scores fts5", lambda: noop(
+            S.bm25_scores(docs, Q._KW_TERMS, round_to=9, idf_variant="fts5")))
+        emb = docs.withColumn("embedding", mock_embedding_expr("text", dim=8))
+        timed(spark, "hyb: mock embed only", lambda: noop(
+            emb.select("doc_id", "embedding")))
+        qvec = [0.1] * 8
+        qv = F.array(*[F.lit(float(x)) for x in qvec])
+        timed(spark, "hyb: vec side (embed+dot)", lambda: noop(
+            emb.select("doc_id", F.round(dot(F.col("embedding"), qv, 8), 9)
+                       .alias("cos_score"))))
+        timed(spark, "hyb: full hybrid_rrf_fts5", lambda: noop(
+            Q.QUERIES["hybrid_rrf_fts5"](spark, sf_dir)))
+        timed(spark, "hyb: full keyword_fts5", lambda: noop(
+            Q.QUERIES["keyword_fts5"](spark, sf_dir)))
+        timed(spark, "hyb: full hybrid_rrf (tfidf)", lambda: noop(
+            Q.QUERIES["hybrid_rrf"](spark, sf_dir)))
+        timed(spark, "hyb: full hybrid_search", lambda: noop(
+            Q.QUERIES["hybrid_search"](spark, sf_dir)))
+        timed(spark, "hyb: full bm25_search", lambda: noop(
+            Q.QUERIES["bm25_search"](spark, sf_dir)))
+
     if want("tops"):
         for name in [
             "build_pipeline",
