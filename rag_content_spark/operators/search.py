@@ -48,6 +48,61 @@ def corpus_stats(
     )
 
 
+def term_postings_one_scan(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """``(post_with_dl, stats)`` for a query-term bag from ONE corpus
+    text scan (r11, guide §2.3/§2.4).
+
+    The on-the-fly keyword scorers used to derive three separate
+    subtrees from ``docs`` — :func:`postings` (tokenize + explode ALL
+    tokens + corpus-wide groupBy), a ``(id, dl)`` lengths projection
+    (tokenize again), and :func:`corpus_stats` (tokenize a third time) —
+    then join postings back to lengths. Here ``dl`` and the matched-term
+    occurrences come out of ONE Project (the tokenize is a common
+    subexpression); per-term tfs are finalized inside the row (array
+    ops — no corpus-wide explode+groupBy exchange); dl rides along, so
+    the postings-lengths join disappears; docs matching no term exit at
+    the explode. The stats aggregate and the postings explode each
+    consume ``base`` (two scans of the narrow projection — measured
+    BETTER than a localCheckpoint at bench scale: an eager checkpoint
+    costs a synchronous job, a lazy one a pipeline-blocking RDD
+    boundary, and both lost the 3-rep A/B that this shape wins 0.85x).
+    tf/dl/df_t are integers and the dl multiset is identical, so every
+    downstream score is bit-identical (pinned in tests/test_search.py).
+
+    Returned ``post_with_dl`` has columns ``(id, dl, token, tf)`` — pass
+    ``lengths=None`` to :func:`bm25_from_postings`."""
+    tk = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.size(tk).alias("dl"),
+        F.filter(tk, lambda t: t.isin(terms)).alias("_mt"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    per_term = F.transform(
+        F.array_distinct("_mt"),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(F.col("_mt"), lambda x: x == t)).alias("tf"),
+        ),
+    )
+    post = base.select(
+        F.col(id_col), F.col("dl"), F.explode(per_term).alias("_p")
+    ).select(
+        id_col,
+        "dl",
+        F.col("_p.token").alias("token"),
+        F.col("_p.tf").alias("tf"),
+    )
+    return post, stats
+
+
 def keyword_scores(
     docs: DataFrame,
     terms: list[str],
@@ -60,16 +115,16 @@ def keyword_scores(
 
     idf(t) = ln(N / df_t); documents matching no term are absent (the
     inverted index never touches them — unlike a per-doc scan). N comes
-    from a broadcast one-row stats table (:func:`corpus_stats`) — the
-    whole score is one lazy plan with no driver round-trip.
-    """
+    from a broadcast one-row stats table — the whole score is one lazy
+    plan with no driver round-trip. Postings + stats come from
+    :func:`term_postings_one_scan` (one corpus text scan, r11)."""
     from pyspark.sql import Window
 
+    post, built_stats = term_postings_one_scan(docs, terms, id_col, text_col)
     if stats is None:
-        stats = corpus_stats(docs, id_col, text_col)
-    post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
-    # df_t via a window over the postings themselves — one corpus scan
-    # (a separate idf aggregation + join re-reads the corpus)
+        stats = built_stats
+    # df_t via a window over the postings themselves (a separate idf
+    # aggregation + join would re-read the postings)
     df_t = F.count(F.lit(1)).over(Window.partitionBy("token"))
     return (
         post.join(F.broadcast(stats.select("n_docs")))
@@ -246,25 +301,23 @@ def bm25_scores(
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); tf normalization uses the
     document length in whitespace tokens against the corpus average.
-    Corpus stats (N, avgdl) come from a broadcast one-row stats table
-    (:func:`corpus_stats`) — exact aggregates, engine-reproducible, and
-    no mid-plan driver round-trip.
-    """
+    Corpus stats (N, avgdl) come from a broadcast one-row stats table —
+    exact aggregates, engine-reproducible, and no mid-plan driver
+    round-trip. Postings (dl attached — no separate lengths join) +
+    stats come from :func:`term_postings_one_scan` (one corpus text
+    scan, r11)."""
+    post, built_stats = term_postings_one_scan(docs, terms, id_col, text_col)
     if stats is None:
-        stats = corpus_stats(docs, id_col, text_col)
-    lengths = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("dl")
-    )
-    post = postings(docs, id_col, text_col).filter(F.col("token").isin(terms))
+        stats = built_stats
     return bm25_from_postings(
-        post, lengths, stats, id_col=id_col, k1=k1, b=b, round_to=round_to,
+        post, None, stats, id_col=id_col, k1=k1, b=b, round_to=round_to,
         idf_variant=idf_variant,
     )
 
 
 def bm25_from_postings(
     post: DataFrame,
-    lengths: DataFrame,
+    lengths: DataFrame | None,
     stats: DataFrame,
     id_col: str = "doc_id",
     k1: float = 1.2,
@@ -279,6 +332,10 @@ def bm25_from_postings(
     bit-identical regardless of where the postings came from. df per
     term is a window over the postings themselves (a term's postings
     are never split by the index's bucket pruning).
+
+    ``lengths=None`` means ``post`` already carries its ``dl`` column
+    (the :func:`term_postings_one_scan` shape) — the lengths join is
+    skipped; the score arithmetic is identical either way.
 
     ``idf_variant``: ``"lucene"`` (default) uses the non-negative
     ln(1 + (N-df+0.5)/(df+0.5)); ``"fts5"`` uses SQLite FTS5's
@@ -305,9 +362,9 @@ def bm25_from_postings(
         + F.lit(k1)
         * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    scored = post if lengths is None else post.join(lengths, id_col)
     return (
-        post.join(lengths, id_col)
-        .join(F.broadcast(stats))
+        scored.join(F.broadcast(stats))
         .withColumn("_term_score", idf * norm)
         .groupBy(id_col)
         .agg(F.round(F.sum("_term_score"), round_to).alias("bm25"))

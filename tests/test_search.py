@@ -1039,3 +1039,66 @@ def test_retrieval_eval_and_mining_vectorized_match_declarative(spark):
         )
     )
     assert old_m == new_m and len(new_m) == 24
+
+
+def test_one_scan_postings_matches_old_shape(spark):
+    """r11: term_postings_one_scan (one corpus text scan, per-row tf
+    finalization, dl attached) must reproduce the old three-subtree
+    shape (postings + lengths + corpus_stats) EXACTLY — postings rows,
+    stats row, and every downstream bm25/tf-idf score — including the
+    NULL-text / empty-text / no-match-doc edges."""
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.operators.search import (
+        bm25_from_postings,
+        corpus_stats,
+        keyword_scores,
+        postings,
+        term_postings_one_scan,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join merge spark"),
+            (2, "nothing here"),
+            (3, None),
+            (4, ""),
+            (5, "join"),
+            (6, "spark spark spark spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    terms = ["spark", "join", "merge"]
+
+    post, stats = term_postings_one_scan(docs, terms)
+    old_post = postings(docs).filter(F.col("token").isin(terms))
+    old_lengths = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+    old_stats = corpus_stats(docs)
+
+    assert sorted(
+        (r["doc_id"], r["token"], r["tf"]) for r in post.collect()
+    ) == sorted(tuple(r) for r in old_post.collect())
+    assert [tuple(r) for r in stats.collect()] == [
+        tuple(r) for r in old_stats.collect()
+    ]
+    for var in ("lucene", "fts5"):
+        new = sorted(
+            map(
+                tuple,
+                bm25_from_postings(
+                    post, None, stats, idf_variant=var, round_to=9
+                ).collect(),
+            )
+        )
+        old = sorted(
+            map(
+                tuple,
+                bm25_from_postings(
+                    old_post, old_lengths, old_stats, idf_variant=var, round_to=9
+                ).collect(),
+            )
+        )
+        assert new == old and len(new) == 3, var
+    kw = sorted(map(tuple, keyword_scores(docs, terms, round_to=9).collect()))
+    assert len(kw) == 3
