@@ -10000,24 +10000,29 @@ def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     qdec = F.col("l_quantity").cast("decimal(18,4)")
     zero = F.lit(0).cast("decimal(18,4)")
-    pairq = li.groupBy(
+    promo_parts = p.filter(F.col("p_name").like("%o%")).select("p_partkey")
+    # guide §3.2: the promo semi-join commutes with the (pk, sk) groupBy
+    # (its key is a grouping key), so applying it BELOW the aggregation
+    # drops ~39% of lineitem rows from the shuffle; Catalyst does not
+    # push LeftSemi through Aggregate itself (plans/r11/part_promotion_*)
+    li_promo = li.join(
+        F.broadcast(promo_parts),
+        li["l_partkey"] == promo_parts["p_partkey"],
+        "left_semi",
+    )
+    pairq = li_promo.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(
         F.sum(qdec).cast("decimal(38,4)").alias("total_qty"),
         F.sum(
-            F.when(_ts_sec_col(li, "l_shipdate") >= _DORMANT_CUTOFF, qdec)
+            F.when(_ts_sec_col(li_promo, "l_shipdate") >= _DORMANT_CUTOFF, qdec)
             .otherwise(zero)
         )
         .cast("decimal(38,4)")
         .alias("recent_qty"),
     )
-    promo_parts = p.filter(F.col("p_name").like("%o%")).select("p_partkey")
     excess_sks = (
-        pairq.join(
-            F.broadcast(promo_parts), pairq["pk"] == promo_parts["p_partkey"],
-            "left_semi",
-        )
-        .filter(
+        pairq.filter(
             (F.col("recent_qty") > 0)
             & (F.col("total_qty") > 2 * F.col("recent_qty"))
         )
