@@ -7813,39 +7813,33 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    lo = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_suppkey").alias("sk"),
-            (
-                _ts_sec_col(li, "l_shipdate") - _ts_sec_col(o, "o_orderdate")
-                > _Q21_LATE_GAP
-            ).alias("late"),
-        )
-        .distinct()
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        (
+            _ts_sec_col(li, "l_shipdate") - _ts_sec_col(o, "o_orderdate")
+            > _Q21_LATE_GAP
+        ).alias("late"),
     )
-    # NB: no checkpoint here — ReusedExchange already shares the
-    # join+distinct subtree across the four consumers (measured: a
-    # localCheckpoint is ~1.2x SLOWER at sf0.1)
-    pairs = lo.select("ok", "sk").distinct()
-    late_pairs = lo.filter(F.col("late")).select("ok", "sk").distinct()
-    other = pairs.select(
-        F.col("ok").alias("ok2"), F.col("sk").alias("sk2")
+    # guide §2.3/§2.4: the EXISTS/NOT-EXISTS pair-level self-joins are
+    # equivalent to per-order counts — a late pair survives iff its order
+    # has >=2 distinct suppliers (some other supplier exists) and exactly
+    # 1 distinct LATE supplier (no other late one), in which case that
+    # unique late supplier is max(when(late, sk)). One derivation of the
+    # li-orders join instead of three and no semi/anti self-joins
+    # (the old plan ran the join+distinct subtree 3x:
+    # plans/r11/waiting_suppliers_before.txt).
+    # two-level aggregate instead of two countDistincts: the multi-distinct
+    # Expand tripled the join output through the shuffle (measured 1.4x
+    # slower); groupBy(ok, sk) then groupBy(ok) shuffles each row once
+    p = lo.groupBy("ok", "sk").agg(F.max("late").alias("late"))
+    g = p.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("_nl"),
+        F.max(F.when(F.col("late"), F.col("sk"))).alias("_late_sk"),
     )
-    other_late = late_pairs.select(
-        F.col("ok").alias("ok3"), F.col("sk").alias("sk3")
-    )
-    # EXISTS another supplier on the order -> left-semi;
-    # NOT EXISTS another LATE supplier -> left-anti
-    cand = late_pairs.join(
-        other,
-        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
-        "left_semi",
-    ).join(
-        other_late,
-        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
-        "left_anti",
+    cand = g.filter((F.col("_ns") >= 2) & (F.col("_nl") == 1)).select(
+        "ok", F.col("_late_sk").alias("sk")
     )
     return (
         cand.join(F.broadcast(s), cand["sk"] == s["s_suppkey"])
@@ -8389,18 +8383,22 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_reader_confs(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    osec = _ts_sec_col(o, "o_orderdate")
+    # guide §3.2: only window orders can survive the outer semi-join, so
+    # the date filter applies to the late-derivation's orders side too —
+    # the li-orders join builds/streams ~8x fewer order rows
+    ow = o.filter((osec >= _EPOCH_1996) & (osec < _EPOCH_1996_10))
     late = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li.join(ow, li["l_orderkey"] == ow["o_orderkey"])
         .filter(
-            _ts_sec_col(li, "l_shipdate") - _ts_sec_col(o, "o_orderdate")
+            _ts_sec_col(li, "l_shipdate") - _ts_sec_col(ow, "o_orderdate")
             > _Q21_LATE_GAP
         )
         .select(F.col("l_orderkey").alias("ok"))
         .distinct()
     )
-    osec = _ts_sec_col(o, "o_orderdate")
     return (
-        o.filter((osec >= _EPOCH_1996) & (osec < _EPOCH_1996_10))
+        ow
         .join(late, o["o_orderkey"] == late["ok"], "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
