@@ -685,18 +685,31 @@ def srp_rerank_topk(
     seed: str = "red",
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Two-stage exact-quality ANN: reduced-space shortlist (TakeOrdered,
     no shuffle) -> exact inner-product re-rank of the shortlist only.
 
     One lazy plan; the full-dimension dot runs on ``shortlist`` rows,
-    not the corpus. Deterministic total order at both stages."""
+    not the corpus. Deterministic total order at both stages.
+    ``vectorized`` scores the shortlist scan with the bit-exact numpy
+    twin (srp_query_scores_np) instead of out_dim * dim interpreted
+    fold steps per row; rounding/ordering unchanged."""
     rq = reduce_query(query_vec, out_dim, seed)
     dim = len(query_vec)
-    red = srp_reduce(index, out_dim, dim, seed, embedding_col, "_red")
-    rscore = F.round(dot(F.col("_red"), F.array(*[F.lit(v) for v in rq]), out_dim), 6)
+    if vectorized:
+        scored = srp_query_scores_np(
+            index, list(query_vec), out_dim, seed, embedding_col, id_col
+        )
+        rscore = F.round(F.col("_rscore"), 6)
+    else:
+        scored = srp_reduce(index, out_dim, dim, seed, embedding_col, "_red")
+        rscore = F.round(
+            dot(F.col("_red"), F.array(*[F.lit(v) for v in rq]), out_dim),
+            6,
+        )
     short = (
-        red.select(id_col, embedding_col, rscore.alias("rscore"))
+        scored.select(id_col, embedding_col, rscore.alias("rscore"))
         .orderBy(F.desc("rscore"), F.asc(id_col))
         .limit(shortlist)
     )
@@ -708,6 +721,66 @@ def srp_rerank_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def srp_query_scores_np(
+    df: DataFrame,
+    query_vec: list[float],
+    out_dim: int = 8,
+    seed: str = "red",
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "_rscore",
+) -> DataFrame:
+    """Adds ``score_col``: the reduced-space query score per row — the
+    vectorized BIT-EXACT twin of ``srp_reduce(df) + dot(_red,
+    reduce_query(q))`` (the srp_rerank_topk shortlist scan, which paid
+    out_dim * dim interpreted fold steps per row).
+
+    Bit-exactness: both folds are replayed with the same IEEE operation
+    sequence per row — each reduced component accumulates
+    dimension-at-a-time from 0.0 (``acc = acc + x_d * plane_d``), then
+    the query score accumulates component-at-a-time from 0.0 — numpy
+    elementwise ops across rows, no reassociation (the
+    blocked_exact_dot_pairs / pq_adc_scan_exact_np pattern; pinned in
+    tests/test_ann.py::test_srp_query_scores_np_bit_exact). Rounding
+    stays in Spark, unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    dim = len(query_vec)
+    planes = np.array(
+        [srp_plane(seed, j, dim) for j in range(out_dim)], dtype=np.float64
+    )
+    rq = reduce_query(query_vec, out_dim, seed)
+    base = df.select(id_col, embedding_col)
+    schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField(score_col, T.DoubleType())]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[score_col] = pd.Series(dtype="float64")
+                yield pdf
+                continue
+            emb = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            rsc = np.zeros(n, dtype=np.float64)
+            for j in range(out_dim):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + emb[:, d] * planes[j, d]
+                rsc = rsc + acc * rq[j]
+            pdf[score_col] = rsc
+            yield pdf
+
+    return base.mapInPandas(_score, schema=schema)
 
 
 def srp_reduce_np(

@@ -200,6 +200,43 @@ def test_srp_reduce_np_matches_fold(spark):
         assert max(abs(x - y) for x, y in zip(a[i], b[i])) < 1e-9
 
 
+def test_srp_query_scores_np_bit_exact(spark):
+    """The vectorized shortlist scorer must replay the interpreted fold
+    chain (srp_reduce + dot(_red, rq)) BIT-identically, raw doubles."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.functions.vector import dot
+    from rag_content_spark.operators.similarity import (
+        reduce_query,
+        srp_query_scores_np,
+        srp_reduce,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(64) * 10]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [float(x) for x in rng.randn(64)]
+    rq = reduce_query(q, 16)
+    red = srp_reduce(df, 16, 64, "red", "embedding", "_red")
+    a = {
+        r["vec_id"]: r["s"]
+        for r in red.select(
+            "vec_id",
+            dot(F.col("_red"), F.array(*[F.lit(v) for v in rq]), 16).alias("s"),
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["_rscore"]
+        for r in srp_query_scores_np(df, q, out_dim=16).collect()
+    }
+    assert a.keys() == b.keys()
+    for i in a:
+        assert struct.pack("<d", a[i]) == struct.pack("<d", b[i])
+
+
 def test_persisted_ann_index_roundtrip(spark, tmp_path):
     """The parquet-native IVFPQ: build writes cell-partitioned parquet +
     sidecars; query probes driver-side, scans ONLY probed partitions
