@@ -164,6 +164,86 @@ def quantize_int8(a: Column | str, dim: int | None = None) -> Column:
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
+def quantized_query_scores_np(
+    emb,
+    query_vec: list[float],
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "_qscore",
+):
+    """(id, raw score) of dot(dequantize(quantize(x)), q) per row — the
+    vectorized BIT-EXACT twin of the quantize_int8 -> dequantize_int8 ->
+    dot chain (q_quantized_topk's scan, which paid ~3 * dim interpreted
+    transform/fold steps per row).
+
+    Bit-exactness: every stage replays the interpreted path's IEEE ops
+    elementwise — max_abs and scale per row, v = x / scale, HALF_UP
+    rounding (vectorized floor(|v| + 0.5) with a decimal.Decimal(repr)
+    fallback on elements within 1e-9 of a .5 boundary, matching Spark's
+    BigDecimal.valueOf semantics), reconstruction q * scale, then the
+    dot fold dimension-at-a-time from 0.0. An all-zero vector raises,
+    as the interpreted chain's x/0 does under ANSI mode (the session
+    default). F.round stays in Spark. Pinned in
+    tests/test_dedup_similarity.py::
+    test_quantized_query_scores_np_bit_exact."""
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    qv = np.array([float(v) for v in query_vec], dtype=np.float64)
+    dim = len(query_vec)
+    base = emb.select(id_col, embedding_col)
+    schema = T.StructType(
+        [base.schema[id_col], T.StructField(score_col, T.DoubleType())]
+    )
+
+    def _half_up(av: "np.ndarray") -> "np.ndarray":
+        out = np.floor(av + 0.5)
+        frac = av - np.floor(av)
+        sus = np.abs(frac - 0.5) < 1e-9
+        if sus.any():
+            from decimal import ROUND_HALF_UP, Decimal
+
+            flat = out.reshape(-1)
+            aflat = av.reshape(-1)
+            for k in np.nonzero(sus.reshape(-1))[0]:
+                flat[k] = float(
+                    Decimal(repr(float(aflat[k]))).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+        return out
+
+    def _score(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[score_col] = pd.Series(dtype="float64")
+                yield pdf[[id_col, score_col]]
+                continue
+            X = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            scale = np.abs(X).max(axis=1) / 127.0
+            if not (scale > 0.0).all():
+                raise ValueError(
+                    "quantized_query_scores_np: zero vector (scale == 0) "
+                    "— the interpreted chain raises DIVIDE_BY_ZERO here "
+                    "under ANSI mode"
+                )
+            V = X / scale[:, None]
+            Q = np.sign(V) * _half_up(np.abs(V))
+            Q = Q.astype(np.int8).astype(np.float64)
+            R = Q * scale[:, None]
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                acc = acc + R[:, d] * qv[d]
+            pdf[score_col] = acc
+            yield pdf[[id_col, score_col]]
+
+    return base.mapInPandas(_score, schema=schema)
+
+
 def dequantize_int8(qcol: Column | str) -> Column:
     """Approximate reconstruction: x_i ~= q_i * scale (ARRAY<DOUBLE>)."""
     qc = _c(qcol)

@@ -264,11 +264,66 @@ def pca_project(
     embedding_col: str = "embedding",
     whiten: bool = False,
     eps: float = 1e-9,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, proj) with proj[r] = <x - mu?, v_r> — NO mean-centering
     (projection of the raw vector; center first upstream if needed),
-    one narrow fold per component, all JVM-side. ``whiten=True``
-    divides each coordinate by sqrt(eigenvalue + eps)."""
+    one narrow fold per component. ``whiten=True`` divides each
+    coordinate by sqrt(eigenvalue + eps).
+
+    ``vectorized`` computes the raw dots in numpy with the fold's exact
+    IEEE accumulation order (dimension-at-a-time from 0.0, then the
+    whiten division by the same double literal) instead of q * dim
+    interpreted fold steps per row; F.round stays in Spark on both
+    paths. Bit-identity pinned in
+    tests/test_pca.py::test_pca_project_vectorized_bit_exact."""
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        import pyspark.sql.types as T
+
+        V = np.array([list(map(float, vec)) for _, _, vec in components],
+                     dtype=np.float64)
+        wdiv = np.array(
+            [float((max(eigval, 0.0) + eps) ** 0.5)
+             for _, eigval, _ in components],
+            dtype=np.float64,
+        )
+        nq, dim = V.shape
+        base = emb.select(id_col, embedding_col)
+        schema = T.StructType(
+            [base.schema[id_col],
+             T.StructField("_raw", T.ArrayType(T.DoubleType()))]
+        )
+
+        def _proj(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                if len(pdf) == 0:
+                    pdf["_raw"] = pd.Series(dtype="object")
+                    yield pdf[[id_col, "_raw"]]
+                    continue
+                X = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+                n = len(pdf)
+                out = np.empty((n, nq), dtype=np.float64)
+                for r in range(nq):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(dim):
+                        acc = acc + X[:, d] * V[r, d]
+                    if whiten:
+                        acc = acc / wdiv[r]
+                    out[:, r] = acc
+                pdf["_raw"] = list(out)
+                yield pdf[[id_col, "_raw"]]
+
+        raw = base.mapInPandas(_proj, schema=schema)
+        return raw.select(
+            F.col(id_col),
+            F.transform(
+                F.col("_raw"), lambda x: F.round(x, 6) + F.lit(0.0)
+            ).alias("proj"),
+        )
     cols = [F.col(id_col)]
     proj = []
     for rank, eigval, vec in components:

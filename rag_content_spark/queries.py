@@ -3179,14 +3179,19 @@ _QUANT_SQL = """
     """,
 )
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rag_content_spark.functions.vector import dequantize_int8, quantize_int8
+    from rag_content_spark.functions.vector import quantized_query_scores_np
 
     emb = _emb(spark, sf_dir)
-    quant = emb.select(
-        "vec_id", quantize_int8("embedding").alias("qv")
-    ).select("vec_id", dequantize_int8("qv").alias("embedding"))
     qvec = _emb_driver(sf_dir, vec_ids=[0])[0][1]  # guide §5: no collect job
-    return top_k(quant, list(qvec), k=10).select("vec_id", "score")
+    # bit-exact vectorized twin of quantize -> dequantize -> dot
+    # (r11: the ~3*dim interpreted transform/fold steps per row move to
+    # one numpy pass; round/ordering unchanged in Spark)
+    scored = quantized_query_scores_np(emb, list(qvec))
+    return (
+        scored.select("vec_id", F.round("_qscore", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 @register(

@@ -152,6 +152,61 @@ def test_int8_quantization_roundtrip_error(spark):
         assert r["max_err"] <= r["max_abs"] / 254 + 1e-9
 
 
+def test_quantized_query_scores_np_bit_exact(spark):
+    """The fused numpy quantize->dequantize->dot scorer must match the
+    interpreted chain BIT-identically (raw doubles), including exact .5
+    quantization boundaries; an all-zero vector must raise on both
+    paths (ANSI DIVIDE_BY_ZERO / the twin's guard)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from rag_content_spark.functions.vector import (
+        dequantize_int8,
+        dot,
+        quantize_int8,
+        quantized_query_scores_np,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rng = np.random.RandomState(7)
+    extra = [
+        (100001, [float(x) for x in rng.randn(64) * 100]),
+        # exact .5 quantization boundaries: scale = 1.0, v_i = i + 0.5
+        (100002, [127.0] + [min(i + 0.5, 127.0) for i in range(63)]),
+    ]
+    df = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(extra, ["vec_id", "embedding"])
+        .select("vec_id", F.col("embedding").cast("array<float>"))
+    )
+    q = [float(x) for x in rng.randn(64)]
+    qlit = F.array(*[F.lit(v) for v in q])
+    a = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id",
+            dot(
+                dequantize_int8(quantize_int8("embedding")), qlit, 64
+            ).alias("s"),
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["_qscore"]
+        for r in quantized_query_scores_np(df, q).collect()
+    }
+    assert a.keys() == b.keys()
+    for i in a:
+        assert struct.pack("<d", a[i]) == struct.pack("<d", b[i]), (
+            i, a[i], b[i],
+        )
+    zero = spark.createDataFrame(
+        [(0, [0.0] * 64)], ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    with pytest.raises(Exception, match="(?i)zero"):
+        quantized_query_scores_np(zero, q).collect()
+
+
 def test_connected_components_transitive(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],

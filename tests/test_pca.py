@@ -91,3 +91,41 @@ def test_pca_project_variance_ordering_and_whiten(spark):
         ]
     )
     assert np.allclose(W.var(axis=0), 1.0, rtol=0.05)
+
+
+def test_pca_project_vectorized_bit_exact(spark):
+    """The numpy projection path must match the interpreted fold chain
+    BIT-identically (raw doubles after round — struct-pack equality),
+    with and without whitening."""
+    import struct
+
+    from rag_content_spark.operators.pca import (
+        embedding_covariance_np,
+        pca_components,
+        pca_project,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cov = [
+        (r["i"], r["j"], r["cov6"])
+        for r in embedding_covariance_np(emb).collect()
+    ]
+    comps = pca_components(cov, q=8)
+    for whiten in (False, True):
+        a = {
+            r["vec_id"]: r["proj"]
+            for r in pca_project(
+                emb, comps, whiten=whiten, vectorized=False
+            ).collect()
+        }
+        b = {
+            r["vec_id"]: r["proj"]
+            for r in pca_project(
+                emb, comps, whiten=whiten, vectorized=True
+            ).collect()
+        }
+        assert a.keys() == b.keys()
+        for i in a:
+            pa = struct.pack(f"<{len(a[i])}d", *a[i])
+            pb = struct.pack(f"<{len(b[i])}d", *b[i])
+            assert pa == pb, f"vec {i}: {a[i]} vs {b[i]}"
