@@ -123,6 +123,28 @@ def hll_estimate_from_registers(regs: DataFrame, p: int = 8) -> DataFrame:
 # computes the identical sketch.
 
 
+def cms_cells(col: "F.Column | str" = "token", depth: int = 4, width: int = 256):
+    """ARRAY<STRUCT<r, c>> of an item's count-min cells — the hashing
+    stage of :func:`cms_sketch`, exposed so a multi-sketch consumer can
+    hash the stream ONCE (checkpoint the exploded cells) and aggregate
+    several ways (q_cms_merge builds three sketches of one stream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (stable_hash64(c, salt=f"cms{r}") % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_from_cells(cells: DataFrame) -> DataFrame:
+    """Aggregate an exploded (r, c) cell stream into the sketch table."""
+    return cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def cms_sketch(
     items: DataFrame, col: str = "token", depth: int = 4, width: int = 256
 ) -> DataFrame:
@@ -134,21 +156,9 @@ def cms_sketch(
     100 TB the shuffle carries at most depth*width rows per partition
     and per-day sketches union+re-aggregate into monthly ones for free.
     """
-    c = F.col(col)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                (stable_hash64(c, salt=f"cms{r}") % width).alias("c"),
-            )
-            for r in range(depth)
-        ]
-    )
-    return (
-        items.select(F.explode(cells).alias("cell"))
+    return cms_from_cells(
+        items.select(F.explode(cms_cells(col, depth, width)).alias("cell"))
         .select("cell.r", "cell.c")
-        .groupBy("r", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 

@@ -9533,23 +9533,34 @@ def q_streaming_chunk_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rag_content_spark.operators.sketches import cms_merge, cms_sketch
+    from rag_content_spark.operators.sketches import (
+        cms_cells,
+        cms_from_cells,
+        cms_merge,
+    )
 
     # _fan before the explode: the single-split input otherwise runs
-    # the tokenize AND the checkpointed stream's three salted-md5
-    # sketch builds in ONE task (the checkpoint inherits the input's
-    # partitioning) — the _fan docstring's measured case (r11)
-    toks = (
+    # the tokenize AND the downstream sketch aggregates in ONE task
+    # (the checkpoint inherits the input's partitioning) — the _fan
+    # docstring's measured case (r11). The checkpoint carries the
+    # exploded CELLS, not raw tokens: the three sketch builds share one
+    # salted-md5 hashing pass instead of re-hashing the stream each
+    # (4 md5s per occurrence once, not three times).
+    cells = (
         _fan(_docs(spark, sf_dir))
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-        .localCheckpoint(eager=True)  # three sketch builds, one scan
+        .select("doc_id", F.explode(cms_cells("token")).alias("cell"))
+        .select("doc_id", "cell.r", "cell.c")
+        .localCheckpoint(eager=True)
     )
-    a = cms_sketch(toks.filter(F.col("doc_id") % 2 == 0))
-    b = cms_sketch(toks.filter(F.col("doc_id") % 2 == 1))
+    a = cms_from_cells(cells.filter(F.col("doc_id") % 2 == 0))
+    b = cms_from_cells(cells.filter(F.col("doc_id") % 2 == 1))
     merged = cms_merge([a, b]).select(
         "r", "c", F.col("cnt").alias("cnt_merged")
     )
-    whole = cms_sketch(toks).select("r", "c", F.col("cnt").alias("cnt_whole"))
+    whole = cms_from_cells(cells).select(
+        "r", "c", F.col("cnt").alias("cnt_whole")
+    )
     return merged.join(whole, ["r", "c"]).select(
         "r",
         "c",
