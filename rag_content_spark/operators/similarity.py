@@ -579,6 +579,54 @@ def assign_ivf_cells_np(
     return index.mapInPandas(_assign, schema=schema)
 
 
+def lsh_signature_exact_np(
+    df: DataFrame,
+    bits: int = 16,
+    dim: int = 64,
+    seed: str = "srp",
+    embedding_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """BIT-EXACT vectorized twin of :func:`lsh_signature` (unlike
+    :func:`lsh_signature_np`, whose BLAS matmul reassociates): each
+    per-bit projection accumulates dimension-at-a-time from 0.0 with the
+    fold's IEEE operation sequence, so the projection double — and hence
+    the ``proj >= 0`` sign and the bucket id — is identical BY
+    CONSTRUCTION, safe for oracle-checked queries. Keeps all input
+    columns. Pinned in tests/test_ann.py::
+    test_lsh_signature_exact_np_matches_fold."""
+    import numpy as np
+
+    import pyspark.sql.types as T
+
+    planes = np.array(
+        [srp_plane(seed, j, dim) for j in range(bits)], dtype=np.float64
+    )
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def _sig(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            emb = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            sig = np.zeros(n, dtype=np.int64)
+            for j in range(bits):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + emb[:, d] * planes[j, d]
+                sig = sig + np.where(acc >= 0, np.int64(1 << j), np.int64(0))
+            pdf[out_col] = sig
+            yield pdf
+
+    return df.mapInPandas(_sig, schema=schema)
+
+
 def lsh_signature_np(
     df: DataFrame,
     bits: int = 16,

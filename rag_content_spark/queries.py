@@ -2684,13 +2684,15 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rag_content_spark.operators.similarity import lsh_signature
+    from rag_content_spark.operators.similarity import lsh_signature_exact_np
 
     emb = _emb(spark, sf_dir)
+    # bit-exact numpy twin of the 8 x 64 interpreted per-bit folds (r11)
     return (
-        emb.select(
-            "vec_id", lsh_signature("embedding", bits=8, dim=64, seed="srp").alias("bucket")
+        lsh_signature_exact_np(
+            emb.select("vec_id", "embedding"), bits=8, dim=64, seed="srp"
         )
+        .select("vec_id", "bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -4909,7 +4911,6 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path): probe the query's bucket + Hamming-1 neighbors, exact top-10
     within the probed buckets."""
     from rag_content_spark.operators.similarity import (
-        lsh_signature,
         probe_sequence,
         srp_plane,
     )
@@ -4923,12 +4924,15 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             qbucket |= 1 << j
     probes = probe_sequence(qbucket, bits, n_probes)
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        "embedding",
-        lsh_signature("embedding", bits=bits, dim=dim, seed="srp").alias(
-            "bucket"
-        ),
+    from rag_content_spark.operators.similarity import lsh_signature_exact_np
+
+    # bit-exact numpy twin of the bits x dim interpreted folds (r11)
+    emb = lsh_signature_exact_np(
+        _emb(spark, sf_dir).select("vec_id", "embedding"),
+        bits=bits,
+        dim=dim,
+        seed="srp",
+        out_col="bucket",
     )
     qv = F.array(*[F.lit(float(x)) for x in _PQ_QUERY])
     return (

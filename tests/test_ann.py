@@ -200,6 +200,42 @@ def test_srp_reduce_np_matches_fold(spark):
         assert max(abs(x - y) for x, y in zip(a[i], b[i])) < 1e-9
 
 
+def test_lsh_signature_exact_np_matches_fold(spark):
+    """The fold-order numpy signature must equal the interpreted
+    per-bit folds exactly (every bucket id identical)."""
+    import numpy as np
+
+    from rag_content_spark.operators.similarity import (
+        lsh_signature,
+        lsh_signature_exact_np,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rng = np.random.RandomState(13)
+    extra = spark.createDataFrame(
+        [(100000 + i, [float(x) for x in rng.randn(64) * 1e3])
+         for i in range(50)],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    df = emb.select("vec_id", "embedding").unionByName(extra)
+    a = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select(
+            "vec_id",
+            lsh_signature("embedding", bits=16, dim=64, seed="srp").alias(
+                "bucket"
+            ),
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_signature_exact_np(df, bits=16, dim=64, seed="srp")
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert a == b
+
+
 def test_srp_query_scores_np_bit_exact(spark):
     """The vectorized shortlist scorer must replay the interpreted fold
     chain (srp_reduce + dot(_red, rq)) BIT-identically, raw doubles."""
