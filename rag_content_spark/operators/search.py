@@ -1322,15 +1322,24 @@ def mmr_rerank(
     page, not a corpus).
     """
     from rag_content_spark.functions.vector import cosine
+    from rag_content_spark.operators.similarity import cosine_query_scores_np
 
     spark = index.sparkSession
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = index.select(
-        F.col(id_col).alias("id"),
-        F.col(embedding_col).alias("_e"),
-        F.round(cosine(embedding_col, qv) * F.lit(1_000_000))
-        .cast("bigint")
-        .alias("rel6"),
+    # corpus relevance scan via the bit-exact numpy cosine twin (r11:
+    # the 3 * dim interpreted fold steps per row move to one numpy
+    # pass); rounding unchanged in Spark. The shortlist self-join below
+    # keeps the declarative cosine (<= shortlist^2 tiny rows).
+    scored = cosine_query_scores_np(
+        index.select(
+            F.col(id_col).alias("id"), F.col(embedding_col).alias("_e")
+        ),
+        list(query_vec),
+        embedding_col="_e",
+        id_col="id",
+    ).select(
+        "id",
+        "_e",
+        F.round(F.col("_cos") * F.lit(1_000_000)).cast("bigint").alias("rel6"),
     )
     cands = scored.orderBy(F.desc("rel6"), "id").limit(shortlist).cache()
     a = cands.select(F.col("id").alias("ia"), F.col("_e").alias("_ea"))

@@ -579,6 +579,59 @@ def assign_ivf_cells_np(
     return index.mapInPandas(_assign, schema=schema)
 
 
+def cosine_query_scores_np(
+    df: DataFrame,
+    query_vec: list[float],
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "_cos",
+) -> DataFrame:
+    """Adds ``score_col``: raw cosine(x, q) per row — the vectorized
+    BIT-EXACT twin of the declarative
+    ``dot(x, q) / (l2_norm(x) * l2_norm(q))`` fold chain. Every stage
+    replays the fold's IEEE sequence: both dots accumulate
+    dimension-at-a-time from 0.0, the query norm is the same scalar fold
+    driver-side, then sqrt / multiply / divide in the expression's
+    order. Keeps all input columns; rounding stays in Spark. Pinned in
+    tests/test_search.py::test_cosine_query_scores_np_bit_exact."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import pyspark.sql.types as T
+
+    q = np.array([float(v) for v in query_vec], dtype=np.float64)
+    dim = len(query_vec)
+    qacc = 0.0
+    for v in query_vec:
+        qacc = qacc + float(v) * float(v)
+    qnorm = math.sqrt(qacc)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(score_col, T.DoubleType())]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[score_col] = pd.Series(dtype="float64")
+                yield pdf
+                continue
+            X = np.stack(pdf[embedding_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            d = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            for k in range(dim):
+                xk = X[:, k]
+                d = d + xk * q[k]
+                na = na + xk * xk
+            pdf[score_col] = d / (np.sqrt(na) * qnorm)
+            yield pdf
+
+    return df.mapInPandas(_score, schema=schema)
+
+
 def lsh_signature_exact_np(
     df: DataFrame,
     bits: int = 16,

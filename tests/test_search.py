@@ -1102,3 +1102,43 @@ def test_one_scan_postings_matches_old_shape(spark):
         assert new == old and len(new) == 3, var
     kw = sorted(map(tuple, keyword_scores(docs, terms, round_to=9).collect()))
     assert len(kw) == 3
+
+
+def test_cosine_query_scores_np_bit_exact(spark):
+    """The numpy cosine scorer must match the declarative
+    dot / (l2_norm * l2_norm) fold chain BIT-identically (raw doubles)."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.functions.vector import cosine
+    from rag_content_spark.operators.similarity import cosine_query_scores_np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rng = np.random.RandomState(17)
+    extra = spark.createDataFrame(
+        [(100000 + i, [float(x) for x in rng.randn(64) * 1e4])
+         for i in range(40)],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    df = emb.select("vec_id", "embedding").unionByName(extra)
+    q = [float(x) for x in rng.randn(64)]
+    qv = F.array(*[F.lit(v) for v in q])
+    a = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", cosine("embedding", qv).alias("c")
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["_cos"]
+        for r in cosine_query_scores_np(df, q).select(
+            "vec_id", "_cos"
+        ).collect()
+    }
+    assert a.keys() == b.keys()
+    for i in a:
+        assert struct.pack("<d", a[i]) == struct.pack("<d", b[i]), (
+            i, a[i], b[i],
+        )
