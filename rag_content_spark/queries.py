@@ -73,7 +73,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_driver(
-    sf_dir: str, vec_ids: list[int] | None = None, mod: int | None = None
+    sf_dir: str,
+    vec_ids: list[int] | None = None,
+    mod: int | None = None,
+    rem: int = 0,
+    max_id: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Driver-side fetch of query vectors / demo centroids straight from
     the embeddings parquet, replacing the per-query Spark collect job
@@ -82,9 +86,13 @@ def _emb_driver(
     sf0.1). Values are bit-identical by construction — the same parquet
     float64 bytes either way (pinned in tests/test_queries_smoke.py).
     ``vec_ids`` pushes an IN filter into the parquet read; ``mod`` keeps
-    every ``vec_id % mod == 0`` row (the demo-centroid pattern — the
-    Spark twin scanned every row for this predicate too). Returns
-    (vec_id, embedding) pairs sorted by vec_id."""
+    every ``vec_id % mod == rem`` row (the demo-/IVF-centroid patterns —
+    the Spark twin scanned every row for this predicate too), and
+    ``max_id`` additionally bounds it to ``vec_id < max_id`` (pushed
+    into the parquet read via row-group statistics — keeps the driver
+    fetch O(max_id) at any replica scale, the same bound the Spark
+    filter carried). Returns (vec_id, embedding) pairs sorted by
+    vec_id."""
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
@@ -96,9 +104,10 @@ def _emb_driver(
         )
         keep = None
     else:
-        t = d.to_table(columns=["vec_id", "embedding"])
+        flt = None if max_id is None else (pc.field("vec_id") < max_id)
+        t = d.to_table(columns=["vec_id", "embedding"], filter=flt)
         extra = set(vec_ids or [])
-        keep = lambda v: v % mod == 0 or v in extra  # noqa: E731
+        keep = lambda v: v % mod == rem or v in extra  # noqa: E731
     pairs = [
         (v, e)
         for v, e in zip(
@@ -5372,13 +5381,12 @@ def q_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("anchor_vec"),
         F.col("label").alias("anchor_label"),
     )
+    # guide §5: no collect job — driver-side pyarrow read of the same
+    # bounded centroid sample (r11 continuation; bit-identical, pinned
+    # in tests/test_embedding.py::test_emb_driver_mod_rem_max_id)
     centroids = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(
-            (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 100000)
-        )
-        .orderBy("vec_id")
-        .collect()
+        (vid, list(e))
+        for vid, e in _emb_driver(sf_dir, mod=50, rem=1, max_id=100000)
     ]
     out = mine_contrastive_pairs_ivf(
         emb, anchors, centroids, n_pos=3, n_neg=3, nprobe=3
@@ -5454,13 +5462,12 @@ def q_retrieval_metrics_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
         F.col("label").alias("query_label"),
     )
+    # guide §5: no collect job — driver-side pyarrow read of the same
+    # bounded centroid sample (r11 continuation; bit-identical, pinned
+    # in tests/test_embedding.py::test_emb_driver_mod_rem_max_id)
     centroids = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(
-            (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 100000)
-        )
-        .orderBy("vec_id")
-        .collect()
+        (vid, list(e))
+        for vid, e in _emb_driver(sf_dir, mod=50, rem=1, max_id=100000)
     ]
     return retrieval_eval_ivf(emb, queries, centroids, k=10, nprobe=3)
 
@@ -7244,13 +7251,12 @@ def q_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target vectors (nlist = model artifact, not corpus-linear — the
     # base-id-range bound keeps the oracle's assignment replay linear at
     # any replica scale, same seeding as the other IVF eval siblings)
+    # guide §5: no collect job — driver-side pyarrow read of the same
+    # bounded centroid sample (r11 continuation; bit-identical, pinned
+    # in tests/test_embedding.py::test_emb_driver_mod_rem_max_id)
     centroids = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(
-            (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 100000)
-        )
-        .orderBy("vec_id")
-        .collect()
+        (vid, list(e))
+        for vid, e in _emb_driver(sf_dir, mod=50, rem=1, max_id=100000)
     ]
     return mine_bitext_ivf(
         src, tgt, centroids, k=4, nprobe=3, margin_threshold=1.05

@@ -101,3 +101,34 @@ def test_emb_driver_matches_spark_collect(spark, tmp_path):
     assert [v for v, _ in got_mod] == [v for v, _ in spark_mod]
     for (_, a), (_, b) in zip(got_mod, spark_mod):
         assert [struct.pack("<d", x) for x in a] == [struct.pack("<d", x) for x in b]
+
+
+def test_emb_driver_mod_rem_max_id(spark, tmp_path):
+    """The rem/max_id extension (IVF centroid pattern, r11 continuation)
+    must return exactly what the replaced Spark filter+collect did."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rag_content_spark.queries import _emb_driver
+
+    rows = [(i, [float(i) * 0.3 + j * 1e-6 for j in range(4)]) for i in range(300)]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.parquet(
+        f"{path}/embeddings.parquet"
+    )
+    emb = spark.read.parquet(f"{path}/embeddings.parquet")
+    want = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 200)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    got = _emb_driver(path, mod=50, rem=1, max_id=200)
+    assert [v for v, _ in got] == [v for v, _ in want] == [1, 51, 101, 151]
+    for (_, a), (_, b) in zip(got, want):
+        assert [struct.pack("<d", x) for x in a] == [
+            struct.pack("<d", x) for x in b
+        ]
