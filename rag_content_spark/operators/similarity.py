@@ -607,6 +607,11 @@ def cosine_query_scores_np(
     for v in query_vec:
         qacc = qacc + float(v) * float(v)
     qnorm = math.sqrt(qacc)
+    if qnorm == 0.0:
+        raise ValueError(
+            "cosine_query_scores_np: zero query vector — the declarative "
+            "cosine raises DIVIDE_BY_ZERO here under ANSI mode"
+        )
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(score_col, T.DoubleType())]
     )
@@ -626,6 +631,12 @@ def cosine_query_scores_np(
                 xk = X[:, k]
                 d = d + xk * q[k]
                 na = na + xk * xk
+            if not (na > 0.0).all():
+                raise ValueError(
+                    "cosine_query_scores_np: zero vector (norm == 0) — "
+                    "the declarative cosine raises DIVIDE_BY_ZERO here "
+                    "under ANSI mode"
+                )
             pdf[score_col] = d / (np.sqrt(na) * qnorm)
             yield pdf
 
