@@ -44,6 +44,16 @@ def get_spark(
         # the advisory size so the flag is near-moot there; locally the
         # parallelism-first default wins. See OPTIMIZATION_r11.md.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r11: PySpark's DataFrame-debugging origin capture wraps every
+        # DataFrame/Column API call with getActiveSession + a JVM
+        # PySparkCurrentOrigin.set/clear round-trip pair + a Python
+        # stack capture — pure per-call driver overhead (guide §5: the
+        # driver should do almost no work; cProfile showed plan
+        # CONSTRUCTION at ~55% of the warm suite, hundreds of py4j
+        # round-trips per query build). Disabling it only drops the
+        # user-code call-site line from error messages; Spark's own
+        # error classes and stack traces are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # naive timestamps mean UTC everywhere (parquet TIMESTAMP_NTZ ->
         # epoch math must not depend on the machine's zone)
