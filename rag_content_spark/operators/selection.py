@@ -173,6 +173,7 @@ def dsir_log_weights(
     target_subset_of_raw: bool = False,
     materialize: bool = True,
     vectorized: bool = True,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """Per-raw-document DSIR importance weight: (id, n_ngrams, logw).
 
@@ -212,6 +213,59 @@ def dsir_log_weights(
     # disappears (counts finalize inside each batch; see
     # hashed_ngram_buckets_np). The target distribution reuses the same
     # twin summed per bucket. Equality pinned in tests/test_selection.py.
+    #
+    # r11 continuation: ``target_flag`` (a boolean Column over ``raw``
+    # rows, e.g. ``F.col("lang") == "en"``) declares the target as a
+    # row-predicate slice of raw. The flag rides through the feature
+    # pass (constant per doc), so BOTH bucket distributions come out of
+    # ONE aggregation over the checkpointed feature table — the second
+    # feature pass over the target slice (profiled 0.58 s of
+    # dsir_weights' 2.1 s at sf0.1; at 100 TB a second partial corpus
+    # scan+tokenize) and the two serialized distribution-checkpoint
+    # jobs disappear. Identical integer counts by construction: a
+    # bucket's target count is the sum of cnt over flagged docs, which
+    # is exactly the re-exploded slice's count (equality-pinned in
+    # tests/test_selection.py::test_dsir_target_flag_matches_two_pass).
+    if target_flag is not None:
+        if not vectorized:
+            raise ValueError("target_flag requires vectorized=True")
+        feats = hashed_ngram_buckets_np(
+            raw.withColumn("_tgt", target_flag),
+            text_col,
+            id_col,
+            buckets,
+            flag_col="_tgt",
+        )
+        if materialize:
+            feats = feats.localCheckpoint(eager=True)
+        fused = feats.groupBy("bucket").agg(
+            F.sum("cnt").alias("c"),
+            F.sum(F.when(F.col("_tgt"), F.col("cnt"))).alias("_ct"),
+        )
+        if materialize:
+            # <= buckets rows; one job materializes BOTH distributions
+            fused = fused.localCheckpoint(eager=True)
+        rc = fused.select("bucket", "c")
+        # keep exactly the old tc row set (buckets with >= 1 target
+        # occurrence) so _smoothed/_ratio_table see identical tables
+        tc = fused.filter(F.col("_ct").isNotNull()).select(
+            "bucket", F.col("_ct").alias("c")
+        )
+        pr = _smoothed(rc, buckets)
+        pt = _smoothed(tc, buckets)
+        ratios = _ratio_table(pr, pt, buckets)
+        return (
+            feats.join(F.broadcast(ratios), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias("n_ngrams"),
+                F.round(
+                    F.sum(F.col("cnt") * F.col("lr")).cast("double")
+                    / F.lit(LOG_SCALE),
+                    6,
+                ).alias("logw"),
+            )
+        )
     feat_fn = hashed_ngram_buckets_np if vectorized else hashed_ngram_buckets
     feats = feat_fn(raw, text_col, id_col, buckets)
     if materialize:
@@ -282,6 +336,7 @@ def dsir_select(
     target_subset_of_raw: bool = False,
     materialize: bool = True,
     vectorized: bool = True,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """Gumbel top-k importance resample: the k raw documents to keep.
 
@@ -295,6 +350,7 @@ def dsir_select(
         target_subset_of_raw=target_subset_of_raw,
         materialize=materialize,
         vectorized=vectorized,
+        target_flag=target_flag,
     )
     keyed = w.select(
         F.col(id_col),
@@ -895,6 +951,7 @@ def hashed_ngram_buckets_np(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Vectorized EXACT twin of :func:`hashed_ngram_buckets`: per-doc
     (id, bucket, cnt) computed inside each Arrow batch — tokenization
@@ -910,6 +967,12 @@ def hashed_ngram_buckets_np(
     to its limit: aggregate BEFORE the exchange, here before even
     leaving the task). Row-for-row equality with the declarative path
     is pinned in tests/test_selection.py.
+
+    ``flag_col`` names an optional boolean column of ``docs`` carried
+    through unchanged (constant per document) — the
+    :func:`dsir_log_weights` ``target_flag`` path uses it so the target
+    bucket distribution can be derived from the SAME feature pass
+    instead of re-tokenizing the target slice.
     """
     import hashlib
     import re
@@ -920,13 +983,14 @@ def hashed_ngram_buckets_np(
     import pyspark.sql.types as T
 
     split_re = re.compile("[ \t\n\x0b\f\r]+")
-    schema = T.StructType(
-        [
-            T.StructField(id_col, docs.schema[id_col].dataType),
-            T.StructField("bucket", T.LongType()),
-            T.StructField("cnt", T.LongType()),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, docs.schema[id_col].dataType),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+    if flag_col is not None:
+        fields.append(T.StructField(flag_col, T.BooleanType()))
+    schema = T.StructType(fields)
 
     def _feats(batches):
         cache: dict[str, int] = {}
@@ -934,7 +998,11 @@ def hashed_ngram_buckets_np(
             flat: list[str] = []
             starts: list[int] = []
             ids = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            flags = []
+            row_flags = (
+                pdf[flag_col] if flag_col is not None else [None] * len(pdf)
+            )
+            for did, text, flg in zip(pdf[id_col], pdf[text_col], row_flags):
                 if text is None:
                     continue
                 toks = [t for t in split_re.split(text) if t]
@@ -944,6 +1012,7 @@ def hashed_ngram_buckets_np(
                     f"{a} {b}" for a, b in zip(toks, toks[1:])
                 )
                 ids.append(did)
+                flags.append(flg)
             if not ids:
                 continue
             starts.append(len(flat))
@@ -959,7 +1028,7 @@ def hashed_ngram_buckets_np(
                     cache[g] = h
                 vb[i] = h
             bkt = vb[codes]
-            out_id, out_b, out_c = [], [], []
+            out_id, out_b, out_c, out_f = [], [], [], []
             for k, did in enumerate(ids):
                 seg = bkt[starts[k] : starts[k + 1]]
                 if len(seg) == 0:
@@ -969,8 +1038,12 @@ def hashed_ngram_buckets_np(
                 out_id.extend([did] * len(nz))
                 out_b.extend(nz.tolist())
                 out_c.extend(counts[nz].tolist())
-            yield pd.DataFrame(
-                {id_col: out_id, "bucket": out_b, "cnt": out_c}
-            )
+                if flag_col is not None:
+                    out_f.extend([flags[k]] * len(nz))
+            data = {id_col: out_id, "bucket": out_b, "cnt": out_c}
+            if flag_col is not None:
+                data[flag_col] = pd.array(out_f, dtype="boolean")
+            yield pd.DataFrame(data)
 
-    return docs.select(id_col, text_col).mapInPandas(_feats, schema=schema)
+    cols = [id_col, text_col] + ([flag_col] if flag_col is not None else [])
+    return docs.select(*cols).mapInPandas(_feats, schema=schema)

@@ -5886,8 +5886,15 @@ def _dsir_frames(spark: SparkSession, sf_dir: str):
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import dsir_log_weights
 
+    # target_flag: the en-slice target distribution comes out of the
+    # SAME feature pass as the raw one (flag carried through the numpy
+    # twin; one fused bucket aggregate) instead of a second
+    # tokenize+hash pass over the slice — identical integer counts,
+    # equality-pinned in tests/test_selection.py (r11 continuation).
     raw, tgt = _dsir_frames(spark, sf_dir)
-    return dsir_log_weights(raw, tgt, buckets=_DSIR_B)
+    return dsir_log_weights(
+        raw, tgt, buckets=_DSIR_B, target_flag=F.col("lang") == "en"
+    )
 
 
 @register(
@@ -5913,7 +5920,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.selection import dsir_select
 
     raw, tgt = _dsir_frames(spark, sf_dir)
-    return dsir_select(raw, tgt, k=100, buckets=_DSIR_B)
+    return dsir_select(
+        raw, tgt, k=100, buckets=_DSIR_B, target_flag=F.col("lang") == "en"
+    )
 
 
 @register(
@@ -7730,8 +7739,13 @@ def q_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     gated = docs.filter(gopher_rules("text")["keep"]).localCheckpoint(eager=True)
     target = gated.filter(F.col("lang") == "en")
+    # target_flag supersedes the r11 semi-join derivation: the en-slice
+    # distribution comes out of the one feature pass (flag carried
+    # through the twin), dropping the tids distinct + semi-join and two
+    # serialized distribution checkpoints. Same integer counts.
     sel = dsir_select(
-        gated, target, k=200, buckets=_DSIR_B, target_subset_of_raw=True
+        gated, target, k=200, buckets=_DSIR_B,
+        target_flag=F.col("lang") == "en",
     ).select("doc_id", "logw")
     kept = gated.join(sel, "doc_id")
     packed = pack_sequences(kept, budget=500, shards=4)

@@ -46,6 +46,50 @@ def test_dsir_weights_integer_sum_is_partitioning_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_dsir_target_flag_matches_two_pass(spark):
+    """The target_flag path (flag carried through the feature twin, one
+    fused bucket aggregate) must produce row-identical weights to the
+    two-pass path (target slice re-tokenized separately) — including a
+    NULL-text doc and a doc whose flag is true."""
+    from rag_content_spark.operators.selection import dsir_log_weights
+
+    rows = [
+        (1, "tgt", "vector index retrieval ranks documents by cosine score"),
+        (2, "tgt", "the retrieval index returns top documents by score"),
+        (3, "raw", "bananas and oranges are stacked in the market crates"),
+        (4, "raw", None),
+        (5, "tgt", ""),
+        (6, "raw", "crates of bananas ship to the market every morning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "kind", "text"])
+    target = docs.filter(F.col("kind") == "tgt")
+    two_pass = dsir_log_weights(docs, target, buckets=64)
+    flagged = dsir_log_weights(
+        docs, None, buckets=64, target_flag=F.col("kind") == "tgt"
+    )
+    assert sorted(map(tuple, two_pass.collect())) == sorted(
+        map(tuple, flagged.collect())
+    )
+
+
+def test_dsir_target_flag_matches_subset_path(spark):
+    """target_flag vs the target_subset_of_raw semi-join derivation —
+    same integer counts, same weights (the selection_pipeline switch)."""
+    from rag_content_spark.operators.selection import dsir_log_weights
+
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "tgt")
+    subset = dsir_log_weights(
+        docs, target, buckets=128, target_subset_of_raw=True
+    )
+    flagged = dsir_log_weights(
+        docs, None, buckets=128, target_flag=F.col("kind") == "tgt"
+    )
+    assert sorted(map(tuple, subset.collect())) == sorted(
+        map(tuple, flagged.collect())
+    )
+
+
 def test_dsir_select_is_deterministic_topk(spark):
     from rag_content_spark.operators.selection import dsir_select
 
