@@ -421,7 +421,13 @@ def bigram_logloss(
     ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
 
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 (context mass) as a rollup of c12 — c1(w1) = sum_w2 c12(w1,w2),
+    # exact integers — instead of a second groupBy over the corpus-sized
+    # bigram stream: removes one full tokenize+explode derivation of
+    # `big` AND its corpus-sized w1 exchange (guide §2.3/§2.4); the
+    # rollup input is the vocabulary-sized c12 table. Same trick
+    # kneser_ney_logloss already uses for ctx/cont/types.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(tok).alias("_t"))
         .agg(F.count_distinct("_t").alias("v"))

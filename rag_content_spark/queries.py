@@ -4788,7 +4788,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.quality import gopher_rules, rebalance_to_mix
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    gated = docs.filter(gopher_rules("text")["keep"])
+    # r11 continuation: the fully-lazy composition re-derived the
+    # gopher gate (tokenize + regex scoring over the corpus) ~6x — the
+    # static plan references gated via exact_dedup, the semi-join, and
+    # rebalance's counts/scale/join, and packed + the final join-back
+    # each replay the whole chain. Materialize the two reused stages
+    # (the dedup_precollapse corpus-checkpoint argument: N full corpus
+    # derivations -> 1 + a bounded materialization).
+    gated = docs.filter(gopher_rules("text")["keep"]).localCheckpoint(
+        eager=True
+    )
     # survivor selection via the exact_dedup aggregate (map-side combine,
     # AQE-splittable join) rather than a hash-partitioned window — a
     # boilerplate text repeated 10^9 times would serialize a window
@@ -4796,7 +4805,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     deduped = gated.join(survivors, "doc_id", "leftsemi")
-    balanced = rebalance_to_mix(deduped, _MIX)
+    balanced = rebalance_to_mix(deduped, _MIX).localCheckpoint(eager=True)
     packed = pack_sequences(balanced, budget=500, shards=4)
     return packed.join(
         balanced.select("doc_id", "lang"), "doc_id"
