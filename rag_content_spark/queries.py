@@ -131,6 +131,8 @@ def _emb_driver(
     fetch O(max_id) at any replica scale, the same bound the Spark
     filter carried). Returns (vec_id, embedding) pairs sorted by
     vec_id."""
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
@@ -140,19 +142,34 @@ def _emb_driver(
             columns=["vec_id", "embedding"],
             filter=pc.field("vec_id").isin(list(vec_ids or [])),
         )
-        keep = None
-    else:
-        flt = None if max_id is None else (pc.field("vec_id") < max_id)
-        t = d.to_table(columns=["vec_id", "embedding"], filter=flt)
-        extra = set(vec_ids or [])
-        keep = lambda v: v % mod == rem or v in extra  # noqa: E731
-    pairs = [
-        (v, e)
-        for v, e in zip(
-            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        pairs = list(
+            zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
         )
-        if keep is None or keep(v)
-    ]
+    else:
+        # Stream record batches and apply the modulo mask per batch so
+        # the driver only ever materializes the KEPT rows (~1/mod of
+        # the table) plus one batch — never the whole table (round-11
+        # verdict #2: the unbounded `to_table()` here was a full-table
+        # driver materialization, a driver OOM at a 100 TB replica;
+        # with ``max_id`` the bound additionally pushes into the
+        # parquet read via row-group statistics, same as before).
+        flt = None if max_id is None else (pc.field("vec_id") < max_id)
+        extra = sorted(set(vec_ids or []))
+        pairs = []
+        for batch in d.to_batches(columns=["vec_id", "embedding"], filter=flt):
+            v = batch.column(0).to_numpy(zero_copy_only=False)
+            mask = (v % mod) == rem
+            if extra:
+                mask |= np.isin(v, extra)
+            if not mask.any():
+                continue
+            kept = batch.filter(pa.array(mask))
+            pairs.extend(
+                zip(
+                    kept.column(0).to_pylist(),
+                    kept.column(1).to_pylist(),
+                )
+            )
     pairs.sort(key=lambda p: p[0])
     return pairs
 
@@ -11136,7 +11153,7 @@ def _sample_order(names: list[str]) -> list[str]:
     else:
         overdue = set()
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(
+    ranked = sorted(
         names,
         key=lambda n: (
             n not in direct,
@@ -11146,6 +11163,35 @@ def _sample_order(names: list[str]) -> list[str]:
             counts.get(n, 0),
             idx[n],
         ),
+    )
+    # Rotation-fairness cap (round-11 verdict #1): a round that edits
+    # queries.py broadly can flag more than 50 queries as directly
+    # changed, and the changed-first tier then evicts rotation-overdue
+    # queries from the driver's 50-slot prefix — the exact starvation
+    # that left 24 queries >5 rounds unsampled after round 11. When
+    # that happens, promote the evicted overdue entries into the prefix
+    # (preserving their oldest-first drain order) by demoting the
+    # lowest-ranked non-overdue prefix entries; those are always
+    # changed-tier queries (the overdue tier outranks everything else
+    # non-changed), so the oldest-first drain invariant over unchanged
+    # queries is untouched.
+    evicted = [n for n in ranked[50:] if n in overdue]
+    if not evicted:
+        return ranked
+    head, tail = ranked[:50], ranked[50:]
+    demoted: list[str] = []
+    for n in reversed(head):
+        if len(demoted) == len(evicted):
+            break
+        if n not in overdue:
+            demoted.append(n)
+    dset, eset = set(demoted), set(evicted)
+    pos = {n: i for i, n in enumerate(ranked)}
+    return (
+        [n for n in head if n not in dset]
+        + evicted
+        + sorted(demoted, key=pos.__getitem__)
+        + [n for n in tail if n not in eset]
     )
 
 

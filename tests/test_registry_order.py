@@ -68,6 +68,28 @@ def test_order_degrades_to_recency_on_git_failure(monkeypatch):
     assert Q._sample_order(names) == ["b", "a"]
 
 
+def test_overdue_survive_a_broad_editing_round(monkeypatch):
+    # round-11 failure mode: a round that edits queries.py broadly flags
+    # >50 queries as directly changed, and the changed-first tier then
+    # evicted the rotation-overdue queries from the driver's 50-slot
+    # prefix (24 queries went >5 rounds unsampled). Overdue entries must
+    # keep prefix slots no matter how large the changed tier is.
+    names = [f"q{i:03d}" for i in range(120)]
+    period = -(-len(names) // 50)  # 3
+    last = {n: (1 if i < 10 else 9) for i, n in enumerate(names)}
+    overdue = {n for n in names if last[n] <= 9 - period}
+    assert len(overdue) == 10
+    big_direct = {n for n in names if n not in overdue and last[n] == 9}
+    assert len(big_direct) > 50
+    monkeypatch.setattr(Q, "_last_sampled_rounds", lambda: last)
+    monkeypatch.setattr(Q, "_changed_queries", lambda: (big_direct, set(big_direct)))
+    order = Q._sample_order(names)
+    assert all(order.index(n) < 50 for n in overdue)
+    # overdue keep their oldest-first drain order among unchanged queries
+    drain = [last[n] for n in order if n not in big_direct]
+    assert drain == sorted(drain)
+
+
 def test_no_query_goes_long_unsampled():
     # the FEASIBLE rotation guarantee (round-5 verdict): with N
     # registered queries and a 50-slot driver prefix, a full rotation
