@@ -44,6 +44,12 @@ from rag_content_spark.operators.similarity import lsh_signature
 #: ``max_bucket_size=None`` is the explicit opt-out.
 DEFAULT_MAX_BUCKET_SIZE = 1000
 
+#: Verified-pair-count bound under which connected components run as
+#: one-task union-find (~32 MB of id pairs) instead of iterative
+#: min-label propagation — a row-count bound, not a local-core
+#: constant; see :func:`connected_components`.
+_CC_SINGLE_TASK_MAX_PAIRS = 2_000_000
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -704,6 +710,51 @@ def apply_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def _cc_single_task(p: DataFrame) -> DataFrame:
+    """Exact connected components of a SINGLE-TASK-sized edge list via
+    union-find: coalesce the (src, dst) pairs into one partition and
+    label every node with the minimum id of its component inside one
+    ``mapInPandas`` task. Identical fixpoint to the iterative min-label
+    propagation (component = min reachable id); used by
+    :func:`connected_components` when the materialized pair set is
+    bounded. Output schema matches the iterative path: (id, component)
+    with the src column's type."""
+    t = dict(p.dtypes)["src"]
+
+    def _uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min: the smaller root stays root, so the
+                    # final root of every set IS its minimum id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        ids = list(parent)
+        yield pd.DataFrame(
+            {"id": ids, "component": [find(x) for x in ids]}
+        )
+
+    return p.coalesce(1).mapInPandas(_uf, f"id {t}, component {t}")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -721,47 +772,97 @@ def connected_components(
     near-dup clusters (small diameter); each round is two hash joins +
     an aggregation, and labels are localCheckpoint'ed so the plan does
     not grow with iterations (the lineage-explosion trap of iterative
-    DataFrame algorithms).
+    DataFrame algorithms). Min-label propagation is confluent — every
+    schedule reaches the same fixpoint (min reachable id) — so the
+    r12 round-structure changes below cannot change the result.
+
+    r12 orchestration (guide §2.2, §5): (a) the first round is FUSED
+    into label initialization — with labels == ids, round one reduces
+    to ``least(src, min(dst))`` per src, one shuffle instead of a
+    distinct + two joins + an aggregation, and one checkpoint instead
+    of two; (b) because ``edges`` is materialized before the loop, its
+    row count is known, and the eager per-iteration jobs run under a
+    shuffle-partition count derived from that size (~100k edges per
+    reducer) instead of the session default — a 594-edge local graph
+    ran every iteration shuffle as 32 near-empty reducer tasks (the
+    round-11 profile's per-stage floor), while a 100 TB replica's edge
+    set still fans out to the session parallelism.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # materialize the directed pair set ONCE (the incoming plan is often
+    # an expensive lazy verify pipeline; the old symmetric-union-distinct
+    # executed it twice and paid a full-width shuffle for a distinct the
+    # fixpoint does not need — duplicate edges are idempotent under the
+    # min aggregation), then derive the symmetric edge set as a NARROW
+    # union over the checkpoint
+    p = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    spark = p.sparkSession
+    n_pairs = p.count()  # cheap: counts the materialized checkpoint
+    if n_pairs <= _CC_SINGLE_TASK_MAX_PAIRS:
+        # The verified pair set fits ONE task (≤ ~32 MB of id pairs):
+        # run exact union-find inside a single Arrow task instead of
+        # 2+ eager join-iteration jobs — guide §8's "use what you know
+        # that the optimizer does not": the edge list is bounded by the
+        # candidate-verify stage, and min-root union-find reaches the
+        # identical fixpoint (component = min reachable id) in one
+        # pass. The threshold is a row count, not a local-core
+        # constant; a 100 TB replica's billion-edge graph takes the
+        # iterative path below unchanged.
+        return _cc_single_task(p)
+    edges = p.unionAll(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
-        )
-        # the convergence flag rides the same select, so each round is
-        # ONE materialization (the checkpoint) + a cheap count over it —
-        # not a second old-vs-new join
-        stepped = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+    n_edges = 2 * n_pairs
+    par = spark.sparkContext.defaultParallelism
+    n_part = max(1, min(par, n_edges // 100_000 + 1))
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        # round 1 fused into init: labels start equal to ids, so the
+        # neighbor-min join degenerates to an aggregation over edges
+        # (every node appears as src in the symmetric edge set). Left
+        # LAZY: the first loop iteration's checkpoint materializes
+        # rounds 1+2 in one job, and the duplicated init subtree inside
+        # that plan collapses to a ReusedExchange.
+        labels = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("_m"))
             .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("n_comp"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
+                F.col("src").alias("id"),
+                F.least(F.col("src"), F.col("_m")).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("_changed")).limit(1).count()
-        labels = stepped.drop("_changed")
-        if changed == 0:
-            break
+        for _ in range(max_iterations - 1):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("n_comp"))
+            )
+            # the convergence flag rides the same select, so each round is
+            # ONE materialization (the checkpoint) + a cheap count over it —
+            # not a second old-vs-new join
+            stepped = (
+                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    ).alias("component"),
+                    (
+                        F.coalesce(F.col("n_comp"), F.col("component"))
+                        < F.col("component")
+                    ).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.filter(F.col("_changed")).limit(1).count()
+            labels = stepped.drop("_changed")
+            if changed == 0:
+                break
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels
 
 

@@ -221,6 +221,32 @@ def test_connected_components_transitive(spark):
     assert comp[20] == comp[21] == comp[22] == comp[23] == 20
 
 
+def test_cc_single_task_matches_iterative(spark, monkeypatch):
+    # r12: bounded pair sets take a one-task union-find path; the
+    # iterative min-label propagation must reach the identical fixpoint
+    # (component = min reachable id) on the same edges. A path-shaped
+    # cluster (chained ids, descending insert order) exercises multi-hop
+    # propagation; a duplicate pair and a reversed pair exercise
+    # idempotence of the min aggregation under the dropped distinct.
+    import rag_content_spark.operators.dedup as D
+
+    rows = [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2), (1, 2), (40, 30), (50, 60)]
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 30: 30, 40: 30, 50: 50, 60: 50}
+    pairs = spark.createDataFrame(rows, ["id_a", "id_b"])
+    fast = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert fast == expected
+    # drive the iterative branch by making the one-task bound unreachable
+    monkeypatch.setattr(D, "_CC_SINGLE_TASK_MAX_PAIRS", -1)
+    slow = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert slow == expected == fast
+
+
 def test_resolve_duplicates_keeps_best_quality(spark):
     docs = spark.createDataFrame(
         [(1, 0.2), (2, 0.9), (3, 0.5), (7, 0.1)], ["doc_id", "quality"]
