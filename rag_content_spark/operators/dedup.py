@@ -349,14 +349,27 @@ def expand_rep_pairs(
             F.greatest("_ma", "_mb").alias("id_b"),
         )
     )
-    intra = (
-        members.alias("x")
-        .join(members.alias("y"), "rep_id")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
+    # intra-cluster pairs via one groupBy + in-cluster enumeration (the
+    # bucket_pairs shape) instead of a rep_id self-join: the members
+    # subtree is evaluated once, not twice, and one shuffle replaces the
+    # join's two (r12; same (id_a < id_b) rows — members are unique per
+    # (rep_id, id) so sorted-prefix enumeration IS the x < y filter)
+    ids = (
+        members.groupBy("rep_id")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    intra = ids.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id_a"), F.col("p.id_b")
     )
     return cross.unionByName(intra).distinct()
 

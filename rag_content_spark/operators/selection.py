@@ -435,17 +435,24 @@ def bigram_logloss(
     p = (F.col("c12") + F.lit(1)).cast("double") / (
         F.col("c1") + F.col("v")
     ).cast("double")
+    # r12 (guide §2.3): consolidate the model FIRST — c12 ⨝ c1 is a
+    # vocabulary-sized join, so the corpus-sized bigram stream is
+    # shuffled ONCE for the model attach instead of once per model
+    # table (the old big ⨝ c12 ⨝ c1 chain re-exchanged the corpus on
+    # w1 after the (w1,w2) join); in the salted path this also halves
+    # the salted-replicate joins. Same rows bit for bit — every c12
+    # key has exactly one c1 row by construction.
+    model = c12.join(c1, "w1")
     if salt and salt > 1:
         big_s = big.withColumn(
             "_salt",
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt))).cast("int"),
         )
         joined = _salted_model_join(
-            _salted_model_join(big_s, c12, ["w1", "w2"], salt, id_col),
-            c1, ["w1"], salt, id_col,
+            big_s, model, ["w1", "w2"], salt, id_col
         ).drop("_salt")
     else:
-        joined = big.join(c12, ["w1", "w2"]).join(c1, "w1")
+        joined = big.join(model, ["w1", "w2"])
     return (
         joined
         .join(F.broadcast(vocab))
@@ -515,20 +522,23 @@ def kneser_ney_logloss(
         + (d * F.col("fanout") / F.col("c1"))
         * (F.col("n_left").cast("double") / F.col("n_types"))
     )
+    # r12 (guide §2.3): consolidate the model FIRST — c12 ⨝ ctx ⨝ cont
+    # are vocabulary-sized joins, so the corpus bigram stream is
+    # shuffled once for the model attach instead of three times (and
+    # the salted path does ONE salted-replicate join instead of three).
+    # Same rows bit for bit — every c12 key has exactly one ctx and one
+    # cont row by construction.
+    model = c12.join(ctx, "w1").join(cont, "w2")
     if salt and salt > 1:
         big_s = big.withColumn(
             "_salt",
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt))).cast("int"),
         )
         joined = _salted_model_join(
-            _salted_model_join(
-                _salted_model_join(big_s, c12, ["w1", "w2"], salt, id_col),
-                ctx, ["w1"], salt, id_col,
-            ),
-            cont, ["w2"], salt, id_col,
+            big_s, model, ["w1", "w2"], salt, id_col
         ).drop("_salt")
     else:
-        joined = big.join(c12, ["w1", "w2"]).join(ctx, "w1").join(cont, "w2")
+        joined = big.join(model, ["w1", "w2"])
     return (
         joined
         .join(F.broadcast(types))

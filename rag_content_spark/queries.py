@@ -1578,6 +1578,13 @@ def q_dedup_precollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver = dedup.jaccard_pairs(reps, cand, threshold=0.5).select(
         "id_a", "id_b"
     )
+    # members is referenced three times by the expansion (two cross-pair
+    # joins + the intra-cluster enumeration); un-materialized, each
+    # reference re-derives corpus content hashes + the group shuffle
+    # (r12: three extra corpus-scale passes at any replica). A narrow
+    # (rep_id, doc_id, n_copies) table — the §2.4 within-query
+    # materialization trade.
+    members = members.localCheckpoint(eager=True)
     return dedup.expand_rep_pairs(ver, members)
 
 
@@ -7918,21 +7925,24 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalent to per-order counts — a late pair survives iff its order
     # has >=2 distinct suppliers (some other supplier exists) and exactly
     # 1 distinct LATE supplier (no other late one), in which case that
-    # unique late supplier is max(when(late, sk)). One derivation of the
-    # li-orders join instead of three and no semi/anti self-joins
-    # (the old plan ran the join+distinct subtree 3x:
+    # unique late supplier is the sole member of the late set. One
+    # derivation of the li-orders join instead of three and no semi/anti
+    # self-joins (the old plan ran the join+distinct subtree 3x:
     # plans/r11/waiting_suppliers_before.txt).
-    # two-level aggregate instead of two countDistincts: the multi-distinct
-    # Expand tripled the join output through the shuffle (measured 1.4x
-    # slower); groupBy(ok, sk) then groupBy(ok) shuffles each row once
-    p = lo.groupBy("ok", "sk").agg(F.max("late").alias("late"))
-    g = p.groupBy("ok").agg(
-        F.count(F.lit(1)).alias("_ns"),
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("_nl"),
-        F.max(F.when(F.col("late"), F.col("sk"))).alias("_late_sk"),
+    # r12: ONE exchange via collect_set partial aggregation instead of
+    # the r11 two-level (ok, sk) → (ok) aggregate — (ok, sk) keys are
+    # nearly distinct (TPC-H orders have ≤7 suppliers), so the first
+    # level's partial agg reduced almost nothing while shuffling ~every
+    # join-output row; per-order supplier sets are bounded the same way,
+    # so the collect_set state is O(7) per key at any scale (measured
+    # 1.35 → 1.17 s; Exchange 2 → 1 on the aggregate path; r11 had
+    # already measured the multi-distinct Expand variant 1.4x slower)
+    g = lo.groupBy("ok").agg(
+        F.collect_set("sk").alias("_all"),
+        F.collect_set(F.when(F.col("late"), F.col("sk"))).alias("_late"),
     )
-    cand = g.filter((F.col("_ns") >= 2) & (F.col("_nl") == 1)).select(
-        "ok", F.col("_late_sk").alias("sk")
+    cand = g.filter((F.size("_all") >= 2) & (F.size("_late") == 1)).select(
+        "ok", F.col("_late")[0].alias("sk")
     )
     return (
         cand.join(F.broadcast(s), cand["sk"] == s["s_suppkey"])
