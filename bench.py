@@ -203,6 +203,31 @@ HEADLINE = [
 ]
 
 
+# Queries whose honest compute the count-forced timing cannot see:
+# their heavy work lives in projected output columns that Catalyst
+# prunes under .count() (guide §1.4), and several additionally pay a
+# fan-out exchange the pruned plan keeps. The default bench run times
+# this list a SECOND way — every output column forced via the JVM-side
+# row hash (--materialize semantics) — and reports it under the
+# ADDITIVE `queries_materialize` key, leaving `queries`/`value` and
+# their methodology untouched (round-11 verdict item 3: the 12.8→3.7 s
+# sketch_saturation-class wins existed only in builder-side noop
+# sweeps; now every driver bench run carries them).
+MATERIALIZE_LEG = [
+    "sketch_saturation",
+    "dup_span_scrub",
+    "crossdoc_scrub",
+    "dup_spans",
+    "simhash",
+    "crossdoc_dup",
+    "dup_ngrams",
+    "fingerprint",
+    "lang_id_trigram",
+    "pii_scrub",
+    "c4_clean",
+]
+
+
 def _force(df, materialize: bool) -> None:
     """Run the query to completion. Default: .count() — full plan, no
     driver transfer, but Catalyst may prune columns a pure projection
@@ -269,6 +294,22 @@ def main() -> None:
         _force(fn(spark, sf_dir), materialize)
         timings[name] = round(min(cold[name], time.time() - t0), 3)
 
+    # additive materialize leg (full default runs only): min-of-two
+    # all-columns-forced timings for the queries .count() under-reports
+    mat: dict[str, float] = {}
+    if not materialize and names is HEADLINE:
+        for name in MATERIALIZE_LEG:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                _force(fn(spark, sf_dir), True)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            mat[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     print(
@@ -279,6 +320,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_s": cold_total,
+                "queries_materialize": mat,
+                "materialize_leg_total_s": round(sum(mat.values()), 3),
                 "materialize": materialize,
                 "sf": sf,
                 # Measured 2026-08-15 by tools/baseline_ref/run_baseline.py

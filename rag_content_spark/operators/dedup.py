@@ -515,10 +515,11 @@ def jaccard_pairs(
     executor loss must not trigger a full recompute.
     """
     pairs = pairs.localCheckpoint(eager=True)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no distinct on the id set: it only feeds a LEFTSEMI join, which is
+    # duplicate-insensitive — the distinct was a full extra shuffle of
+    # the pair ids for nothing (r12)
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
     )
     sh = (
         df.join(cand_ids, on=id_col, how="leftsemi")
@@ -575,10 +576,10 @@ def containment_pairs(
     set math on |candidates| rows.
     """
     pairs = pairs.localCheckpoint(eager=True)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # duplicate-insensitive LEFTSEMI consumer: no distinct (see
+    # jaccard_pairs)
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
     )
     sh = (
         df.join(cand_ids, on=id_col, how="leftsemi")
@@ -719,7 +720,9 @@ def apply_dedup(
     One anti-join on the (small) loser set — the standard final step of a
     dedup pipeline at scale.
     """
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # no distinct: LEFT ANTI is duplicate-insensitive, and the distinct
+    # was a full extra shuffle of the loser ids (r12)
+    losers = pairs.select(F.col("id_b").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -1057,11 +1060,10 @@ def dedup_against_corpus(
     both = new_docs.select(id_col, text_col).unionAll(
         corpus_docs.select(id_col, text_col)
     )
-    dup_new_ids = (
-        jaccard_pairs(both, cand, text_col, id_col, shingle_n, threshold)
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
-    )
+    # no distinct: LEFT ANTI is duplicate-insensitive (r12)
+    dup_new_ids = jaccard_pairs(
+        both, cand, text_col, id_col, shingle_n, threshold
+    ).select(F.col("id_a").alias(id_col))
     return new_docs.join(dup_new_ids, id_col, "left_anti")
 
 

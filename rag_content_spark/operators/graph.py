@@ -28,6 +28,61 @@ from pyspark.sql import DataFrame, functions as F
 
 SCALE = 1_000_000_000
 
+#: Edge-count bound under which the power iteration runs inside one
+#: Arrow task (exact int64 floor arithmetic, bit-identical to the
+#: distributed fixed-point updates) — a row-count bound, not a
+#: local-core constant; see :func:`pagerank_fixed`.
+_PR_SINGLE_TASK_MAX_EDGES = 2_000_000
+
+
+def _pagerank_single_task(
+    e: DataFrame, iters: int, damping_pct: int
+) -> DataFrame:
+    """All ``iters`` fixed-point power iterations inside one
+    ``mapInPandas`` task over a bounded (src, dst) edge list: the same
+    integer updates (``r div out`` floor division of non-negative
+    BIGINTs, ``d% * sum div 100``) on numpy int64 — bit-identical to
+    the per-iteration join/aggregate plan, without 2 joins + 1
+    aggregate + checkpoint lineage per round. Returns (node, r) still
+    SCALE-denominated; the caller descales with the same round()
+    expression as the distributed path so the rendered doubles are
+    byte-equal."""
+    node_t = dict(e.dtypes)["src"]
+
+    def _pr(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+        if srcs:
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+        else:
+            src = dst = np.array([], dtype=object)
+        nodes = pd.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        if n == 0:
+            yield pd.DataFrame({"node": nodes, "r": np.array([], dtype="int64")})
+            return
+        idx = {v: i for i, v in enumerate(nodes)}
+        si = np.fromiter((idx[v] for v in src), dtype=np.int64, count=len(src))
+        di = np.fromiter((idx[v] for v in dst), dtype=np.int64, count=len(dst))
+        out = np.bincount(si, minlength=n)  # per-EDGE-ROW out-degree
+        base = (100 - damping_pct) * SCALE // 100 // n
+        r = np.full(n, SCALE // n, dtype=np.int64)
+        for _ in range(iters):
+            contrib = r[si] // out[si]
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, di, contrib)
+            r = base + (damping_pct * s) // 100
+        yield pd.DataFrame({"node": nodes, "r": r})
+
+    return e.coalesce(1).mapInPandas(_pr, f"node {node_t}, r bigint")
+
 
 def pagerank_fixed(
     edges: DataFrame,
@@ -48,6 +103,24 @@ def pagerank_fixed(
     whole lineage each action (the iterative-DataFrame scale trap).
     Set 0 to disable (tiny graphs / plan inspection)."""
     src, dst = F.col(src_col), F.col(dst_col)
+    # materialize the edge list once: it is referenced by every
+    # iteration (the lazy plan re-derived it per round — `iters` full
+    # re-derivations of whatever produced it), and its size is what
+    # decides the execution shape below
+    e = edges.select(src.alias("src"), dst.alias("dst")).localCheckpoint(
+        eager=True
+    )
+    n_edges = e.count()  # cheap: counts the materialized checkpoint
+    if n_edges <= _PR_SINGLE_TASK_MAX_EDGES:
+        # bounded edge list: run the whole power iteration inside one
+        # Arrow task (guide §8 — the optimizer cannot know the graph is
+        # small; exact int64 math keeps it bit-identical). Descale with
+        # the SAME expression as the distributed path.
+        return _pagerank_single_task(e, iters, damping_pct).select(
+            "node", F.round(F.col("r").cast("double") / SCALE, 6).alias("rank6")
+        )
+    edges = e
+    src, dst = F.col("src"), F.col("dst")
     nodes = (
         edges.select(src.alias("node"))
         .union(edges.select(dst.alias("node")))

@@ -571,14 +571,24 @@ def test_snapshot_diff_statuses(spark):
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
 
 
-def test_pagerank_checkpoint_invariant(spark):
+def test_pagerank_checkpoint_invariant(spark, monkeypatch):
     # localCheckpoint is purely physical: ranks must be bit-identical
-    # with and without lineage cuts (exact integer arithmetic)
+    # with and without lineage cuts (exact integer arithmetic), and the
+    # r12 single-task numpy path must match the distributed
+    # join/aggregate path bit for bit on the same graph (duplicate
+    # edges weight contributions; node 5 is dangling-source-only)
+    import rag_content_spark.operators.graph as G
     from rag_content_spark.operators.graph import pagerank_fixed
 
     edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)], ["src", "dst"]
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (5, 1)],
+        ["src", "dst"],
     )
+    fast = {
+        r["node"]: r["rank6"]
+        for r in pagerank_fixed(edges, iters=12, checkpoint_every=0).collect()
+    }
+    monkeypatch.setattr(G, "_PR_SINGLE_TASK_MAX_EDGES", -1)
     plain = {
         r["node"]: r["rank6"]
         for r in pagerank_fixed(edges, iters=12, checkpoint_every=0).collect()
@@ -587,7 +597,7 @@ def test_pagerank_checkpoint_invariant(spark):
         r["node"]: r["rank6"]
         for r in pagerank_fixed(edges, iters=12, checkpoint_every=5).collect()
     }
-    assert plain == cut
+    assert plain == cut == fast
 
 
 def test_triangle_counts_known_graph(spark):
