@@ -41,10 +41,13 @@ HLL_ALPHA_DEN = 1.079
 
 
 def hll_registers(
-    values: DataFrame, hash_col: str, p: int = 8
+    values: DataFrame, hash_col: str, p: int = 8, extra_cols: tuple = ()
 ) -> DataFrame:
     """(reg, max_rank) register table from pre-hashed values (60-bit
-    nonneg BIGINTs). max over a register is the HLL merge operator."""
+    nonneg BIGINTs). max over a register is the HLL merge operator.
+    ``extra_cols`` adds grouping columns, so N per-shard sketches come
+    out of ONE aggregation pass over the stream (r12: q_hll_merge's
+    two half-corpus sketches shared one pass instead of one each)."""
     m = 1 << p
     w_bits = 60 - p
     h = F.col(hash_col)
@@ -55,9 +58,11 @@ def hll_registers(
     )
     return (
         values.select(
-            h.bitwiseAND(m - 1).alias("reg"), rank.alias("rank")
+            *[F.col(c) for c in extra_cols],
+            h.bitwiseAND(m - 1).alias("reg"),
+            rank.alias("rank"),
         )
-        .groupBy("reg")
+        .groupBy(*extra_cols, "reg")
         .agg(F.max("rank").alias("max_rank"))
     )
 

@@ -9446,9 +9446,17 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three register builds below — sketch-per-batch shape, one scan
         .localCheckpoint(eager=True)
     )
-    a = hll_registers(vals.filter(F.col("doc_id") % 2 == 0), "h")
-    b = hll_registers(vals.filter(F.col("doc_id") % 2 == 1), "h")
-    em = hll_estimate_from_registers(hll_merge([a, b])).select(
+    # r12: BOTH half-corpus register tables come out of ONE aggregation
+    # pass (groupBy (half, reg)) instead of one filtered pass each —
+    # same per-half (reg, max_rank) rows, one fewer scan of the hashed
+    # stream; the merge (max over halves) is unchanged. The whole-corpus
+    # sketch below stays an independent aggregation, mirroring the
+    # oracle's `whole` CTE, so the lossless check is not circular.
+    halves = hll_registers(
+        vals.withColumn("_half", F.col("doc_id") % 2), "h",
+        extra_cols=("_half",),
+    ).drop("_half")
+    em = hll_estimate_from_registers(hll_merge([halves])).select(
         F.col("m"), F.col("est").alias("est_merged")
     )
     ew = hll_estimate_from_registers(hll_registers(vals, "h")).select(
@@ -9651,9 +9659,17 @@ def q_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cell.r", "cell.c")
         .localCheckpoint(eager=True)
     )
-    a = cms_from_cells(cells.filter(F.col("doc_id") % 2 == 0))
-    b = cms_from_cells(cells.filter(F.col("doc_id") % 2 == 1))
-    merged = cms_merge([a, b]).select(
+    # r12: both half-corpus sketches from ONE aggregation pass
+    # (groupBy (half, r, c)) instead of one filtered pass each; the
+    # merge (cell-wise sum over halves) is unchanged, and the
+    # whole-corpus sketch stays an independent pass so the lossless
+    # check is not circular (same fusion as q_hll_merge).
+    halves = (
+        cells.groupBy((F.col("doc_id") % 2).alias("_half"), "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .drop("_half")
+    )
+    merged = cms_merge([halves]).select(
         "r", "c", F.col("cnt").alias("cnt_merged")
     )
     whole = cms_from_cells(cells).select(
@@ -10284,12 +10300,23 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_qsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rag_content_spark.operators.sketches import qsketch, qsketch_merge
 
+    from rag_content_spark.operators.sketches import loglin_bucket
+
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars").localCheckpoint(
         eager=True
-    )  # three sketch builds, one scan
-    a = qsketch(docs.filter(F.col("doc_id") % 2 == 0), "n_chars")
-    b = qsketch(docs.filter(F.col("doc_id") % 2 == 1), "n_chars")
-    merged = qsketch_merge([a, b]).select(
+    )  # two sketch passes, one scan
+    # r12: both half-corpus sketches from ONE aggregation pass (groupBy
+    # (half, bucket)); the merge (bucket-wise sum over halves) and the
+    # independent whole-corpus pass are unchanged (same fusion as
+    # q_hll_merge / q_cms_merge).
+    halves = (
+        docs.groupBy(
+            (F.col("doc_id") % 2).alias("_half"), loglin_bucket("n_chars")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .drop("_half")
+    )
+    merged = qsketch_merge([halves]).select(
         "bucket", F.col("cnt").alias("cnt_merged")
     )
     whole = qsketch(docs, "n_chars").select(
