@@ -8498,7 +8498,8 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _Q21_LATE_GAP
         )
         .select(F.col("l_orderkey").alias("ok"))
-        .distinct()
+        # no distinct: the only consumer is a LEFT SEMI join, which is
+        # duplicate-insensitive (r12)
     )
     return (
         ow
@@ -10073,9 +10074,13 @@ def q_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     p = _pq(spark, f"{sf_dir}/part.parquet")
     s = _pq(spark, f"{sf_dir}/supplier.parquet")
+    # no pre-distinct on the (pk, sk) pairs: the final aggregate counts
+    # DISTINCT sk per group, which is invariant to duplicate pairs, so
+    # the distinct was a full lineitem-sized exchange whose only effect
+    # was shrinking the (broadcast) part join's probe input (r12)
     pairs = li.select(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
-    ).distinct()
+    )
     bad = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
     pf = p.filter(
         (F.col("p_brand") != "Brand#2")
@@ -10149,14 +10154,13 @@ def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("recent_qty"),
     )
-    excess_sks = (
-        pairq.filter(
-            (F.col("recent_qty") > 0)
-            & (F.col("total_qty") > 2 * F.col("recent_qty"))
-        )
-        .select("sk")
-        .distinct()
-    )
+    # no distinct: the only consumer is a LEFT SEMI join (duplicate-
+    # insensitive), so the distinct was an extra exchange + aggregate
+    # of the supplier keys (r12)
+    excess_sks = pairq.filter(
+        (F.col("recent_qty") > 0)
+        & (F.col("total_qty") > 2 * F.col("recent_qty"))
+    ).select("sk")
     return (
         s.join(F.broadcast(excess_sks), s["s_suppkey"] == excess_sks["sk"], "left_semi")
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
