@@ -302,28 +302,56 @@ def collapse_exact_before_lsh(
     is), which :func:`expand_rep_pairs` materializes when needed.
     One content-hash shuffle + one leftsemi join — both linear.
 
-    The input is scanned three times (hash groups, rep semi-join,
-    member join) and the returned ``reps`` feeds at least two more
-    consumers (LSH + verify) — persist/checkpoint ``df`` and ``reps``
-    when the source is not a cheap columnar scan.
+    Both frames are projections of ONE hash-group join
+    (:func:`collapse_exact_table`) — a caller that consumes reps AND
+    members should checkpoint that table once instead of each
+    projection separately (r12; one corpus⨝groups pass instead of a
+    semi-join + a hash-join, one materialization job instead of two).
+    The returned ``reps`` feeds at least two more consumers (LSH +
+    verify) — persist/checkpoint ``df`` and the combined table when
+    the source is not a cheap columnar scan.
+    """
+    combined = collapse_exact_table(df, text_col, id_col)
+    reps = combined.filter(F.col("is_rep")).select(*df.columns)
+    members = combined.select("rep_id", F.col(id_col), "n_copies")
+    return reps, members
+
+
+def collapse_exact_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The single-pass form of :func:`collapse_exact_before_lsh`: every
+    input row with its exact-dup cluster columns attached —
+    (*df columns*, rep_id, n_copies, is_rep) where rep_id is the min-id
+    member of the row's content-hash group and is_rep marks the
+    surviving representative.
+
+    One aggregation (map-side partial, skew-safe for degenerate
+    boilerplate clusters) + one hash join keyed on content_hash (AQE
+    skew-join eligible) — versus the two joins (rep leftsemi + member
+    hash) the pair-of-frames view needs when materialized separately.
+    Deliberately NOT a window over content_hash: a window materializes
+    a whole hash group in one task, which is exactly the degenerate-
+    cluster blowup this operator exists to bound.
     """
     groups = exact_dedup(df, text_col, id_col)
-    reps = df.join(
-        groups.select(F.col("keep_id").alias(id_col)), id_col, "leftsemi"
-    )
-    members = (
-        df.select(stable_hash64(F.col(text_col)).alias("content_hash"), id_col)
+    return (
+        df.withColumn("_ch", stable_hash64(F.col(text_col)))
         .join(
             groups.select(
-                "content_hash",
+                F.col("content_hash").alias("_ch"),
                 F.col("keep_id").alias("rep_id"),
                 F.col("dup_count").alias("n_copies"),
             ),
-            "content_hash",
+            "_ch",
         )
-        .select("rep_id", F.col(id_col), "n_copies")
+        .select(
+            *df.columns,
+            "rep_id",
+            "n_copies",
+            (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+        )
     )
-    return reps, members
 
 
 def expand_rep_pairs(

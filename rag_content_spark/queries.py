@@ -1570,21 +1570,21 @@ def q_dedup_precollapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard shingles) — without this each reference re-derives the
     # union (at 100 TB: five full corpus scans; with it: one)
     corpus = docs.unionAll(twins).unionAll(copies).localCheckpoint(eager=True)
-    reps, members = dedup.collapse_exact_before_lsh(corpus)
-    reps = reps.localCheckpoint(eager=True)  # referenced by LSH + verify
+    # ONE materialized hash-group pass instead of separate reps/members
+    # checkpoints (r12): reps is referenced by LSH + verify (2x) and
+    # members by the expansion (3x) — all five references now read one
+    # combined checkpoint, and deriving it joins the corpus checkpoint
+    # once (the previous shape ran a rep semi-join AND a member hash
+    # join, each rescanning the corpus, and paid two eager jobs).
+    combined = dedup.collapse_exact_table(corpus).localCheckpoint(eager=True)
+    reps = combined.filter(F.col("is_rep")).select("doc_id", "text")
+    members = combined.select("rep_id", "doc_id", "n_copies")
     cand = dedup.minhash_lsh_candidates(
         reps, num_hashes=16, bands=4, max_bucket_size=None  # oracle replays UNCAPPED pairs
     )
     ver = dedup.jaccard_pairs(reps, cand, threshold=0.5).select(
         "id_a", "id_b"
     )
-    # members is referenced three times by the expansion (two cross-pair
-    # joins + the intra-cluster enumeration); un-materialized, each
-    # reference re-derives corpus content hashes + the group shuffle
-    # (r12: three extra corpus-scale passes at any replica). A narrow
-    # (rep_id, doc_id, n_copies) table — the §2.4 within-query
-    # materialization trade.
-    members = members.localCheckpoint(eager=True)
     return dedup.expand_rep_pairs(ver, members)
 
 
@@ -4929,22 +4929,26 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("id_b"),
         )
     )
-    hits = found.join(planted, ["id_a", "id_b"], "leftsemi")
-    extras = found.join(planted, ["id_a", "id_b"], "left_anti")
+    # one left join + one aggregate instead of a leftsemi AND a
+    # left_anti over the same `found` subtree (r12): the verify-join
+    # tail of the LSH pipeline was evaluated twice — found pairs are
+    # unique and planted pairs are unique, so a match flag partitions
+    # `found` exactly and extra_pairs = n_found - found_planted.
+    flagged = found.join(
+        planted.withColumn("_p", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("_n_found"),
+        F.count("_p").alias("found_planted"),
+    )
     n_planted = planted.agg(F.count(F.lit(1)).alias("planted"))
-    n_hits = hits.agg(F.count(F.lit(1)).alias("found_planted"))
-    n_extra = extras.agg(F.count(F.lit(1)).alias("extra_pairs"))
-    return (
-        n_planted.join(F.broadcast(n_hits))
-        .join(F.broadcast(n_extra))
-        .select(
-            "planted",
-            "found_planted",
-            F.round(
-                F.col("found_planted") / F.col("planted").cast("double"), 6
-            ).alias("recall"),
-            "extra_pairs",
-        )
+    return n_planted.join(F.broadcast(counts)).select(
+        "planted",
+        "found_planted",
+        F.round(
+            F.col("found_planted") / F.col("planted").cast("double"), 6
+        ).alias("recall"),
+        (F.col("_n_found") - F.col("found_planted")).alias("extra_pairs"),
     )
 
 

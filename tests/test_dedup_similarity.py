@@ -704,6 +704,39 @@ def test_collapse_exact_and_expand(spark):
     assert not any(20 in p for p in out)
 
 
+def test_collapse_exact_table_matches_pair_view(spark):
+    # r12: reps/members became projections of ONE hash-group join —
+    # the combined table must carry every input row exactly once with
+    # its cluster columns, reps = is_rep filter, members = projection,
+    # including extra passthrough columns and single-member clusters.
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha beta gamma", "en"),  # exact dup of 1
+        (5, "delta epsilon zeta", "de"),
+        (9, "alpha beta gamma", "en"),  # exact dup of 1
+        (7, "eta theta iota kappa", "el"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    t = dedup.collapse_exact_table(df)
+    assert t.columns == ["doc_id", "text", "lang", "rep_id", "n_copies", "is_rep"]
+    got = {
+        (r["doc_id"], r["lang"], r["rep_id"], r["n_copies"], r["is_rep"])
+        for r in t.collect()
+    }
+    assert got == {
+        (1, "en", 1, 3, True),
+        (2, "en", 1, 3, False),
+        (9, "en", 1, 3, False),
+        (5, "de", 5, 1, True),
+        (7, "el", 7, 1, True),
+    }
+    reps, members = dedup.collapse_exact_before_lsh(df)
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 5, 7]
+    assert reps.columns == ["doc_id", "text", "lang"]
+    mem = {(r["rep_id"], r["doc_id"], r["n_copies"]) for r in members.collect()}
+    assert mem == {(1, 1, 3), (1, 2, 3), (1, 9, 3), (5, 5, 1), (7, 7, 1)}
+
+
 def test_blocked_exact_dot_pairs_bit_identical_to_fold(spark):
     # r11: the vectorized per-block pair path must reproduce the
     # declarative join + fold dot BIT-exactly (same IEEE accumulation
